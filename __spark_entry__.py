@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship QC rollup on sf0.001;
+``queries()``/``oracle_sql()`` expose the operator catalog from
+``wq_data_pipeline_spark.plans.queries`` (one entry per implemented
+SURVEY.md §2 operator, each with a DuckDB-equivalent oracle).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: clean the events
+    series (A1 dedup -> W2 gap flags) and roll up per event_type ×
+    day: coverage, availability, robust stats. Exercises scan ->
+    window -> groupBy -> agg end-to-end."""
+    from wq_data_pipeline_spark.operators import clean as C
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "ts", "value"
+    )
+    d = C.resolve_duplicates(ev, ["event_type"], "ts", "value")
+    d = C.classify_gaps(d, ["event_type"], "ts", max_gap_seconds=3600.0)
+    return (
+        d.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.median("value").alias("med_value"),
+            F.sum(F.col("is_gap").cast("int")).alias("n_gaps"),
+            F.round(F.max("gap_seconds"), 1).alias("max_gap_s"),
+        )
+        .orderBy("event_type", "day")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from wq_data_pipeline_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from wq_data_pipeline_spark.plans.queries import ORACLES
+
+    return dict(ORACLES)

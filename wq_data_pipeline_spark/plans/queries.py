@@ -1,0 +1,536 @@
+"""Driver-contract query catalog: every SURVEY.md §2 operator gets a
+named PySpark query plus a DuckDB-runnable ANSI-SQL oracle.
+
+Conventions that keep the Spark result and the oracle hash-identical
+(the driver compares row-count + schema + order-insensitive
+value-hash, columns sorted by name):
+
+- Timestamps in outputs are emitted as epoch microseconds
+  (``unix_micros`` / ``epoch_us``) — sidesteps the parquet-ns vs
+  Spark-µs truncation hazard (SURVEY §7.2).
+- Doubles derived from *order-sensitive* accumulations (sum/avg/std)
+  are rounded identically on both sides; doubles from exact paths
+  (median, percentile, min/max, pure arithmetic) are left raw so both
+  engines produce bit-identical values.
+- Every computed column is aliased to the same name in both dialects.
+
+The QC-domain queries treat the driver's ``events`` table as an
+irregular sensor series: key = event_type, ts = ts, value = value
+(TESTDATA.md / FIXTURES.md §B). The series is first deduped on
+(event_type, ts) by median — the reference's A1 — which also makes
+every downstream window deterministic (unique order key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from wq_data_pipeline_spark.operators import clean as C
+from wq_data_pipeline_spark.operators import detectors as D
+from wq_data_pipeline_spark.operators import stats as S
+from wq_data_pipeline_spark.operators import windows as W
+from wq_data_pipeline_spark.functions.scalars import frac_part, season_expr
+from wq_data_pipeline_spark.sources.testdata import load_table
+
+KEY = ["event_type"]
+
+# Shared oracle CTE: dedupe events on (event_type, ts) by exact median.
+ORACLE_CLEAN = (
+    "WITH clean AS (SELECT event_type, ts, median(value) AS value "
+    "FROM events GROUP BY event_type, ts)"
+)
+
+
+def _events_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return C.resolve_duplicates(ev, KEY, "ts", "value")
+
+
+def _us(col: str = "ts") -> F.Column:
+    return F.unix_micros(F.col(col))
+
+
+# --------------------------------------------------------------------------
+# QC-domain queries (SURVEY §2 inventory ids in each docstring)
+# --------------------------------------------------------------------------
+
+def q_a1_dup_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: duplicate-timestamp resolution by group median."""
+    d = _events_clean(spark, sf_dir)
+    return d.select(
+        "event_type", _us().alias("ts_us"), F.col("value").alias("value_med"), "dup_count"
+    )
+
+
+SQL_A1 = (
+    "SELECT event_type, epoch_us(ts) AS ts_us, median(value) AS value_med, "
+    "count(*) AS dup_count FROM events GROUP BY event_type, ts"
+)
+
+
+def q_a3_step_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-series sampling step = median positive successive diff."""
+    d = _events_clean(spark, sf_dir)
+    return C.infer_step(d, KEY, "ts")
+
+
+SQL_A3 = f"""{ORACLE_CLEAN},
+d AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts)) / 1e6 AS dt
+  FROM clean
+)
+SELECT event_type,
+       CASE WHEN count(*) >= 3 AND median(CASE WHEN dt > 0 THEN dt END) IS NOT NULL
+            THEN median(CASE WHEN dt > 0 THEN dt END) ELSE 900.0 END AS step_seconds
+FROM d GROUP BY event_type"""
+
+
+def q_w1_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: first-difference jump flag |diff| >= 100."""
+    d = _events_clean(spark, sf_dir)
+    d = W.with_diff(d, "value", KEY, "ts", out="diff")
+    return d.filter(F.abs(F.col("diff")) >= 100.0).select(
+        "event_type", _us().alias("ts_us"), "value", F.col("diff").alias("jump")
+    )
+
+
+SQL_W1 = f"""{ORACLE_CLEAN}
+SELECT event_type, epoch_us(ts) AS ts_us, value, jump FROM (
+  SELECT event_type, ts, value,
+         value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS jump
+  FROM clean
+) WHERE abs(jump) >= 100.0"""
+
+
+def q_w2_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: rows whose preceding time gap exceeds 1 hour."""
+    d = _events_clean(spark, sf_dir)
+    d = C.classify_gaps(d, KEY, "ts", max_gap_seconds=3600.0)
+    return d.filter(F.col("is_gap")).select(
+        "event_type", _us().alias("ts_us"), F.col("gap_seconds").alias("gap_s")
+    )
+
+
+SQL_W2 = f"""{ORACLE_CLEAN}
+SELECT event_type, epoch_us(ts) AS ts_us, gap_s FROM (
+  SELECT event_type, ts,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts)) / 1e6 AS gap_s
+  FROM clean
+) WHERE gap_s > 3600.0"""
+
+
+def q_w5_flat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: flat-value runs (|x - prev| <= 1.0) lasting >= 0.5 h."""
+    d = _events_clean(spark, sf_dir)
+    ev = D.detect_flat_runs(d, "value", KEY, "ts", atol=1.0, min_hours=0.5)
+    return ev.select(
+        "event_type",
+        F.unix_micros("start").alias("start_us"),
+        F.unix_micros("end").alias("end_us"),
+        "hours",
+        F.col("value").alias("run_value"),
+        "n_points",
+    )
+
+
+SQL_W5 = f"""{ORACLE_CLEAN},
+lagd AS (
+  SELECT event_type, ts, value,
+         COALESCE(abs(value - lag(value) OVER w) <= 1.0, FALSE) AND value IS NOT NULL AS eq,
+         lead(ts) OVER w AS next_ts
+  FROM clean WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+),
+isl AS (
+  SELECT *, sum(CASE WHEN chg THEN 1 ELSE 0 END)
+            OVER (PARTITION BY event_type ORDER BY ts ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT *, lag(eq) OVER (PARTITION BY event_type ORDER BY ts) IS DISTINCT FROM eq AS chg
+    FROM lagd
+  )
+),
+runs AS (
+  SELECT event_type, island,
+         min(ts) AS start_ts, max(ts) AS last_ts,
+         max(next_ts) AS after_ts,
+         min_by(value, ts) AS run_value,
+         count(*) AS n_points
+  FROM isl WHERE eq GROUP BY event_type, island
+)
+SELECT event_type, epoch_us(start_ts) AS start_us,
+       epoch_us(COALESCE(after_ts, last_ts)) AS end_us,
+       (epoch_us(COALESCE(after_ts, last_ts)) - epoch_us(start_ts)) / 3.6e9 AS hours,
+       run_value, n_points
+FROM runs
+WHERE (epoch_us(COALESCE(after_ts, last_ts)) - epoch_us(start_ts)) / 3.6e9 >= 0.5"""
+
+
+def q_w7_rolling_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: centered rolling sample variance (w=25, minp=8).
+
+    Computed over exact integer cents (the data is 2-decimal) with the
+    n·Σx² − (Σx)² closed form: the window sums are exact BIGINT
+    arithmetic in both engines, so the final double division is
+    bit-identical — no rounding tolerance needed (a float var_samp
+    differs across engines in the last ulp and flips rounded digits).
+    """
+    d = _events_clean(spark, sf_dir)
+    d = d.withColumn("_c", F.round(F.col("value") * 100).cast("long"))
+    frame = W.centered(25, KEY, "ts")
+    n = F.count("_c").over(frame)
+    s1 = F.sum("_c").over(frame)
+    s2 = F.sum(F.col("_c") * F.col("_c")).over(frame)
+    var = F.when(
+        n >= 8,
+        (n * s2 - s1 * s1).cast("double") / (n * (n - 1)).cast("double") / F.lit(1e4),
+    )
+    return d.select("event_type", _us().alias("ts_us"), var.alias("roll_var"))
+
+
+SQL_W7 = f"""{ORACLE_CLEAN},
+c AS (SELECT event_type, ts, CAST(round(value * 100) AS BIGINT) AS c FROM clean)
+SELECT event_type, epoch_us(ts) AS ts_us,
+       CASE WHEN count(c) OVER w >= 8
+            THEN CAST(count(c) OVER w * sum(c * c) OVER w - sum(c) OVER w * sum(c) OVER w AS DOUBLE)
+                 / CAST(count(c) OVER w * (count(c) OVER w - 1) AS DOUBLE) / 1e4
+       END AS roll_var
+FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)"""
+
+
+def q_w8_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: rolling robust z-score (w=25), flagged rows |z| >= 3."""
+    d = _events_clean(spark, sf_dir)
+    d = D.with_robust_z(d, "value", 25, KEY, "ts", out="z")
+    return d.filter(F.abs(F.col("z")) >= 3.0).select(
+        "event_type", _us().alias("ts_us"), "value", F.col("z").alias("robust_z")
+    )
+
+
+SQL_W8 = f"""{ORACLE_CLEAN},
+med AS (
+  SELECT event_type, ts, value,
+         CASE WHEN count(value) OVER w >= 8 THEN median(value) OVER w END AS m
+  FROM clean WINDOW w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+madt AS (
+  SELECT event_type, ts, value, m,
+         CASE WHEN count(abs(value - m)) OVER w >= 8 THEN median(abs(value - m)) OVER w END AS mad
+  FROM med WINDOW w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+)
+SELECT event_type, epoch_us(ts) AS ts_us, value,
+       0.6745 * (value - m) / mad AS robust_z
+FROM madt WHERE mad > 0 AND abs(0.6745 * (value - m) / mad) >= 3.0"""
+
+
+def q_a4_decimal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: 10-bin histogram of fractional parts per series."""
+    d = _events_clean(spark, sf_dir)
+    return S.decimal_histogram(d, KEY, "value", nbins=10)
+
+
+SQL_A4 = f"""{ORACLE_CLEAN}
+SELECT event_type, least(CAST(floor((value - floor(value)) * 10) AS INT), 9) AS bin,
+       count(*) AS bin_count
+FROM clean WHERE value IS NOT NULL GROUP BY 1, 2"""
+
+
+def q_a5_mode_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: modal 2-decimal fraction + its share per series."""
+    d = _events_clean(spark, sf_dir)
+    return S.dominant_decimals(d, KEY, "value")
+
+
+SQL_A5 = f"""{ORACLE_CLEAN},
+cents AS (
+  SELECT event_type, CAST(round((value - floor(value)) * 100) AS INT) AS cents
+  FROM clean WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT event_type, cents, count(*) AS cnt FROM cents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, cents, cnt,
+         sum(cnt) OVER (PARTITION BY event_type) AS total,
+         row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, cents ASC) AS rn
+  FROM counts
+)
+SELECT event_type, cents AS mode_cents, round(cnt / total, 4) AS mode_frac,
+       cnt / total >= 0.6 AS dominant
+FROM ranked WHERE rn = 1"""
+
+
+def q_a6_diff_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (first half): quantiles of positive |successive diff|."""
+    d = _events_clean(spark, sf_dir)
+    return S.diff_quantiles(d, KEY, "ts", "value")
+
+
+SQL_A6 = f"""{ORACLE_CLEAN},
+d AS (
+  SELECT event_type,
+         abs(value - lag(value) OVER (PARTITION BY event_type ORDER BY ts)) AS absdiff
+  FROM clean
+)
+SELECT event_type,
+       round(quantile_cont(absdiff, 0.10), 6) AS q10,
+       round(quantile_cont(absdiff, 0.25), 6) AS q25,
+       round(quantile_cont(absdiff, 0.50), 6) AS q50,
+       round(quantile_cont(absdiff, 0.75), 6) AS q75,
+       round(quantile_cont(absdiff, 0.90), 6) AS q90
+FROM d WHERE absdiff > 0 GROUP BY event_type"""
+
+
+def q_a8_global_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: global median/MAD robust z, spikes |z| >= 3."""
+    d = _events_clean(spark, sf_dir)
+    out = S.global_robust_z(d, KEY, "value", thresh=3.0)
+    return out.select("event_type", _us().alias("ts_us"), "value", "robust_z")
+
+
+SQL_A8 = f"""{ORACLE_CLEAN},
+med AS (SELECT event_type, median(value) AS m FROM clean GROUP BY event_type),
+mad AS (
+  SELECT c.event_type, median(abs(c.value - med.m)) AS mad
+  FROM clean c JOIN med USING (event_type) GROUP BY c.event_type
+)
+SELECT c.event_type, epoch_us(c.ts) AS ts_us, c.value,
+       (c.value - med.m) / (1.4826 * mad.mad) AS robust_z
+FROM clean c JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE mad.mad > 0 AND abs((c.value - med.m) / (1.4826 * mad.mad)) >= 3.0"""
+
+
+def q_a7_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+P9: per-season coverage/nan stats (events span one season —
+    the oracle still checks the algebra end-to-end)."""
+    d = _events_clean(spark, sf_dir)
+    return S.seasonal_stats(d, KEY, "ts", "value", step_seconds=900.0)
+
+
+SQL_A7 = f"""{ORACLE_CLEAN}
+SELECT event_type,
+       CASE WHEN month(ts) IN (12, 1, 2) THEN 'DJF'
+            WHEN month(ts) IN (3, 4, 5) THEN 'MAM'
+            WHEN month(ts) IN (6, 7, 8) THEN 'JJA'
+            ELSE 'SON' END AS season,
+       count(*) AS n_rows,
+       round(count(value) / ((epoch_us(max(ts)) - epoch_us(min(ts))) / (900.0 * 1e6) + 1.0) * 100.0, 4) AS coverage_pct,
+       round((count(*) - count(value)) / count(*) * 100.0, 4) AS nan_pct
+FROM clean GROUP BY 1, 2"""
+
+
+def q_w17_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17: resample to 1h buckets by median (tumbling window)."""
+    d = _events_clean(spark, sf_dir)
+    return d.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.median("value").alias("value_med"), F.count(F.lit(1)).alias("n")
+    ).select("event_type", F.unix_micros("bucket").alias("bucket_us"), "value_med", "n")
+
+
+SQL_W17 = f"""{ORACLE_CLEAN}
+SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+       median(value) AS value_med, count(*) AS n
+FROM clean GROUP BY 1, 2"""
+
+
+# --------------------------------------------------------------------------
+# Relational / TPC-H-style queries (S1-scale joins & aggregations)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: scan -> filter -> hash agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: 3-way join + agg + top-10.
+
+    customer is broadcast (small side); deterministic top-10 via
+    (revenue DESC, o_orderkey ASC).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 5-way join through the star schema, dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name, r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session assembly per user (gap > 30 min starts a new session) —
+    the batch analog of session_window, built from islands (W3)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6
+    d = ev.withColumn(
+        "_new", F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return d.groupBy("user_id", "session_id").agg(
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN (epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 > 1800.0
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s,
+         event_id
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM d
+)
+SELECT user_id, session_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+       count(*) AS n_events, round(sum(value), 2) AS session_value
+FROM s GROUP BY user_id, session_id"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "a1_dup_median": q_a1_dup_median,
+    "a3_step_infer": q_a3_step_infer,
+    "w1_jumps": q_w1_jumps,
+    "w2_gaps": q_w2_gaps,
+    "w5_flat_runs": q_w5_flat_runs,
+    "w7_rolling_var": q_w7_rolling_var,
+    "w8_robust_z": q_w8_robust_z,
+    "a4_decimal_hist": q_a4_decimal_hist,
+    "a5_mode_cents": q_a5_mode_cents,
+    "a6_diff_quantiles": q_a6_diff_quantiles,
+    "a7_seasonal": q_a7_seasonal,
+    "a8_global_robust_z": q_a8_global_robust_z,
+    "w17_resample_hourly": q_w17_resample_hourly,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "sessionize": q_sessionize,
+}
+
+ORACLES: dict[str, str] = {
+    "a1_dup_median": SQL_A1,
+    "a3_step_infer": SQL_A3,
+    "w1_jumps": SQL_W1,
+    "w2_gaps": SQL_W2,
+    "w5_flat_runs": SQL_W5,
+    "w7_rolling_var": SQL_W7,
+    "w8_robust_z": SQL_W8,
+    "a4_decimal_hist": SQL_A4,
+    "a5_mode_cents": SQL_A5,
+    "a6_diff_quantiles": SQL_A6,
+    "a7_seasonal": SQL_A7,
+    "a8_global_robust_z": SQL_A8,
+    "w17_resample_hourly": SQL_W17,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
+    "sessionize": SQL_SESSIONIZE,
+}

@@ -1,0 +1,61 @@
+"""SparkSession builder with scale-oriented defaults.
+
+Local tests run on ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+same configs apply (AQE, skew-join handling, sane shuffle
+parallelism). Nothing here is local-mode-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS = {
+    # Runtime re-planning: post-shuffle coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDF exchange (the only JVM<->Python boundary).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Small dims (region/nation/config tables) should broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet TIMESTAMP(NANOS) (events.ts) has no Spark type; read the
+    # raw int64 and convert ns -> µs in the loader (floor division —
+    # same truncation DuckDB applies), SURVEY §7.2.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Read non-UTC-adjusted parquet timestamps as TIMESTAMP (LTZ) —
+    # with the UTC session tz this matches DuckDB's naive-as-UTC view
+    # of the same files, so epoch extraction agrees everywhere.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "wq-engine",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Return the active session or build a local one.
+
+    ``shuffle_partitions`` defaults to the local core count — at
+    cluster scale you would size it to ~2-3x total cores or rely on
+    AQE coalescing from a high initial value.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    confs = dict(DEFAULT_CONFS)
+    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    confs.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    if extra_conf:
+        confs.update(extra_conf)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
