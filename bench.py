@@ -1,0 +1,58 @@
+"""Benchmark harness: runs every catalog query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed to completion of a driver-side count() +
+collect-free foreach-noop (we materialize results the cheap way:
+``df.write.format('noop')`` executes the full plan without collecting
+rows to the driver, which is what a cluster deployment would do).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from wq_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="wq-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
