@@ -495,6 +495,8 @@ FROM s GROUP BY user_id, session_id"""
 # Registry
 # --------------------------------------------------------------------------
 
+from wq_data_pipeline_spark.plans.queries_qc2 import ORACLES2, QUERIES2  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
     "a3_step_infer": q_a3_step_infer,
@@ -534,3 +536,6 @@ ORACLES: dict[str, str] = {
     "tpch_q5": SQL_TPCH_Q5,
     "sessionize": SQL_SESSIONIZE,
 }
+
+QUERIES.update(QUERIES2)
+ORACLES.update(ORACLES2)
