@@ -1,0 +1,133 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, fingerprinting.
+
+All pure Column algebra (regexp/array functions) — no Python UDFs, so
+the whole stage codegens and scales linearly with input splits. These
+are the driver's north-star extensions (BASELINE.json), not reference
+operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/number/punct splitter for token *counting* (a cheap
+# stand-in for a real tokenizer's pre-tokenization regex).
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "to", "and", "is", "in", "it", "on", "for")
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "to"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "los", "es", "y"),
+    "fr": ("le", "la", "les", "est", "et"),
+}
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokens of the lowercased text (empty strings removed)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(t), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_count(text: str | Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+def distinct_words(text: str | Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def stopword_count(text: str | Column, words=STOPWORDS) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(t), F.lit(pat), F.lit(0)))
+
+
+def punct_count(text: str | Column) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio features + a scalar
+    quality score. The score is an explicit expression tree so it is
+    bit-deterministic across engines."""
+    n_tok = token_count(text)
+    n_stop = stopword_count(text)
+    n_punct = punct_count(text)
+    n_chars = F.length(F.col(text))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok.cast("double")).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(0.0)
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(tokens(text), F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / n_tok.cast("double"),
+    ).otherwise(0.0)
+    score = (
+        F.lit(0.4) * F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0)))
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_stopwords", n_stop)
+        .withColumn("n_punct", n_punct)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("mean_token_len", mean_tok_len)
+        .withColumn("quality_score", score)
+    )
+
+
+def lang_scores(text: str | Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (n-gram heuristic) + a CJK
+    character count for zh."""
+    t = F.lower(F.col(text) if isinstance(text, str) else text)
+    out: dict[str, Column] = {}
+    for lang, words in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+    out["zh"] = F.size(F.regexp_extract_all(t, F.lit(r"[一-鿿]"), F.lit(0)))
+    return out
+
+
+def predict_lang(text: str | Column) -> Column:
+    """argmax over lang_scores with a fixed tie-break order
+    (en > de > es > fr > zh); 'und' when no marker hits."""
+    s = lang_scores(text)
+    best = F.greatest(*s.values())
+    expr = F.lit("und")
+    for lang in reversed(["en", "de", "es", "fr", "zh"]):
+        expr = F.when((s[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+def word_shingles(text: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (for MinHash/Jaccard).
+    Built with sequence+transform — no UDF, no explode."""
+    toks = tokens(text)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(-1)))
+    return F.when(
+        k >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_fingerprint(text: str | Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct word set. Identical bags of words collide — the cheap
+    first stage of near-dup detection (rolling-hash analog)."""
+    return F.md5(F.concat_ws(" ", F.sort_array(distinct_words(text))))

@@ -1,0 +1,404 @@
+"""Catalog batch 3: LLM-data-pipeline extensions over documents /
+embeddings / events.props (SURVEY §7 stage 8; BASELINE.json
+north-star): text analysis, dedup (exact / fingerprint / MinHash-LSH /
+SimHash / Jaccard), similarity search, JSON props, multimodal binary
+plumbing.
+
+Portability notes: md5 hex digests (strings) are the cross-engine
+hash primitive; embedding math is quantized to exact integers
+(round(x·1e7)) so dot products are BIGINT-exact in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from wq_data_pipeline_spark.operators import dedup as DD
+from wq_data_pipeline_spark.operators import text as TX
+from wq_data_pipeline_spark.operators.multimodal import decode_media
+from wq_data_pipeline_spark.sources.testdata import load_table
+
+# Shared oracle CTE: whitespace tokens of lowercased text.
+SQL_WORDS = (
+    "WITH w AS (SELECT doc_id, lang, source, n_chars, text, "
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks "
+    "FROM documents)"
+)
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish
+    pre-tokenizer count, mean token length."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n_tok = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        TX.bpe_ish_count("text").alias("n_bpe_ish"),
+        F.when(n_tok > 0, total_len.cast("double") / n_tok.cast("double"))
+        .otherwise(0.0)
+        .alias("mean_tok_len"),
+    )
+
+
+SQL_TOKEN_STATS = f"""{SQL_WORDS}
+SELECT doc_id, len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+       CASE WHEN len(toks) > 0
+            THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+            ELSE 0.0 END AS mean_tok_len
+FROM w"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword/punct ratios + composite score
+    (explicit expression tree — bit-deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    d = TX.quality_features(d, "text")
+    return d.select(
+        "doc_id", "n_tokens", "n_stopwords", "n_punct",
+        "stop_ratio", "punct_ratio", "mean_token_len", "quality_score",
+    )
+
+
+SQL_TEXT_QUALITY = f"""{SQL_WORDS},
+f AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and|is|in|it|on|for)\\b')) AS n_stopwords,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         length(text) AS n_chars
+  FROM w
+),
+r AS (
+  SELECT doc_id, n_tokens, n_stopwords, n_punct,
+         CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              ELSE 0.0 END AS mean_token_len
+  FROM f
+)
+SELECT doc_id, n_tokens, n_stopwords, n_punct, stop_ratio, punct_ratio, mean_token_len,
+       0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       + 0.3 * stop_ratio
+       + 0.3 * (1.0 - least(punct_ratio * 10.0, 1.0)) AS quality_score
+FROM r"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker argmax vs the labeled
+    lang column; per (lang, predicted) confusion counts."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("predicted", TX.predict_lang("text"))
+    return d.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_LANG_ID = """
+WITH s AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to)\\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS s_de,
+         len(regexp_extract_all(lower(text), '\\b(el|la|los|es|y)\\b')) AS s_es,
+         len(regexp_extract_all(lower(text), '\\b(le|la|les|est|et)\\b')) AS s_fr,
+         len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+  FROM documents
+),
+p AS (
+  SELECT lang,
+         CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+              ELSE 'zh' END AS predicted
+  FROM s
+)
+SELECT lang, predicted, count(*) AS n_docs FROM p GROUP BY lang, predicted"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5-of-text grouping (per-row canonical flag)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = DD.exact_dedup(d, "text", "doc_id")
+    return out.select("doc_id", "canonical_id", "is_duplicate")
+
+
+SQL_EXACT_DEDUP = """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+c AS (SELECT h, min(doc_id) AS canonical_id FROM h GROUP BY h)
+SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_duplicate
+FROM h JOIN c USING (h)"""
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters by order-insensitive word-set fingerprint
+    (doc_fingerprint = md5 of sorted distinct words)."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.fingerprint_groups(d, "text", "doc_id", min_size=2)
+
+
+SQL_FP_DEDUP = f"""{SQL_WORDS},
+fp AS (
+  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+  FROM w
+)
+SELECT fp, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM fp GROUP BY fp HAVING count(*) >= 2"""
+
+
+# 3-gram shingles in both dialects
+def _shingles_sql(n: int = 3) -> str:
+    return (
+        "list_transform(generate_series(1, greatest(len(toks) - 2, 0)), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=4) over word 3-gram shingles: lexicographic
+    min of seeded md5 digests — engine-portable min-hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *DD.minhash_signature("text", num_hashes=4))
+
+
+SQL_MINHASH = f"""{SQL_WORDS},
+sh AS (SELECT doc_id, {_shingles_sql()} AS sh FROM w)
+SELECT doc_id,
+       list_min(list_transform(sh, s -> md5(s || '#0'))) AS mh0,
+       list_min(list_transform(sh, s -> md5(s || '#1'))) AS mh1,
+       list_min(list_transform(sh, s -> md5(s || '#2'))) AS mh2,
+       list_min(list_transform(sh, s -> md5(s || '#3'))) AS mh3
+FROM sh"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (k=4, 2 rows/band -> 2 bands):
+    docs sharing a band key. The banding turns all-pairs into
+    per-bucket joins — the 100-TB dedup path."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=4, rows_per_band=2
+    )
+
+
+SQL_MINHASH_LSH = f"""{SQL_WORDS},
+sh AS (SELECT doc_id, {_shingles_sql()} AS sh FROM w),
+sig AS (
+  SELECT doc_id,
+         md5(list_min(list_transform(sh, s -> md5(s || '#0'))) || '|' ||
+             list_min(list_transform(sh, s -> md5(s || '#1')))) AS band0,
+         md5(list_min(list_transform(sh, s -> md5(s || '#2'))) || '|' ||
+             list_min(list_transform(sh, s -> md5(s || '#3')))) AS band1
+  FROM sh
+)
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+)"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct words (md5 hex-digit parity votes)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", DD.simhash_bits("text", bits=16).alias("simhash"))
+
+
+def _simhash_sql_bits(bits: int = 16) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(
+            f"(CASE WHEN 2 * list_sum(list_transform(ws, w -> "
+            f"CASE WHEN substr(md5(w), {j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END)) "
+            f"- len(ws) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+SQL_SIMHASH = f"""{SQL_WORDS},
+d AS (SELECT doc_id, list_distinct(toks) AS ws FROM w)
+SELECT doc_id, {_simhash_sql_bits(16)} AS simhash FROM d"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (word-set) Jaccard over a bounded candidate set:
+    anchors doc_id%5==0 vs the next 25 ids; report pairs >= 0.8."""
+    d = load_table(spark, sf_dir, "documents")
+    ids = d.select("doc_id")
+    a = ids.filter(F.col("doc_id") % 5 == 0).select(F.col("doc_id").alias("id_a"))
+    b = ids.select(F.col("doc_id").alias("id_b"))
+    pairs = a.join(
+        b,
+        (F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 25),
+    )
+    j = DD.jaccard_pairs(d, pairs, "text", "doc_id")
+    return j.filter(F.col("jaccard") >= 0.8)
+
+
+SQL_JACCARD = f"""{SQL_WORDS},
+ws AS (SELECT doc_id, list_distinct(toks) AS ws FROM w)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) AS jaccard
+FROM ws a JOIN ws b
+  ON a.doc_id % 5 = 0 AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) >= 0.8"""
+
+
+# --- Similarity search ------------------------------------------------------
+
+_Q = 10_000_000  # quantization scale: round(x*1e7) -> BIGINT-exact dot
+
+
+def _quantized(vec: str | F.Column) -> F.Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: F.round(x.cast("double") * _Q).cast("long"))
+
+
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (queries =
+    vec_id%100==0). Quantized-integer dot products: BIGINT-exact in
+    both engines, so ranking ties and cosine values are deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized("embedding").alias("q")
+    )
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    j = emb.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("query_id"))
+    dotq = F.aggregate(
+        F.zip_with("q", "qq", lambda a, b: a * b), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    n1 = F.aggregate(F.transform("q", lambda a: a * a), F.lit(0).cast("long"), lambda s, x: s + x)
+    n2 = F.aggregate(F.transform("qq", lambda a: a * a), F.lit(0).cast("long"), lambda s, x: s + x)
+    cos = dotq.cast("double") / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
+    scored = j.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+SQL_EMBED_TOPK = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS neighbor_id, b.vec_id AS query_id,
+         list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])) AS dotq,
+         list_sum(list_transform(a.q, x -> x * x)) AS n1,
+         list_sum(list_transform(b.q, x -> x * x)) AS n2
+  FROM q a JOIN q b ON b.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(dotq AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos_sim
+  FROM pairs
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5"""
+
+
+def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucketing (md5-derived
+    ±1 planes), exact cosine within bucket. No oracle — covered by the
+    rows-only check; correctness of components is oracled by
+    embed_cosine_topk + the signature determinism test."""
+    from wq_data_pipeline_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_bucketed_topk(emb, qs, k=5, n_bands=4, planes_per_band=4)
+
+
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props extraction (from_json/get_json_object analog) +
+    grouped aggregate; avg emitted as exact sum/count division."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    d = ev.select("event_type", k.alias("k"))
+    return d.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.count("k").alias("n_k"),
+        (F.sum("k").cast("double") / F.count("k").cast("double")).alias("avg_k"),
+    )
+
+
+SQL_PROPS_JSON = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+       / CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS avg_k
+FROM events GROUP BY event_type"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: encode text as bytes, JVM-side byte
+    length + digest (the metadata layer of the multimodal schema)."""
+    d = load_table(spark, sf_dir, "documents")
+    content = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(content).alias("n_bytes"),
+        F.md5(content).alias("digest"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+FROM documents"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing over binary media (deterministic
+    fake decoder — the real decode is stubbed, SURVEY §7 stage 8).
+    Rows-only check: the Arrow batch boundary isn't SQL-expressible."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return decode_media(d, fake=True)
+
+
+QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "exact_dedup": q_exact_dedup,
+    "fingerprint_dedup": q_fingerprint_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "jaccard_pairs": q_jaccard_pairs,
+    "embed_cosine_topk": q_embed_cosine_topk,
+    "embed_lsh_ann": q_embed_lsh_ann,
+    "props_json": q_props_json,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+ORACLES3: dict[str, str] = {
+    "text_token_stats": SQL_TOKEN_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "fingerprint_dedup": SQL_FP_DEDUP,
+    "minhash_signatures": SQL_MINHASH,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH,
+    "simhash": SQL_SIMHASH,
+    "jaccard_pairs": SQL_JACCARD,
+    "embed_cosine_topk": SQL_EMBED_TOPK,
+    "props_json": SQL_PROPS_JSON,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    # embed_lsh_ann, multimodal_decode: rows-only (non-SQL-expressible)
+}
