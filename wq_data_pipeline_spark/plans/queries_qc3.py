@@ -1,0 +1,229 @@
+"""Catalog batch 4: as-of join, Gaussian smoothing (W16), interval
+containment / range join (J3), TPC-H Q6-style filter-agg.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from wq_data_pipeline_spark.operators import clean as C
+from wq_data_pipeline_spark.operators import detectors as D
+from wq_data_pipeline_spark.operators.asof import asof_join_backward
+from wq_data_pipeline_spark.operators.windows import ordered
+from wq_data_pipeline_spark.sources.testdata import load_table
+
+KEY = ["event_type"]
+
+ORACLE_CLEAN = (
+    "WITH clean AS (SELECT event_type, ts, median(value) AS value "
+    "FROM events GROUP BY event_type, ts)"
+)
+
+
+def _events_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return C.resolve_duplicates(ev, KEY, "ts", "value")
+
+
+# --- As-of join -------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union+window): each 'error' event matched to the
+    latest prior 'purchase' of the same user. Spark has no native
+    ASOF JOIN; DuckDB's ASOF LEFT JOIN is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id", "value")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    j = asof_join_backward(
+        left, right, on=["user_id"], right_value_cols=["value"]
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.col("matched_value").alias("purchase_value"),
+        F.unix_micros("matched_ts").alias("purchase_ts_us"),
+    )
+
+
+SQL_ASOF = """
+WITH l AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error'),
+r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us, l.value,
+       r.value AS purchase_value, epoch_us(r.ts) AS purchase_ts_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
+# --- W16: Gaussian smooth + residual ---------------------------------------
+
+_SIGMA = 2.0
+_TAPS = 4  # +-4 taps (~2 sigma; reference truncates at 4 sigma)
+_GW = [math.exp(-(k * k) / (2.0 * _SIGMA * _SIGMA)) for k in range(-_TAPS, _TAPS + 1)]
+
+
+def q_w16_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16: sparsify (value<5 -> NULL), forward/back-fill, Gaussian
+    kernel smooth (sigma=2 pts, +-4 taps, renormalized over non-null
+    taps), residual = filled - smooth. Explicit tap expression tree ->
+    bit-deterministic (reference plot_gaussian_compare,
+    scripts/ufz_water_qc_pipeline.py:371-389)."""
+    d = _events_clean(spark, sf_dir)
+    d = d.withColumn("v", F.when(F.col("value") >= 5.0, F.col("value")))
+    wts = ordered(KEY, "ts")
+    ff = F.last("v", ignorenulls=True).over(
+        wts.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bf = F.first("v", ignorenulls=True).over(
+        wts.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    d = d.withColumn("filled", F.coalesce(ff, bf))
+    w = ordered(KEY, "ts")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(-_TAPS, _TAPS + 1):
+        wt = _GW[k + _TAPS]
+        tap = (
+            F.col("filled")
+            if k == 0
+            else (F.lag("filled", -k).over(w) if k < 0 else F.lead("filled", k).over(w))
+        )
+        num = num + F.coalesce(tap, F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(tap.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    smooth = F.when(den > 0, num / den)
+    return d.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "filled",
+        smooth.alias("smooth"),
+        (F.col("filled") - smooth).alias("residual"),
+    )
+
+
+def _w16_sql() -> str:
+    num_terms, den_terms = [], []
+    for k in range(-_TAPS, _TAPS + 1):
+        wt = repr(_GW[k + _TAPS])
+        tap = (
+            "filled"
+            if k == 0
+            else (f"lag(filled, {-k}) OVER w" if k < 0 else f"lead(filled, {k}) OVER w")
+        )
+        num_terms.append(f"COALESCE({tap}, 0.0) * {wt}")
+        den_terms.append(f"(CASE WHEN {tap} IS NOT NULL THEN {wt} ELSE 0.0 END)")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""{ORACLE_CLEAN},
+sp AS (SELECT event_type, ts, CASE WHEN value >= 5.0 THEN value END AS v FROM clean),
+fill AS (
+  SELECT event_type, ts,
+         COALESCE(
+           last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts ROWS UNBOUNDED PRECEDING),
+           first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts
+                                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         ) AS filled
+  FROM sp
+),
+sm AS (
+  SELECT event_type, ts, filled,
+         CASE WHEN 0.0 + {den} > 0 THEN (0.0 + {num}) / (0.0 + {den}) END AS smooth
+  FROM fill WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+)
+SELECT event_type, epoch_us(ts) AS ts_us, filled, smooth, filled - smooth AS residual
+FROM sm"""
+
+
+SQL_W16 = _w16_sql()
+
+
+# --- J3: interval containment (runs -> mask) -------------------------------
+
+def q_j3_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: mark rows inside flat-run intervals (reference
+    _mask_from_runs, scripts/ufz_water_qc_pipeline.py:392-397) via a
+    broadcast range join; per-key counts of in-run rows."""
+    d = _events_clean(spark, sf_dir)
+    runs = D.detect_flat_runs(d, "value", KEY, "ts", atol=1.0, min_hours=0.5).select(
+        "event_type", "start", "end"
+    )
+    joined = d.join(
+        F.broadcast(runs),
+        on=[
+            d.event_type == runs.event_type,
+            d.ts >= runs.start,
+            d.ts <= runs.end,
+        ],
+        how="leftsemi",
+    )
+    return joined.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_in_run"))
+
+
+SQL_J3 = f"""{ORACLE_CLEAN},
+lagd AS (
+  SELECT event_type, ts, value,
+         COALESCE(abs(value - lag(value) OVER w) <= 1.0, FALSE) AND value IS NOT NULL AS eq,
+         lead(ts) OVER w AS next_ts
+  FROM clean WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+),
+isl AS (
+  SELECT *, sum(CASE WHEN chg THEN 1 ELSE 0 END)
+            OVER (PARTITION BY event_type ORDER BY ts ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT *, lag(eq) OVER (PARTITION BY event_type ORDER BY ts)
+               IS DISTINCT FROM eq AS chg FROM lagd)
+),
+runs AS (
+  SELECT event_type, min(ts) AS start_ts,
+         COALESCE(max(next_ts), max(ts)) AS end_ts
+  FROM isl WHERE eq GROUP BY event_type, island
+  HAVING (epoch_us(COALESCE(max(next_ts), max(ts))) - epoch_us(min(ts))) / 3.6e9 >= 0.5
+)
+SELECT c.event_type, count(*) AS n_in_run
+FROM clean c
+WHERE EXISTS (SELECT 1 FROM runs r
+              WHERE r.event_type = c.event_type
+                AND c.ts >= r.start_ts AND c.ts <= r.end_ts)
+GROUP BY c.event_type"""
+
+
+# --- TPC-H Q6: filter + global agg -----------------------------------------
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecasting-revenue: pushed-down filters + one agg row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+
+QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "asof_join": q_asof_join,
+    "w16_gaussian": q_w16_gaussian,
+    "j3_range_join": q_j3_range_join,
+    "tpch_q6": q_tpch_q6,
+}
+
+ORACLES4: dict[str, str] = {
+    "asof_join": SQL_ASOF,
+    "w16_gaussian": SQL_W16,
+    "j3_range_join": SQL_J3,
+    "tpch_q6": SQL_TPCH_Q6,
+}
