@@ -1,0 +1,83 @@
+"""Structured Streaming QC: file-source stream -> watermarked rollups
+-> memory/parquet sinks, availableNow trigger."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    rng = np.random.default_rng(1)
+    ts = pd.date_range("2024-03-01", periods=600, freq="5min")
+    pdf = pd.DataFrame(
+        {
+            "station": "stn1",
+            "variable": "o2",
+            "ts": ts,
+            "value": rng.normal(10, 1.5, len(ts)),
+        }
+    )
+    # two files = two potential micro-batches; one 3h silence gap
+    pdf1, pdf2 = pdf.iloc[:300], pdf.iloc[300:].copy()
+    pdf2["ts"] = pdf2["ts"] + pd.Timedelta(hours=3)
+    sdir = base / "in"
+    sdir.mkdir()
+    spark.createDataFrame(pdf1).coalesce(1).write.mode("append").parquet(str(sdir))
+    spark.createDataFrame(pdf2).coalesce(1).write.mode("append").parquet(str(sdir))
+    return str(sdir)
+
+
+def test_tumbling_rollup_stream(spark, stream_dir):
+    from wq_data_pipeline_spark.streaming.stream_qc import read_readings_stream, tumbling_rollup
+
+    stream = read_readings_stream(spark, stream_dir)
+    assert stream.isStreaming
+    q = (
+        tumbling_rollup(stream, "1 hour", "2 hours")
+        .writeStream.format("memory")
+        .queryName("rollup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from rollup_t").collect()
+    # append mode only emits watermark-closed windows
+    assert len(rows) >= 20
+    assert all(r.n > 0 and r.min_value <= r.mean_value <= r.max_value for r in rows)
+
+
+def test_session_rollup_stream(spark, stream_dir):
+    from wq_data_pipeline_spark.streaming.stream_qc import read_readings_stream, session_rollup
+
+    stream = read_readings_stream(spark, stream_dir)
+    q = (
+        session_rollup(stream, "30 minutes", "2 hours")
+        .writeStream.format("memory")
+        .queryName("rollup_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from rollup_s").collect()
+    # the 3h silence closes the first session
+    assert len(rows) >= 1
+    assert rows[0].n == 300
+
+
+def test_microbatch_qc(spark, stream_dir, tmp_path):
+    from wq_data_pipeline_spark.streaming.stream_qc import read_readings_stream, run_microbatch_qc
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_readings_stream(spark, stream_dir)
+    q = run_microbatch_qc(stream, out, ckpt)
+    q.awaitTermination(180)
+    res = spark.read.parquet(out)
+    assert res.count() == 600
+    assert "saqc_flag" in res.columns and "accepted" in res.columns

@@ -1,0 +1,194 @@
+"""The full QC pipeline plan — the engine's equivalent of the
+reference's EP1/EP2 lifecycle (run_pipeline -> process_variable,
+scripts/ufz_water_qc_pipeline.py:666-772) as ONE lazy DataFrame
+program over the long readings table.
+
+Where the reference loops per variable in Python, this plan handles
+every (station, variable) series in a single pass via window
+partitioning; the per-variable Python loop exists only at plan-build
+time (to apply per-variable config expressions).
+
+Outputs mirror the reference's artifacts:
+- wide QC timeseries parquet: ``{var}__raw/__clean/__accepted/
+  __saqc_flag`` columns (P16/J2 pivot; golden schema
+  scripts/water_qc_output/processed/.../*__qc_timeseries.parquet)
+- events table (W4/W5/W6 emissions, J4 union)
+- seasonal summary (A7)
+- meta table (step, duplicates)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from wq_data_pipeline_spark.functions.scalars import sanitize_name
+from wq_data_pipeline_spark.operators import clean as C
+from wq_data_pipeline_spark.operators import detectors as D
+from wq_data_pipeline_spark.operators import stats as S
+
+KEYS = ["station", "variable"]
+
+
+@dataclass
+class QCConfig:
+    """Per-run config (reference EP2 hardcoded config, :775-800)."""
+
+    range_map: dict[str, tuple[float, float]] = field(default_factory=dict)
+    sentinels: tuple[float, ...] = C.DEFAULT_SENTINELS
+    max_gap_seconds: float = 7200.0
+    flat_atol: float = 0.0
+    flat_min_hours: float = 2.0
+    z_window_points: int = 96
+    z_thresh: float = 4.0
+    jump_thresh: float | None = None
+    slope_window_points: int = 25
+    slope_abs: float = 1e-10
+
+
+def clean_stage(readings: DataFrame, cfg: QCConfig) -> DataFrame:
+    """Sentinels -> dup-resolve -> gap-null: the ``__clean`` series.
+    Keeps ``raw`` (pre-gap-null, post-dedup) alongside."""
+    d = C.mask_sentinels(readings, KEYS, "value", cfg.sentinels)
+    d = C.resolve_duplicates(d, KEYS, "ts", "value")
+    d = d.withColumn("raw", F.col("value"))
+    d = C.classify_gaps(d, KEYS, "ts", cfg.max_gap_seconds)
+    d = C.null_gap_values(d, "value")
+    return d.withColumnRenamed("value", "clean")
+
+
+def flag_stage(cleaned: DataFrame, cfg: QCConfig) -> DataFrame:
+    """Fallback flag suite (apply_saqc_suite semantics, :459-589):
+    range + missing + robust-z (+ jumps) OR-combined to 0/255."""
+    d = cleaned.withColumnRenamed("clean", "value")
+    d = D.flag_robust_z(d, "value", cfg.z_window_points, cfg.z_thresh, KEYS, "ts", out="f_z")
+    flags = [F.col("f_z"), D.flag_missing("value")]
+    if cfg.range_map:
+        range_expr = F.lit(False)
+        for var, (lo, hi) in cfg.range_map.items():
+            range_expr = F.when(
+                F.col("variable") == var, D.flag_range("value", lo, hi)
+            ).otherwise(range_expr)
+        flags.append(range_expr)
+    if cfg.jump_thresh is not None:
+        flags.append(D.flag_jumps("value", cfg.jump_thresh, KEYS, "ts"))
+    combined = D.merge_flags(*flags)
+    d = d.withColumn("saqc_flag", D.flags_to_code(combined))
+    d = d.withColumn("accepted", F.when(combined, None).otherwise(F.col("value")))
+    return d.withColumnRenamed("value", "clean")
+
+
+def event_stage(cleaned: DataFrame, cfg: QCConfig) -> DataFrame:
+    """Detector event tables, unioned (J4) with NaN-padded columns
+    like the golden ``__events_all.csv``."""
+    d = cleaned.withColumnRenamed("clean", "value")
+    flat = D.detect_flat_runs(d, "value", KEYS, "ts", cfg.flat_atol, cfg.flat_min_hours)
+    switches = D.detect_binary_switches(d, "value", KEYS, "ts")
+    slopes = D.detect_flat_slopes(
+        d, "value", KEYS, "ts", cfg.slope_window_points, cfg.slope_abs, cfg.flat_min_hours
+    )
+    return (
+        flat.unionByName(switches, allowMissingColumns=True)
+        .unionByName(slopes, allowMissingColumns=True)
+    )
+
+
+def seasonal_stage(cleaned: DataFrame, events: DataFrame, step_seconds: float = 900.0) -> DataFrame:
+    """A7 + per-season event counts joined in."""
+    from wq_data_pipeline_spark.functions.scalars import season_expr
+
+    d = cleaned.withColumnRenamed("clean", "value")
+    seas = S.seasonal_stats(d, KEYS, "ts", "value", step_seconds)
+    ev_counts = (
+        events.withColumn("season", season_expr("start"))
+        .groupBy(*KEYS, "season")
+        .pivot("type", ["flat_values", "flat_slopes"])
+        .count()
+        .withColumnRenamed("flat_values", "flat_values_events")
+        .withColumnRenamed("flat_slopes", "flat_slopes_events")
+    )
+    out = seas.join(ev_counts, on=[*KEYS, "season"], how="left")
+    return out.fillna(0, subset=[c for c in ("flat_values_events", "flat_slopes_events") if c in out.columns])
+
+
+def meta_stage(readings: DataFrame) -> DataFrame:
+    """Per-series meta: inferred step + duplicate count (reference
+    meta CSV, :738,764-765)."""
+    step = C.infer_step(readings, KEYS, "ts")
+    dups = (
+        readings.groupBy(*KEYS, "ts")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy(*KEYS)
+        .agg(F.sum(F.col("_n") - 1).alias("duplicates"))
+    )
+    return step.join(dups, on=KEYS, how="left")
+
+
+def widen(qc: DataFrame) -> DataFrame:
+    """P16/J2: long -> wide pivot with the reference's naming
+    convention ``{sanitized_var}__{suffix}``. One pivot per suffix,
+    joined on (station, ts) — Catalyst plans this as one shuffle per
+    pivot over the same key, and the variable list is discovered from
+    data unless provided."""
+    suffixes = ["raw", "clean", "accepted", "saqc_flag"]
+    variables = [r[0] for r in qc.select("variable").distinct().collect()]
+    pivots = None
+    for suf in suffixes:
+        p = (
+            qc.groupBy("station", "ts")
+            .pivot("variable", variables)
+            .agg(F.first(suf))
+        )
+        renames = {v: f"{sanitize_name(v)}__{suf}" for v in variables}
+        for old, new in renames.items():
+            p = p.withColumnRenamed(old, new)
+        pivots = p if pivots is None else pivots.join(p, on=["station", "ts"], how="full_outer")
+    return pivots.orderBy("station", "ts")
+
+
+@dataclass
+class QCOutputs:
+    timeseries: DataFrame
+    timeseries_wide: DataFrame
+    events: DataFrame
+    seasonal: DataFrame
+    meta: DataFrame
+
+
+def run_qc_pipeline(readings: DataFrame, cfg: QCConfig | None = None) -> QCOutputs:
+    """The full DAG. ``readings`` is the canonical long table
+    (station, variable, ts, value). The cleaned table feeds ~4
+    downstream branches, so it is cached (reference recomputes nothing
+    because everything lives in RAM; on Spark an uncached plan would
+    re-clean per action — SURVEY §4.1 'Caching / reuse')."""
+    cfg = cfg or QCConfig()
+    cleaned = clean_stage(readings, cfg).cache()
+    flagged = flag_stage(cleaned, cfg)
+    events = event_stage(cleaned, cfg)
+    seasonal = seasonal_stage(cleaned, events)
+    meta = meta_stage(readings)
+    wide = widen(flagged)
+    return QCOutputs(
+        timeseries=flagged,
+        timeseries_wide=wide,
+        events=events,
+        seasonal=seasonal,
+        meta=meta,
+    )
+
+
+def write_outputs(out: QCOutputs, base_dir: str) -> None:
+    """Sinks S4-S6: partitioned parquet for the big series (station
+    partition -> dynamic partition pruning on read), single-file CSVs
+    for the small report tables."""
+    out.timeseries_wide.write.mode("overwrite").partitionBy("station").parquet(
+        f"{base_dir}/qc_timeseries_wide"
+    )
+    out.timeseries.write.mode("overwrite").partitionBy("station").parquet(
+        f"{base_dir}/qc_timeseries_long"
+    )
+    for name, df in (("events", out.events), ("seasonal", out.seasonal), ("meta", out.meta)):
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(
+            f"{base_dir}/{name}"
+        )

@@ -214,11 +214,32 @@ FROM lineitem
 WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
 
 
+def q_wrtds_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRTDS-proxy local regression per series (applyInPandas island,
+    SURVEY §2.9) + robust-z spike flags on residuals. Rows-only check:
+    iterative weighted lstsq is not SQL-expressible (the components —
+    A8 buster, harmonics — are oracled separately)."""
+    from wq_data_pipeline_spark.operators.wrtds import wrtds_buster, wrtds_residuals
+
+    d = _events_clean(spark, sf_dir).withColumn("station", F.lit("s"))
+    d = d.withColumnRenamed("event_type", "variable")
+    res = wrtds_residuals(d, keys=["station", "variable"])
+    spikes = wrtds_buster(res, keys=["station", "variable"], thresh=4.0)
+    return spikes.select(
+        F.col("variable").alias("event_type"),
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "residual",
+        "robust_z",
+    )
+
+
 QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "w16_gaussian": q_w16_gaussian,
     "j3_range_join": q_j3_range_join,
     "tpch_q6": q_tpch_q6,
+    "wrtds_residuals": q_wrtds_residuals,
 }
 
 ORACLES4: dict[str, str] = {

@@ -1,0 +1,133 @@
+"""Structured Streaming mode for the QC engine (SURVEY.md §2.8: the
+reference is pure batch; this is the engine's streaming extension).
+
+Mappings:
+- batch resample (W17)      -> tumbling event-time window + watermark
+- gap/session logic (W2/W9) -> session_window aggregation
+- per-row QC flags (P7/P11) -> stateless column exprs (identical code
+                               to batch — the same functions compose)
+- run detectors (W3-W6)     -> foreachBatch over micro-batches (the
+                               islands need ordered history; a
+                               per-key applyInPandasWithState variant
+                               is the low-latency path)
+
+All sources here are file streams for testability; swap
+``readStream.format`` for kafka/kinesis in production — the plan is
+source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+READINGS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("station", T.StringType()),
+        T.StructField("variable", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def read_readings_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    return (
+        spark.readStream.schema(READINGS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_rollup(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming W17 analog: per (station, variable, window) rollup
+    with late-data handling. Median is not incrementally computable —
+    streaming emits mean/min/max/count (exact median stays batch)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("station", "variable", F.window("ts", window).alias("w"))
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("mean_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "station",
+            "variable",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "mean_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def session_rollup(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming session assembly (the W2-gap analog): a session ends
+    after ``gap`` of silence per (station, variable)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("station", "variable", F.session_window("ts", gap).alias("s"))
+        .agg(F.count("value").alias("n"), F.avg("value").alias("mean_value"))
+        .select(
+            "station",
+            "variable",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n",
+            "mean_value",
+        )
+    )
+
+
+def stateless_qc_flags(
+    stream: DataFrame, lo: float = 0.0, hi: float = 40.0
+) -> DataFrame:
+    """Per-row QC flags on the stream — the same Column exprs as the
+    batch detectors (stateless ops are mode-agnostic)."""
+    from wq_data_pipeline_spark.operators.detectors import flag_range, flags_to_code
+
+    flagged = flag_range("value", lo, hi)
+    return stream.withColumn("saqc_flag", flags_to_code(flagged)).withColumn(
+        "accepted", F.when(flagged, None).otherwise(F.col("value"))
+    )
+
+
+def run_microbatch_qc(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg=None,
+):
+    """foreachBatch bridge: run the full batch detector suite on each
+    micro-batch (ordered history within the batch). Returns the
+    StreamingQuery; caller awaits/stops it."""
+    from wq_data_pipeline_spark.plans.qc_pipeline import QCConfig, flag_stage, clean_stage
+
+    cfg = cfg or QCConfig()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = flag_stage(clean_stage(batch_df, cfg), cfg)
+        out.write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
