@@ -1,0 +1,86 @@
+"""Plan-quality and scale-path tests: pushed filters, collapsed
+window exec, broadcast joins, halo-bucketed window equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window, functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_parquet(spark, sf_dir):
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    df = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 10).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "LessThan(l_quantity" in plan, plan
+    # column pruning: scan schema contains only the two needed columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_single_window_exec_for_shared_sort(spark, sf_dir):
+    """All frames on the same (partition, order) key must collapse
+    into few WindowExec nodes — not one sort per expression."""
+    from wq_data_pipeline_spark.plans.queries import q_w7_rolling_var
+
+    plan = _plan(q_w7_rolling_var(spark, sf_dir))
+    assert plan.count("Sort ") <= 2, plan  # agg-shuffle sort + window sort
+
+
+def test_broadcast_join_for_dims(spark, sf_dir):
+    from wq_data_pipeline_spark.plans.queries import q_tpch_q5
+
+    plan = _plan(q_tpch_q5(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_whole_stage_codegen_in_detectors(spark, sf_dir):
+    from wq_data_pipeline_spark.plans.queries import q_w5_flat_runs
+
+    df = q_w5_flat_runs(spark, sf_dir)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = _plan(df)
+    # codegen stages appear as "*(n)" markers in the tree string
+    assert "*(" in plan and "isFinalPlan=true" in plan, plan
+    # partial (map-side) aggregation before the island groupBy
+    assert "partial_min" in plan
+
+
+def test_bucketed_window_exact(spark):
+    """Halo-bucketed centered window == plain window, bit for bit."""
+    from wq_data_pipeline_spark.operators.scale import bucketed_window_apply
+    from wq_data_pipeline_spark.operators.windows import centered_bounds
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    ts = pd.date_range("2024-01-01", periods=n, freq="7min")
+    pdf = pd.DataFrame(
+        {"station": "s", "variable": "v", "ts": ts, "value": rng.normal(0, 1, n)}
+    )
+    df = spark.createDataFrame(pdf)
+
+    w = 49
+    lo, hi = centered_bounds(w)
+
+    def mean_over(d, part_keys):
+        frame = Window.partitionBy(*part_keys).orderBy("ts").rowsBetween(lo, hi)
+        return d.withColumn("m", F.avg("value").over(frame))
+
+    plain = mean_over(df, ["station", "variable"]).select("ts", "m")
+    bucketed = bucketed_window_apply(
+        df, mean_over, ["station", "variable"], "ts",
+        bucket_seconds=86_400.0, halo_rows=w // 2 + 1,
+    ).select("ts", "m")
+
+    a = {r.ts: r.m for r in plain.collect()}
+    b = {r.ts: r.m for r in bucketed.collect()}
+    assert a.keys() == b.keys()
+    diffs = [abs(a[k] - b[k]) for k in a]
+    assert max(diffs) == 0.0  # identical frames -> identical sums

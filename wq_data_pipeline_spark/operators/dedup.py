@@ -62,6 +62,31 @@ def minhash_signature(
     return sigs
 
 
+def minhash_signatures_table(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures via explode + groupBy — the scale form.
+
+    The per-row array formulation (:func:`minhash_signature`) rebuilds
+    the shingle array once per signature column; exploding shingles to
+    rows computes them once and the per-seed minima come from one
+    partial-aggregated groupBy (map-side combine, one shuffle on id).
+    ``explode_outer`` keeps shingle-less docs (NULL signature), like
+    the per-row form."""
+    sh = df.select(
+        F.col(id_col), F.explode_outer(word_shingles(text, shingle_n)).alias("_s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("_s"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def lsh_bands(sig_cols: list[str], rows_per_band: int = 2) -> list[Column]:
     """Band keys: hash of each consecutive group of signature rows.
     Docs sharing ANY band key are near-dup candidates."""
@@ -84,7 +109,7 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash-LSH banding: signature ->
     band keys -> self-join per band (shuffle on band key only)."""
-    sig = df.select(F.col(id_col), *minhash_signature(text, num_hashes, shingle_n))
+    sig = minhash_signatures_table(df, text, id_col, num_hashes, shingle_n)
     banded = sig.select(
         id_col, *lsh_bands([f"mh{i}" for i in range(num_hashes)], rows_per_band)
     )

@@ -1,0 +1,71 @@
+"""Scale-out strategies for the 100-TB design point (SURVEY.md §4.2,
+§7.2 'skewed long series').
+
+The engine's window operators partition by (station, variable): one
+series = one partition. A decade of 1 Hz data for one sensor is ~300M
+rows — too much for a single executor partition. The fix is
+**bucketed window computation with halo rows**:
+
+1. assign each row a time bucket of ``bucket_rows`` target size;
+2. replicate the first/last ``halo`` rows of each bucket into the
+   neighboring bucket (halo = max window reach);
+3. run the centered-window computation per (series, bucket) — every
+   row sees its full frame because the halo covers the window reach;
+4. drop the halo copies.
+
+This turns one giant partition into many bounded ones at the cost of
+2·halo/bucket_rows extra rows (~1% for day buckets and 15-min
+windows). The computation is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from wq_data_pipeline_spark.operators.windows import SERIES_KEYS
+
+
+def bucketed_window_apply(
+    df: DataFrame,
+    window_fn: Callable[[DataFrame, Sequence[str]], DataFrame],
+    keys: Sequence[str] = SERIES_KEYS,
+    ts: str = "ts",
+    bucket_seconds: float = 86_400.0,
+    halo_rows: int = 64,
+) -> DataFrame:
+    """Run ``window_fn(df, partition_keys)`` with bounded partitions.
+
+    ``window_fn`` receives the row-expanded frame and the partition
+    key list (original keys + ``_bucket``) and must compute its window
+    columns with ``Window.partitionBy(*partition_keys).orderBy(ts)``.
+    ``halo_rows`` must be >= the maximum frame reach (e.g. w//2 for a
+    centered w-row window, or the lag/lead depth).
+    """
+    keys = list(keys)
+    bucket = F.floor(F.unix_micros(F.col(ts)) / F.lit(bucket_seconds * 1e6)).alias(
+        "_bucket"
+    )
+    d = df.withColumn("_bucket", bucket)
+
+    w = Window.partitionBy(*keys, "_bucket").orderBy(ts)
+    d = d.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy(*keys, "_bucket"))
+    )
+    own = d.withColumn("_home", F.lit(True))
+    # last halo_rows of bucket b also participate in bucket b+1
+    fwd = (
+        d.filter(F.col("_rn") > F.col("_cnt") - halo_rows)
+        .withColumn("_bucket", F.col("_bucket") + 1)
+        .withColumn("_home", F.lit(False))
+    )
+    # first halo_rows of bucket b also participate in bucket b-1
+    bwd = (
+        d.filter(F.col("_rn") <= halo_rows)
+        .withColumn("_bucket", F.col("_bucket") - 1)
+        .withColumn("_home", F.lit(False))
+    )
+    expanded = own.unionByName(fwd).unionByName(bwd).drop("_rn", "_cnt")
+    result = window_fn(expanded, [*keys, "_bucket"])
+    return result.filter(F.col("_home")).drop("_home", "_bucket")

@@ -77,9 +77,14 @@ def q_w16_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
     ff = F.last("v", ignorenulls=True).over(
         wts.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    bf = F.first("v", ignorenulls=True).over(
-        wts.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # bfill as a REVERSED ffill: Spark evaluates ignore-nulls first()
+    # over an unbounded-FOLLOWING frame by rescanning per row (O(n²)
+    # per partition — 46 s at sf0.1); the descending-order running
+    # last() is a single O(n) pass (one extra sort).
+    wdesc = Window.partitionBy(*KEY).orderBy(F.desc("ts")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    bf = F.last("v", ignorenulls=True).over(wdesc)
     d = d.withColumn("filled", F.coalesce(ff, bf))
     w = ordered(KEY, "ts")
     num = F.lit(0.0)
@@ -214,6 +219,58 @@ FROM lineitem
 WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
 
 
+def q_a9_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: % available / % flagged per series (reference
+    scripts/sentemqc.py:167-169). The flag here is the jump detector
+    so the percentage is non-trivial. Ratios as exact int divisions."""
+    d = _events_clean(spark, sf_dir)
+    d = d.withColumn("f", D.flag_jumps("value", 100.0, KEY, "ts"))
+    return d.groupBy("event_type").agg(
+        (F.count("value").cast("double") / F.count(F.lit(1)).cast("double") * 100.0).alias(
+            "pct_available"
+        ),
+        (F.sum(F.col("f").cast("long")).cast("double") / F.count(F.lit(1)).cast("double") * 100.0).alias(
+            "pct_flagged"
+        ),
+    )
+
+
+SQL_A9 = f"""{ORACLE_CLEAN},
+fl AS (
+  SELECT event_type, value,
+         COALESCE(abs(value - lag(value) OVER (PARTITION BY event_type ORDER BY ts)) >= 100.0, FALSE) AS f
+  FROM clean
+)
+SELECT event_type,
+       CAST(count(value) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 100.0 AS pct_available,
+       CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 100.0 AS pct_flagged
+FROM fl GROUP BY event_type"""
+
+
+def q_p16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16/J2: long -> wide pivot (per-day rows, one count column per
+    event_type) — the reference's wide output assembly as
+    groupBy().pivot()."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).pivot(
+        "event_type", ["click", "error", "purchase", "signup", "view"]
+    ).count()
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in ("click", "error", "purchase", "signup", "view")],
+    )
+
+
+SQL_P16 = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+FROM events GROUP BY CAST(ts AS DATE)"""
+
+
 def q_wrtds_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WRTDS-proxy local regression per series (applyInPandas island,
     SURVEY §2.9) + robust-z spike flags on residuals. Rows-only check:
@@ -223,6 +280,14 @@ def q_wrtds_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _events_clean(spark, sf_dir).withColumn("station", F.lit("s"))
     d = d.withColumnRenamed("event_type", "variable")
+    # W17 resample to hourly medians first: WRTDS is O(n·w) per series
+    # (w = points inside the time half-width); the hourly grid bounds n
+    # per series at any scale factor while the regression still sees
+    # the full time span. This is how the operator stays tractable at
+    # 100 TB too: coarsen, fit, then join flags back to raw rows.
+    d = d.groupBy("station", "variable", F.date_trunc("hour", "ts").alias("ts")).agg(
+        F.median("value").alias("value")
+    )
     res = wrtds_residuals(d, keys=["station", "variable"])
     spikes = wrtds_buster(res, keys=["station", "variable"], thresh=4.0)
     return spikes.select(
@@ -240,6 +305,8 @@ QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j3_range_join": q_j3_range_join,
     "tpch_q6": q_tpch_q6,
     "wrtds_residuals": q_wrtds_residuals,
+    "a9_availability": q_a9_availability,
+    "p16_pivot": q_p16_pivot,
 }
 
 ORACLES4: dict[str, str] = {
@@ -247,4 +314,7 @@ ORACLES4: dict[str, str] = {
     "w16_gaussian": SQL_W16,
     "j3_range_join": SQL_J3,
     "tpch_q6": SQL_TPCH_Q6,
+    "a9_availability": SQL_A9,
+    "p16_pivot": SQL_P16,
+    # wrtds_residuals: rows-only (iterative weighted lstsq)
 }
