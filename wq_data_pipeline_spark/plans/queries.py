@@ -498,6 +498,7 @@ FROM s GROUP BY user_id, session_id"""
 from wq_data_pipeline_spark.plans.queries_qc2 import ORACLES2, QUERIES2  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_ext import ORACLES3, QUERIES3  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_qc3 import ORACLES4, QUERIES4  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_rel import ORACLES5, QUERIES5  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -545,3 +546,5 @@ QUERIES.update(QUERIES3)
 ORACLES.update(ORACLES3)
 QUERIES.update(QUERIES4)
 ORACLES.update(ORACLES4)
+QUERIES.update(QUERIES5)
+ORACLES.update(ORACLES5)
