@@ -1,0 +1,73 @@
+"""CLI entry point + stateful streaming flat-run detector."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_cli_end_to_end(tmp_path):
+    rng = np.random.default_rng(9)
+    n = 1500
+    ts = pd.date_range("2024-01-01", periods=n, freq="15min")
+    o2 = rng.normal(10, 1.5, n).clip(0)
+    o2[200:220] = 5.55
+    pd.DataFrame({"timestamp": ts, "station": "stn1", "o2": o2}).to_csv(
+        tmp_path / "wq.csv", index=False
+    )
+    out = tmp_path / "out"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "wq_data_pipeline_spark.cli",
+            "--csv", str(tmp_path / "wq.csv"),
+            "--station", "stn1",
+            "--out", str(out),
+            "--vars", "o2",
+            "--range", "o2", "0", "40",
+        ],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "qc_timeseries_wide").is_dir()
+    assert any(f.endswith(".csv") for f in os.listdir(out / "events"))
+
+
+def test_streaming_flat_runs_across_batches(spark, tmp_path):
+    """A flat run split across two micro-batches must be stitched by
+    the state and emitted once it breaks."""
+    from wq_data_pipeline_spark.streaming.stateful import streaming_flat_runs
+    from wq_data_pipeline_spark.streaming.stream_qc import read_readings_stream
+
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    ts = pd.date_range("2024-06-01", periods=40, freq="1min")
+    v = np.arange(40, dtype=float)
+    v[10:30] = 7.0  # flat run rows 10..29, split across the two files
+    pdf = pd.DataFrame({"station": "s", "variable": "v", "ts": ts, "value": v})
+    spark.createDataFrame(pdf.iloc[:20]).coalesce(1).write.mode("append").parquet(str(sdir))
+    spark.createDataFrame(pdf.iloc[20:]).coalesce(1).write.mode("append").parquet(str(sdir))
+
+    stream = read_readings_stream(spark, str(sdir), max_files_per_trigger=1)
+    q = (
+        streaming_flat_runs(stream, atol=1e-9, min_points=5)
+        .writeStream.format("memory")
+        .queryName("flatruns")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from flatruns").collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r.n_points == 20 and r.run_value == 7.0
+    assert pd.Timestamp(r.start_ms, unit="ms") == ts[10]
+    assert pd.Timestamp(r.end_ms, unit="ms") == ts[29]

@@ -144,13 +144,13 @@ WHERE n >= 5 AND n * stt - st * st <> 0
 # --- W9: isolated groups ----------------------------------------------------
 
 def q_w9_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W9: sparsify (value < 300 -> NULL), then flag finite runs of
-    <= 2 points with > 1h time gap to the neighboring rows on both
-    sides."""
+    """W9: sparsify (value < 200 -> NULL), then flag finite runs of
+    <= 2 points with > 30 min time gap to the neighboring rows on
+    both sides."""
     d = _events_clean(spark, sf_dir)
-    d = d.withColumn("value", F.when(F.col("value") >= 300.0, F.col("value")))
+    d = d.withColumn("value", F.when(F.col("value") >= 200.0, F.col("value")))
     out = D.detect_isolated_groups(
-        d, "value", KEY, "ts", max_group_points=2, min_gap_seconds=3600.0
+        d, "value", KEY, "ts", max_group_points=2, min_gap_seconds=1800.0
     )
     return out.filter(F.col("flag_isolated")).select(
         "event_type", _us().alias("ts_us"), "value"
@@ -159,7 +159,7 @@ def q_w9_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_W9 = f"""{ORACLE_CLEAN},
 sp AS (
-  SELECT event_type, ts, CASE WHEN value >= 300.0 THEN value END AS value
+  SELECT event_type, ts, CASE WHEN value >= 200.0 THEN value END AS value
   FROM clean
 ),
 fin AS (
@@ -183,8 +183,8 @@ groups AS (
 flagged AS (
   SELECT event_type, island,
          npts <= 2
-         AND (before_ts IS NULL OR (epoch_us(first_ts) - epoch_us(before_ts)) / 1e6 > 3600.0)
-         AND (after_ts IS NULL OR (epoch_us(after_ts) - epoch_us(last_ts)) / 1e6 > 3600.0) AS isolated
+         AND (before_ts IS NULL OR (epoch_us(first_ts) - epoch_us(before_ts)) / 1e6 > 1800.0)
+         AND (after_ts IS NULL OR (epoch_us(after_ts) - epoch_us(last_ts)) / 1e6 > 1800.0) AS isolated
   FROM groups
 )
 SELECT i.event_type, epoch_us(i.ts) AS ts_us, i.value

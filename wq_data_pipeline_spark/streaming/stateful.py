@@ -1,0 +1,109 @@
+"""Custom stateful streaming operator: low-latency flat-run detection
+with ``applyInPandasWithState`` (SURVEY.md §2.8 — the
+`flatMapGroupsWithState`-style path for run detectors that need
+ordered history across micro-batches).
+
+State per (station, variable): the tail of the current candidate run
+(last value, run start/points). Events are emitted the moment a run
+BREAKS — no waiting for a window to close — which is what the batch
+islands formulation cannot do incrementally.
+
+Caveat (documented, inherent to low-latency streaming): rows are
+processed in (micro-batch, ts) order; late rows older than the state's
+last ts would need a watermark+buffer layer to reorder — out of scope
+for this operator, which assumes per-key in-order arrival within each
+batch (file/kafka partition-ordered sources satisfy this for
+single-writer sensors).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUN_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("station", T.StringType()),
+        T.StructField("variable", T.StringType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("run_value", T.DoubleType()),
+    ]
+)
+
+# state: (run_start_ms, last_ms, n_points, run_value)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("run_value", T.DoubleType()),
+    ]
+)
+
+
+def _detect(
+    key: Any,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    atol: float,
+    min_points: int,
+) -> Iterator[pd.DataFrame]:
+    station, variable = key
+    if state.exists:
+        run_start, last_ms, n_points, run_value = state.get
+    else:
+        run_start = last_ms = None
+        n_points = 0
+        run_value = None
+
+    events = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            ms = int(pd.Timestamp(ts).value // 1_000_000)
+            if value is not None and run_value is not None and abs(value - run_value) <= atol:
+                n_points += 1
+                last_ms = ms
+            else:
+                if n_points >= min_points:
+                    events.append((station, variable, run_start, last_ms, n_points, run_value))
+                run_start = last_ms = ms
+                n_points = 1
+                run_value = float(value) if value is not None else None
+
+    if run_value is None:
+        state.remove()
+    else:
+        state.update((run_start, last_ms, n_points, run_value))
+        state.setTimeoutDuration(3_600_000)  # flush stale keys after 1h
+
+    if events:
+        yield pd.DataFrame(
+            events,
+            columns=["station", "variable", "start_ms", "end_ms", "n_points", "run_value"],
+        )
+
+
+def streaming_flat_runs(
+    stream: DataFrame, atol: float = 1e-9, min_points: int = 4
+) -> DataFrame:
+    """Emit flat-run events incrementally as runs break, carrying run
+    state across micro-batches."""
+
+    def fn(key, pdfs, state):
+        return _detect(key, pdfs, state, atol, min_points)
+
+    return stream.groupBy("station", "variable").applyInPandasWithState(
+        fn,
+        outputStructType=RUN_EVENT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
