@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from wq_data_pipeline_spark.operators import clean as C
 from wq_data_pipeline_spark.operators import detectors as D
+from wq_data_pipeline_spark.operators import windows as W
 from wq_data_pipeline_spark.operators.asof import asof_join_backward
 from wq_data_pipeline_spark.operators.windows import ordered
 from wq_data_pipeline_spark.sources.testdata import load_table
@@ -26,6 +27,10 @@ ORACLE_CLEAN = (
 def _events_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     return C.resolve_duplicates(ev, KEY, "ts", "value")
+
+
+def _us(col: str = "ts") -> F.Column:
+    return F.unix_micros(F.col(col))
 
 
 # --- As-of join -------------------------------------------------------------
@@ -271,6 +276,63 @@ SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
 FROM events GROUP BY CAST(ts AS DATE)"""
 
 
+def q_w15_band_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15: band support masking — rolling count of finite values over
+    the band window; bands kept only where support >= minp (reference
+    scripts/sentemqc.py:105-107). Sparsified input so support varies."""
+    d = _events_clean(spark, sf_dir)
+    d = d.withColumn("v", F.when(F.col("value") >= 20.0, F.col("value")))
+    frame = W.centered(12, KEY, "ts")
+    support = F.count("v").over(frame)
+    d = d.withColumn("support", support)
+    ma = F.sum(F.round(F.col("v") * 100).cast("long")).over(frame).cast(
+        "double"
+    ) / support.cast("double") / F.lit(100.0)
+    return d.select(
+        "event_type",
+        _us().alias("ts_us"),
+        "support",
+        F.when(support >= 4, ma).alias("band_center"),
+        (support >= 4).alias("band_ok"),
+    )
+
+
+SQL_W15 = f"""{ORACLE_CLEAN},
+sp AS (SELECT event_type, ts, CASE WHEN value >= 20.0 THEN value END AS v FROM clean),
+s AS (
+  SELECT event_type, ts,
+         count(v) OVER w AS support,
+         sum(CAST(round(v * 100) AS BIGINT)) OVER w AS s1
+  FROM sp WINDOW w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+)
+SELECT event_type, epoch_us(ts) AS ts_us, support,
+       CASE WHEN support >= 4 THEN CAST(s1 AS DOUBLE) / CAST(support AS DOUBLE) / 100.0 END AS band_center,
+       support >= 4 AS band_ok
+FROM s"""
+
+
+def q_p2_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: inclusive-inclusive time-range slice (pandas .loc
+    semantics == BETWEEN) + per-key counts."""
+    d = _events_clean(spark, sf_dir)
+    d = d.filter(
+        F.col("ts").between("2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    )
+
+
+SQL_P2 = f"""{ORACLE_CLEAN}
+SELECT event_type, count(*) AS n_rows,
+       epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+FROM clean
+WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type"""
+
+
 def q_wrtds_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WRTDS-proxy local regression per series (applyInPandas island,
     SURVEY §2.9) + robust-z spike flags on residuals. Rows-only check:
@@ -307,6 +369,8 @@ QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wrtds_residuals": q_wrtds_residuals,
     "a9_availability": q_a9_availability,
     "p16_pivot": q_p16_pivot,
+    "w15_band_support": q_w15_band_support,
+    "p2_time_slice": q_p2_time_slice,
 }
 
 ORACLES4: dict[str, str] = {
@@ -316,5 +380,7 @@ ORACLES4: dict[str, str] = {
     "tpch_q6": SQL_TPCH_Q6,
     "a9_availability": SQL_A9,
     "p16_pivot": SQL_P16,
+    "w15_band_support": SQL_W15,
+    "p2_time_slice": SQL_P2,
     # wrtds_residuals: rows-only (iterative weighted lstsq)
 }
