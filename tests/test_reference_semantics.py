@@ -1,0 +1,135 @@
+"""Golden-replication tests (SURVEY §5.2 item 2): run the engine's
+pipeline stages against an independent pandas reimplementation of the
+reference's semantics on the same fixture — covers the pieces the
+DuckDB oracle can't see (full DAG composition, nitrate/calibration
+paths)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+KEYS = ["station", "variable"]
+
+
+@pytest.fixture(scope="module")
+def qc_fixture():
+    rng = np.random.default_rng(21)
+    n = 3000
+    ts = pd.date_range("2024-01-01", periods=n, freq="15min")
+    v = rng.normal(12, 2, n)
+    v[40:60] = -9999.0          # active sentinel (20 hits)
+    # inactive sentinel: 2 hits < 5 AND 2/2981 rows = 0.067% < 0.1%
+    # (3 hits would be 0.1006% — over the frac threshold and masked)
+    v[100:102] = -99.0
+    v[500:540] = 3.3            # 10h flat run
+    dup_ts = ts[900]            # duplicate timestamp with two values
+    pdf = pd.DataFrame({"station": "s", "variable": "x", "ts": ts, "value": v})
+    pdf = pd.concat(
+        [pdf, pd.DataFrame({"station": ["s"], "variable": ["x"], "ts": [dup_ts], "value": [99.0]})]
+    ).sort_values("ts").reset_index(drop=True)
+    # 5h gap
+    mask = (pdf["ts"] < ts[2000]) | (pdf["ts"] >= ts[2000] + pd.Timedelta(hours=5))
+    return pdf[mask].reset_index(drop=True)
+
+
+def _pandas_reference_clean(pdf: pd.DataFrame) -> pd.Series:
+    """Independent reimplementation of the reference's clean deriv:
+    sentinel mask (count>=5 or frac>=0.1%) -> dup median -> gap>2h null
+    (scripts/ufz_water_qc_pipeline.py:158-189, 666-675 semantics)."""
+    s = pdf.set_index("ts")["value"].astype(float)
+    for sent in (-9.0, -99.0, -999.0, -9999.0):
+        cnt = int((s == sent).sum())
+        if cnt >= 5 or cnt / len(s) >= 0.001:
+            s = s.mask(s == sent, np.nan)
+    s = s.groupby(level=0).median()
+    gaps = s.index.to_series().diff() > pd.Timedelta(hours=2)
+    s[gaps] = np.nan
+    return s
+
+
+def test_clean_stage_matches_pandas_reference(spark, qc_fixture):
+    from wq_data_pipeline_spark.plans.qc_pipeline import QCConfig, clean_stage
+
+    got = (
+        clean_stage(spark.createDataFrame(qc_fixture), QCConfig())
+        .orderBy("ts")
+        .select("ts", "clean")
+        .toPandas()
+    )
+    exp = _pandas_reference_clean(qc_fixture)
+    assert len(got) == len(exp)
+    assert np.allclose(
+        got["clean"].to_numpy(dtype=float), exp.to_numpy(), equal_nan=True, rtol=1e-12
+    )
+    # the inactive sentinel must have survived
+    assert (got["clean"] == -99.0).sum() == 2
+
+
+def test_flat_run_matches_pandas_reference(spark, qc_fixture):
+    """Flat-run events vs the reference convention: eq = isclose to
+    predecessor, end = first row after the run (:217)."""
+    from wq_data_pipeline_spark.operators.detectors import detect_flat_runs
+    from wq_data_pipeline_spark.plans.qc_pipeline import QCConfig, clean_stage
+
+    cleaned = clean_stage(spark.createDataFrame(qc_fixture), QCConfig())
+    ev = detect_flat_runs(
+        cleaned.withColumnRenamed("clean", "value"), "value", KEYS, "ts",
+        atol=0.0, min_hours=2.0,
+    ).collect()
+
+    s = _pandas_reference_clean(qc_fixture)
+    eq = np.zeros(len(s), dtype=bool)
+    vals = s.to_numpy()
+    eq[1:] = np.isfinite(vals[1:]) & np.isfinite(vals[:-1]) & (
+        np.abs(vals[1:] - vals[:-1]) <= 0.0
+    )
+    # islands of eq
+    runs = []
+    i = 0
+    while i < len(eq):
+        if eq[i]:
+            j = i
+            while j + 1 < len(eq) and eq[j + 1]:
+                j += 1
+            start, endi = s.index[i], (s.index[j + 1] if j + 1 < len(s) else s.index[j])
+            hours = (endi - start).total_seconds() / 3600
+            if hours >= 2.0:
+                runs.append((start, endi, hours, vals[i]))
+            i = j + 1
+        else:
+            i += 1
+    assert len(ev) == len(runs) == 1
+    g, r = ev[0], runs[0]
+    assert pd.Timestamp(g.start) == r[0] and pd.Timestamp(g.end) == r[1]
+    assert abs(g.hours - r[2]) < 1e-9 and abs(g.value - r[3]) < 1e-12
+
+
+def test_sentem_nitrate_and_calibration_path(spark):
+    """P4 calibration + P5 nitrate conversion through apply_sentemqc:
+    NO3 input is converted to N (×14/62) before banding; the output
+    masked values are in N units."""
+    from wq_data_pipeline_spark.operators.sentem import (
+        apply_sentemqc,
+        calibration_offset,
+        nitrate_to_n,
+        NITRATE_NO3_TO_N,
+    )
+
+    rng = np.random.default_rng(8)
+    n = 1200
+    ts = pd.date_range("2024-01-01", periods=n, freq="15min")
+    no3 = rng.normal(20, 1.0, n)
+    pdf = pd.DataFrame({"station": "s", "variable": "no3", "ts": ts, "value": no3})
+    sdf = spark.createDataFrame(pdf)
+    sdf = sdf.withColumn("value", calibration_offset("value", 0.5))
+    sdf = sdf.withColumn("value", nitrate_to_n("value"))
+    out = apply_sentemqc(sdf).orderBy("ts").collect()
+    exp0 = (no3[0] + 0.5) * NITRATE_NO3_TO_N
+    assert abs(out[0].value - exp0) < 1e-12
+    ok = [r for r in out if not r.is_flagged]
+    assert len(ok) > 0.9 * n
+    # N units (~4.6 ± 0.23), not NO3 (~20.5): ±4σ bound
+    assert all(3.5 < r.value_masked < 7.0 for r in ok)

@@ -84,3 +84,33 @@ def test_bucketed_window_exact(spark):
     assert a.keys() == b.keys()
     diffs = [abs(a[k] - b[k]) for k in a]
     assert max(diffs) == 0.0  # identical frames -> identical sums
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    """Two-phase salted aggregation == direct groupBy (exact for
+    decomposable aggs), with the skewed key spread over salts."""
+    from wq_data_pipeline_spark.operators.scale import salted_agg
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = salted_agg(
+        ev,
+        ["event_type"],
+        [("value", "sum", "total"), ("value", "count", "n"),
+         ("value", "min", "vmin"), ("value", "max", "vmax"),
+         ("value", "avg", "vavg")],
+        n_salts=8,
+        salt_source="event_id",
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.sum("value").alias("total"), F.count("value").alias("n"),
+        F.min("value").alias("vmin"), F.max("value").alias("vmax"),
+        F.avg("value").alias("vavg"),
+    )
+    a = {r.event_type: r for r in got.collect()}
+    b = {r.event_type: r for r in direct.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k].n == b[k].n and a[k].vmin == b[k].vmin and a[k].vmax == b[k].vmax
+        assert abs(a[k].total - b[k].total) < 1e-6
+        assert abs(a[k].vavg - b[k].vavg) < 1e-9

@@ -81,3 +81,47 @@ def test_microbatch_qc(spark, stream_dir, tmp_path):
     res = spark.read.parquet(out)
     assert res.count() == 600
     assert "saqc_flag" in res.columns and "accepted" in res.columns
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """A row arriving hours behind the persisted watermark must be
+    dropped. Two checkpointed runs make the ordering explicit: run 1
+    advances the watermark to 05:00 and emits the hour-0 window; run 2
+    (same checkpoint) sees only the late row and must drop it."""
+    from wq_data_pipeline_spark.streaming.stream_qc import read_readings_stream, tumbling_rollup
+
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    ts1 = pd.date_range("2024-08-01 00:00", periods=120, freq="1min")
+    b1 = pd.DataFrame({"station": "s", "variable": "v", "ts": ts1, "value": 1.0})
+    b2 = pd.DataFrame(
+        {"station": ["s"], "variable": ["v"], "ts": [pd.Timestamp("2024-08-01 06:00")], "value": [5.0]}
+    )
+    spark.createDataFrame(pd.concat([b1, b2])).coalesce(1).write.mode("append").parquet(str(sdir))
+
+    def run_once():
+        q = (
+            tumbling_rollup(read_readings_stream(spark, str(sdir)), "1 hour", "1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # watermark -> 05:00, hour-0 window emitted
+    b3 = pd.DataFrame(
+        {"station": ["s"], "variable": ["v"], "ts": [pd.Timestamp("2024-08-01 00:30:30")], "value": [1000.0]}
+    )
+    spark.createDataFrame(b3).coalesce(1).write.mode("append").parquet(str(sdir))
+    run_once()  # late row: window end 01:00 < watermark 05:00 -> dropped
+
+    all_rows = spark.read.parquet(out).collect()
+    h0 = [r for r in all_rows if r.window_start == pd.Timestamp("2024-08-01 00:00")]
+    assert len(h0) == 1, all_rows
+    assert h0[0].max_value == 1.0 and h0[0].n == 60

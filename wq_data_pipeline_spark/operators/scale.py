@@ -27,6 +27,59 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from wq_data_pipeline_spark.operators.windows import SERIES_KEYS
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],
+    n_salts: int = 16,
+    salt_source: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial-aggregate
+    on (keys..., salt), then final-aggregate on keys. One hot key is
+    spread over ``n_salts`` reducers in phase 1; phase 2 touches only
+    n_salts rows per key.
+
+    ``aggs`` entries are (column, fn, out_name) with fn in
+    {'sum','count','min','max','avg'} — the decomposable aggregates
+    (avg = sum/count recombined in phase 2). The salt derives from
+    ``salt_source`` (a high-cardinality column, e.g. the row id/ts)
+    so it is deterministic — no rand(), resume- and retry-safe.
+
+    AQE's skew handling covers sort-merge JOINS, not aggregations;
+    this is the aggregation-side equivalent.
+    """
+    keys = list(keys)
+    if salt_source is None:
+        raise ValueError("salt_source required (deterministic salting)")
+    salt = (F.abs(F.hash(F.col(salt_source) if isinstance(salt_source, str) else salt_source)) % n_salts).alias("_salt")
+
+    partials = []
+    finals = []
+    for col, fn, out in aggs:
+        if fn == "sum":
+            partials.append(F.sum(col).alias(f"_p_{out}"))
+            finals.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "count":
+            partials.append(F.count(col).alias(f"_p_{out}"))
+            finals.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "min":
+            partials.append(F.min(col).alias(f"_p_{out}"))
+            finals.append(F.min(f"_p_{out}").alias(out))
+        elif fn == "max":
+            partials.append(F.max(col).alias(f"_p_{out}"))
+            finals.append(F.max(f"_p_{out}").alias(out))
+        elif fn == "avg":
+            partials.append(F.sum(col).alias(f"_ps_{out}"))
+            partials.append(F.count(col).alias(f"_pc_{out}"))
+            finals.append(
+                (F.sum(f"_ps_{out}") / F.sum(f"_pc_{out}")).alias(out)
+            )
+        else:
+            raise ValueError(f"non-decomposable agg: {fn}")
+    phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partials)
+    return phase1.groupBy(*keys).agg(*finals)
+
+
 def bucketed_window_apply(
     df: DataFrame,
     window_fn: Callable[[DataFrame, Sequence[str]], DataFrame],
