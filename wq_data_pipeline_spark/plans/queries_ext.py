@@ -240,12 +240,20 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors doc_id%5==0 vs the next 25 ids; report pairs >= 0.8."""
     d = load_table(spark, sf_dir, "documents")
     ids = d.select("doc_id")
-    a = ids.filter(F.col("doc_id") % 5 == 0).select(F.col("doc_id").alias("id_a"))
-    b = ids.select(F.col("doc_id").alias("id_b"))
-    pairs = a.join(
-        b,
-        (F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 25),
+    # equi-join formulation of the bounded range: explode the offset
+    # set so the candidate join is a hash join, not a nested loop
+    # (a 'id_b BETWEEN id_a+1 AND id_a+25' predicate plans as
+    # BroadcastNestedLoopJoin, which dies at scale)
+    a = (
+        ids.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.explode(F.sequence(F.lit(1), F.lit(25))).alias("_off"),
+        )
+        .select("id_a", (F.col("id_a") + F.col("_off")).alias("id_b"))
     )
+    b = ids.select(F.col("doc_id").alias("id_b"))
+    pairs = a.join(b, on="id_b")  # keeps only existing ids
     j = DD.jaccard_pairs(d, pairs, "text", "doc_id")
     return j.filter(F.col("jaccard") >= 0.8)
 
