@@ -8,7 +8,15 @@ SURVEY.md §2 operator, each with a DuckDB-equivalent oracle).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives next to this file; make the import robust
+# to whatever cwd/sys.path the driver uses
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

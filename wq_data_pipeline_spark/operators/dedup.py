@@ -143,6 +143,54 @@ def simhash_bits(text: str | Column, bits: int = 16) -> Column:
     return acc
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    final stage of near-dup clustering (candidate pairs -> clusters).
+
+    Each node's label converges to the minimum id in its component;
+    iterations needed = component diameter (small for dedup clusters).
+    Loops until a fixpoint (one tiny count() per round) or max_iters.
+    At 100 TB this is the standard large-scale formulation: every round
+    is one shuffle join on the edge list; no driver-side graph.
+    """
+    lab = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    for _ in range(max_iters):
+        neighbor_min = (
+            both.join(lab, both.b == lab.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_lab = (
+            lab.join(neighbor_min, lab.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        new_lab = new_lab.cache()
+        changed = (
+            new_lab.alias("n")
+            .join(lab.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        lab.unpersist() if hasattr(lab, "unpersist") else None
+        lab = new_lab
+        if changed == 0:
+            break
+    return lab.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -213,6 +213,48 @@ SELECT DISTINCT id_a, id_b FROM (
 )"""
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: MinHash-LSH candidate pairs ->
+    connected components (iterative min-label propagation) -> cluster
+    assignments. The oracle replays the pairs with a recursive CTE."""
+    d = _docs_parallel(spark, sf_dir)
+    pairs = DD.minhash_lsh_candidates(d, "text", "doc_id", num_hashes=4, rows_per_band=2)
+    nodes = d.select("doc_id")
+    comps = DD.connected_components(nodes, pairs, "doc_id", "id_a", "id_b")
+    return comps.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+
+
+SQL_DEDUP_CLUSTERS = f"""{SQL_WORDS},
+sh AS (SELECT doc_id, {_shingles_sql()} AS sh FROM w),
+sig AS (
+  SELECT doc_id,
+         md5(list_min(list_transform(sh, s -> md5(s || '#0'))) || '|' ||
+             list_min(list_transform(sh, s -> md5(s || '#1')))) AS band0,
+         md5(list_min(list_transform(sh, s -> md5(s || '#2'))) || '|' ||
+             list_min(list_transform(sh, s -> md5(s || '#3')))) AS band1
+  FROM sh
+),
+pairs AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+  )
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b, r.root FROM r JOIN edges e ON e.a = r.node
+  )
+  SELECT node, min(root) AS cluster_id FROM r GROUP BY node
+)
+SELECT node AS doc_id, cluster_id, node = cluster_id AS is_canonical FROM reach"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over distinct words (md5 hex-digit parity votes)."""
     d = load_table(spark, sf_dir, "documents")
@@ -395,6 +437,7 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "jaccard_pairs": q_jaccard_pairs,
     "embed_cosine_topk": q_embed_cosine_topk,
@@ -412,6 +455,7 @@ ORACLES3: dict[str, str] = {
     "fingerprint_dedup": SQL_FP_DEDUP,
     "minhash_signatures": SQL_MINHASH,
     "minhash_lsh_pairs": SQL_MINHASH_LSH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash": SQL_SIMHASH,
     "jaccard_pairs": SQL_JACCARD,
     "embed_cosine_topk": SQL_EMBED_TOPK,
