@@ -95,6 +95,61 @@ def rp_lsh_signature(
     return sig
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    cid_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF-style ANN: assign every corpus vector to its nearest
+    centroid (one broadcast pass), then search only the query's top
+    ``nprobe`` centroid buckets with exact cosine.
+
+    At scale: the corpus assignment is a map-side broadcast join (the
+    centroid table is small); the probe join shuffles on centroid id —
+    candidate count ~ nprobe/n_centroids of the corpus instead of all
+    of it. Recall rises with nprobe. Centroids can come from any
+    source (sampled rows, k-means output); they are just a
+    (centroid_id, vector) table."""
+    cent = centroids.select(F.col(cid_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+
+    def nearest_buckets(df: DataFrame, key: str, vec: str, n: int) -> DataFrame:
+        """(key, vec) -> (key, vec, _bucket) rows for the n nearest
+        centroids of each input row."""
+        scored = df.crossJoin(F.broadcast(cent)).withColumn(
+            "_cs", cosine(F.col(vec), F.col("_cv"))
+        )
+        w = Window.partitionBy(key).orderBy(F.desc("_cs"), F.asc("_cid"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select(key, vec, F.col("_cid").alias("_bucket"))
+        )
+
+    assigned = nearest_buckets(
+        corpus.select(F.col(id_col), F.col(vec_col)), id_col, vec_col, 1
+    )
+    probes = nearest_buckets(
+        queries.select(F.col(id_col).alias(qid_col), F.col(vec_col).alias("_qv")),
+        qid_col,
+        "_qv",
+        nprobe,
+    )
+    cand = assigned.join(F.broadcast(probes), on="_bucket").filter(
+        F.col(id_col) != F.col(qid_col)
+    )
+    scored = cand.select(
+        qid_col, F.col(id_col).alias("neighbor_id"), cosine(vec_col, "_qv").alias("cos_sim")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -367,6 +367,85 @@ ranked AS (
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5"""
 
 
+def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the other scale path next to LSH): coarse
+    centroids = every 50th vector; assign corpus vectors to nearest
+    centroid; probe the query's top-2 buckets; exact top-5 within.
+    Quantized-integer cosine keeps it oracle-exact."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized("embedding").alias("q")
+    )
+    cent = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("q").alias("cq")
+    )
+
+    def qcos(a, b):
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x)
+        n1 = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
+        n2 = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
+        return dot.cast("double") / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
+
+    scored_c = emb.crossJoin(F.broadcast(cent)).withColumn("cs", qcos(F.col("q"), F.col("cq")))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("centroid_id"))
+    assigned = (
+        scored_c.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", F.col("centroid_id").alias("bucket"))
+    )
+    probes = (
+        scored_c.filter(F.col("vec_id") % 100 == 0)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("centroid_id").alias("bucket"))
+    )
+    cand = assigned.join(F.broadcast(probes), on="bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), qcos(F.col("q"), F.col("qq")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+SQL_EMBED_IVF = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS centroid_id, q AS cq FROM q WHERE vec_id % 50 = 0),
+scored_c AS (
+  SELECT a.vec_id, a.q, c.centroid_id,
+         CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * c.cq[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(c.cq, x -> x * x)) AS DOUBLE))) AS cs
+  FROM q a CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, q, centroid_id AS bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id ASC) AS rn
+    FROM scored_c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, q AS qq, centroid_id AS bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id ASC) AS rn
+    FROM scored_c WHERE vec_id % 100 = 0
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * p.qq[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(p.qq, x -> x * x)) AS DOUBLE))) AS cos_sim
+  FROM assigned a JOIN probes p ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM cand
+) WHERE rank <= 5"""
+
+
 def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH bucketing (md5-derived
     ±1 planes), exact cosine within bucket. No oracle — covered by the
@@ -441,6 +520,7 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "jaccard_pairs": q_jaccard_pairs,
     "embed_cosine_topk": q_embed_cosine_topk,
+    "embed_ivf_topk": q_embed_ivf_topk,
     "embed_lsh_ann": q_embed_lsh_ann,
     "props_json": q_props_json,
     "multimodal_meta": q_multimodal_meta,
@@ -459,6 +539,7 @@ ORACLES3: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "jaccard_pairs": SQL_JACCARD,
     "embed_cosine_topk": SQL_EMBED_TOPK,
+    "embed_ivf_topk": SQL_EMBED_IVF,
     "props_json": SQL_PROPS_JSON,
     "multimodal_meta": SQL_MULTIMODAL_META,
     # embed_lsh_ann, multimodal_decode: rows-only (non-SQL-expressible)
