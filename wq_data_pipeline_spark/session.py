@@ -33,6 +33,30 @@ DEFAULT_CONFS = {
 }
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make the engine importable on executors: zip the package and
+    addPyFile it (idempotent). Required whenever the driver process
+    didn't launch from the repo root — pandas-UDF closures
+    (applyInPandas/mapInPandas) are pickled BY MODULE REFERENCE, so
+    workers must be able to import ``wq_data_pipeline_spark``. On a
+    real cluster this is the standard --py-files deployment."""
+    sc = spark.sparkContext
+    if getattr(sc, "_wq_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="wq_pkg_")
+    zip_base = os.path.join(staging, "wq_data_pipeline_spark")
+    zip_path = shutil.make_archive(
+        zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zip_path)
+    sc._wq_pkg_shipped = True
+
+
 def get_spark(
     app_name: str = "wq-engine",
     shuffle_partitions: int | None = None,

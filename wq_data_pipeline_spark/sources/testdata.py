@@ -46,6 +46,14 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build: surface the read error instead
+    # executors must be able to import this package (pandas-UDF
+    # closures are pickled by module reference)
+    from wq_data_pipeline_spark.session import ship_package
+
+    try:
+        ship_package(spark)
+    except Exception:
+        pass  # local-repo-root runs work without it
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
