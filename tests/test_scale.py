@@ -114,3 +114,23 @@ def test_salted_agg_matches_direct(spark, sf_dir):
         assert a[k].n == b[k].n and a[k].vmin == b[k].vmin and a[k].vmax == b[k].vmax
         assert abs(a[k].total - b[k].total) < 1e-6
         assert abs(a[k].vavg - b[k].vavg) < 1e-9
+
+
+def test_lsh_near_dup_subset_and_recall(spark, sf_dir):
+    """Banded-LSH near-dup (the 100-TB candidate-generation path) must
+    return a SUBSET of the exact all-pairs result (no false positives
+    survive the exact-cosine filter) and full recall at 16 bands on
+    the test corpus — even at the deliberately hard 0.45 threshold
+    (real near-dup thresholds >=0.9 collide far more readily)."""
+    from wq_data_pipeline_spark.operators.similarity import (
+        exact_near_dup_pairs,
+        near_dup_pairs,
+    )
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in exact_near_dup_pairs(emb, 0.45).collect()}
+    got = {(r.id_a, r.id_b) for r in near_dup_pairs(emb, 0.45, n_bands=16).collect()}
+    assert exact, "threshold produced a degenerate empty ground truth"
+    assert got <= exact
+    assert got == exact  # 100% recall at 16 bands on this corpus

@@ -150,6 +150,61 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the dedup-family
+    member over vectors): candidate pairs from banded random-hyperplane
+    LSH self-join, then exact cosine >= threshold. Output one row per
+    unordered pair ``(id_a < id_b, cos_sim)``.
+
+    At scale this replaces the O(n^2) all-pairs cross join with
+    ``n_bands`` shuffles on small integer signatures — the same
+    candidate-generation shape as MinHash-LSH text dedup. Recall
+    follows the 1-(1-p^r)^b amplification curve, so high thresholds
+    (true near-dups, p -> 1) are caught with near-certainty; the exact
+    all-pairs form (see ``q_embed_near_dup``) is the ground truth the
+    tests compare against."""
+    cand = None
+    for b in range(n_bands):
+        sig = rp_lsh_signature(vec_col, planes_per_band, plane_offset=b * planes_per_band)
+        side = corpus.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+        a = side.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_sig"
+        )
+        bb = side.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_sig"
+        )
+        j = a.join(bb, on="_sig").filter(F.col("id_a") < F.col("id_b"))
+        p = j.select("id_a", "id_b", "_va", "_vb")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    return cand.select(
+        "id_a", "id_b", cosine("_va", "_vb").alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def exact_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ground-truth all-pairs variant (O(n^2) — small corpora /
+    validation only)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return j.select(
+        "id_a", "id_b", cosine("_va", "_vb").alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

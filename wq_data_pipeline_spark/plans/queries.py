@@ -491,6 +491,38 @@ SELECT user_id, session_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS 
 FROM s GROUP BY user_id, session_id"""
 
 
+def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (10-min windows every 5 min) per event
+    type — the batch form of the streaming sliding window; each row
+    lands in windowDuration/slideDuration = 2 windows. Value summed in
+    integer cents so overlapping-window accumulation order can't flake
+    the oracle hash."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.withColumn("w", F.window("ts", "10 minutes", "5 minutes"))
+        .groupBy(F.unix_micros("w.start").alias("win_start_us"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+        )
+    )
+
+
+SQL_SLIDING = """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+assigned AS (
+  SELECT (us // 300000000) * 300000000 AS win_start_us, event_type, cents FROM e
+  UNION ALL
+  SELECT (us // 300000000) * 300000000 - 300000000 AS win_start_us, event_type, cents FROM e
+)
+SELECT win_start_us, event_type, count(*) AS n_events, sum(cents) AS sum_cents
+FROM assigned GROUP BY win_start_us, event_type"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -518,6 +550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "sessionize": q_sessionize,
+    "sliding_rollup": q_sliding_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -538,6 +571,7 @@ ORACLES: dict[str, str] = {
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
     "sessionize": SQL_SESSIONIZE,
+    "sliding_rollup": SQL_SLIDING,
 }
 
 QUERIES.update(QUERIES2)

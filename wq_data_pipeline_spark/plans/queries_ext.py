@@ -446,6 +446,48 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 ) WHERE rank <= 5"""
 
 
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family over
+    vectors): unordered pairs with cosine >= 0.45. Quantized-integer
+    dot products keep the threshold comparison BIGINT-exact in both
+    engines. This exact all-pairs form is the oracle-able ground
+    truth; the 100-TB path is ``similarity.near_dup_pairs`` (banded
+    LSH candidates, tested for recall against this query)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized("embedding").alias("q")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"))
+    j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dotq = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    n1 = F.aggregate(F.transform("qa", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
+    n2 = F.aggregate(F.transform("qb", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
+    cos = dotq.cast("double") / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
+    return j.select("id_a", "id_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= 0.45
+    )
+
+
+SQL_EMBED_NEAR_DUP = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])) AS dotq,
+         list_sum(list_transform(a.q, x -> x * x)) AS n1,
+         list_sum(list_transform(b.q, x -> x * x)) AS n2
+  FROM q a JOIN q b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       CAST(dotq AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos_sim
+FROM pairs
+WHERE CAST(dotq AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) >= 0.45"""
+
+
 def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH bucketing (md5-derived
     ±1 planes), exact cosine within bucket. No oracle — covered by the
@@ -521,6 +563,7 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_ivf_topk": q_embed_ivf_topk,
+    "embed_near_dup": q_embed_near_dup,
     "embed_lsh_ann": q_embed_lsh_ann,
     "props_json": q_props_json,
     "multimodal_meta": q_multimodal_meta,
@@ -540,6 +583,7 @@ ORACLES3: dict[str, str] = {
     "jaccard_pairs": SQL_JACCARD,
     "embed_cosine_topk": SQL_EMBED_TOPK,
     "embed_ivf_topk": SQL_EMBED_IVF,
+    "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "props_json": SQL_PROPS_JSON,
     "multimodal_meta": SQL_MULTIMODAL_META,
     # embed_lsh_ann, multimodal_decode: rows-only (non-SQL-expressible)
