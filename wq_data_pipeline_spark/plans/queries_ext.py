@@ -331,7 +331,11 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
-    j = emb.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("query_id"))
+    # single-file corpus -> one scan split; spread the O(corpus x queries)
+    # scoring loop across cores before the broadcast fan-out
+    j = emb.repartition(32).crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
     dotq = F.aggregate(
         F.zip_with("q", "qq", lambda a, b: a * b), F.lit(0).cast("long"), lambda s, x: s + x
     )
@@ -385,7 +389,9 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2 = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
         return dot.cast("double") / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
 
-    scored_c = emb.crossJoin(F.broadcast(cent)).withColumn("cs", qcos(F.col("q"), F.col("cq")))
+    scored_c = emb.repartition(32).crossJoin(F.broadcast(cent)).withColumn(
+        "cs", qcos(F.col("q"), F.col("cq"))
+    )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("centroid_id"))
     assigned = (
         scored_c.withColumn("rn", F.row_number().over(w_assign))
@@ -456,15 +462,26 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _quantized("embedding").alias("q")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"))
+    # norm once per VECTOR, not per pair (cuts 2 of 3 array folds);
+    # repartition the fan-out side — a single-file small table would
+    # otherwise run the O(n^2) pair loop on one task
+    emb = emb.withColumn(
+        "n",
+        F.aggregate(F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("n").alias("na")
+    ).repartition(32)
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("n").alias("nb")
+    )
     j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     dotq = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
     )
-    n1 = F.aggregate(F.transform("qa", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
-    n2 = F.aggregate(F.transform("qb", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
-    cos = dotq.cast("double") / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
+    cos = dotq.cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
     return j.select("id_a", "id_b", cos.alias("cos_sim")).filter(
         F.col("cos_sim") >= 0.45
     )
