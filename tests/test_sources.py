@@ -1,0 +1,74 @@
+"""Source/sink format breadth: the engine's tables round-trip through
+JSON-lines and ORC with explicit schemas (never inference in the hot
+path) and identical downstream aggregates.
+
+Reference scope is CSV + parquet (SURVEY §2.1 S1–S6); these formats
+are engine extensions a Spark deployment gets from the same
+DataFrameReader surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wq_data_pipeline_spark.sources.testdata import load_table
+
+
+def _agg(df):
+    rows = (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        )
+        .collect()
+    )
+    return {r.event_type: (r.n, r.cents, r.max_ts_us) for r in rows}
+
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_jsonl_round_trip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    path = str(tmp_path / "events_jsonl")
+    # default JSON timestampFormat truncates to milliseconds; the
+    # engine's timestamps are µs so the format must carry 6 digits
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.mode("overwrite").option("timestampFormat", fmt).json(path)
+    back = spark.read.schema(_SCHEMA).option("timestampFormat", fmt).json(path)
+    assert _agg(back) == _agg(ev)
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    path = str(tmp_path / "events_orc")
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert _agg(back) == _agg(ev)
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
+    """Partition-by-key output (the 100-TB layout for the readings
+    spine) must show partition pruning in the scan, not a full read."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    path = str(tmp_path / "events_part")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    got = {r.event_type for r in back.select("event_type").distinct().collect()}
+    assert got <= {"click"}
+    assert "PartitionFilters" in plan or "partitionFilters" in plan

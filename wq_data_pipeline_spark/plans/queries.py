@@ -523,6 +523,42 @@ SELECT win_start_us, event_type, count(*) AS n_events, sum(cents) AS sum_cents
 FROM assigned GROUP BY win_start_us, event_type"""
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: DAILY stats computed by
+    re-aggregating HOURLY partials, never re-reading raw rows — the
+    pre-aggregation reuse pattern that makes 100-TB rollups cheap
+    (daily scans hourly partials, ~1/3600 of the raw volume; every agg
+    here is decomposable so the result equals direct aggregation,
+    which is exactly what the oracle computes from raw events)."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("cents"),
+        F.min(cents).alias("cmin"),
+        F.max(cents).alias("cmax"),
+    )
+    return hourly.groupBy(
+        F.unix_micros(F.date_trunc("day", "hour")).alias("day_us"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("cmin").alias("min_cents"),
+        F.max("cmax").alias("max_cents"),
+    )
+
+
+SQL_HYPERTABLE = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+       min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+       max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+FROM events GROUP BY day_us, event_type"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -551,6 +587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5": q_tpch_q5,
     "sessionize": q_sessionize,
     "sliding_rollup": q_sliding_rollup,
+    "hypertable_rollup": q_hypertable_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -572,6 +609,7 @@ ORACLES: dict[str, str] = {
     "tpch_q5": SQL_TPCH_Q5,
     "sessionize": SQL_SESSIONIZE,
     "sliding_rollup": SQL_SLIDING,
+    "hypertable_rollup": SQL_HYPERTABLE,
 }
 
 QUERIES.update(QUERIES2)
