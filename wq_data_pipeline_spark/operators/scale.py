@@ -94,7 +94,18 @@ def bucketed_window_apply(
     key list (original keys + ``_bucket``) and must compute its window
     columns with ``Window.partitionBy(*partition_keys).orderBy(ts)``.
     ``halo_rows`` must be >= the maximum frame reach (e.g. w//2 for a
-    centered w-row window, or the lag/lead depth).
+    centered w-row window, or the lag/lead depth; for CHAINED windows
+    the reaches add).
+
+    Preconditions, or the result is silently wrong / a loss:
+    - every bucket must hold >= ``halo_rows`` rows (halo replication
+      only reaches the ADJACENT bucket, so a frame must never span
+      more than one bucket boundary) — pick ``bucket_seconds`` from
+      the series cadence;
+    - only worth it when a single (keys) partition exceeds what one
+      executor core should sort (~10M+ rows): measured at 100k rows /
+      5 keys the expansion overhead loses to plain WindowExec
+      (2.6 s vs 2.1 s at sf0.1).
     """
     keys = list(keys)
     bucket = F.floor(F.unix_micros(F.col(ts)) / F.lit(bucket_seconds * 1e6)).alias(

@@ -257,7 +257,7 @@ SELECT node AS doc_id, cluster_id, node = cluster_id AS is_canonical FROM reach"
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over distinct words (md5 hex-digit parity votes)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     return d.select("doc_id", DD.simhash_bits("text", bits=16).alias("simhash"))
 
 
