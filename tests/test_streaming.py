@@ -51,6 +51,28 @@ def test_tumbling_rollup_stream(spark, stream_dir):
     assert all(r.n > 0 and r.min_value <= r.mean_value <= r.max_value for r in rows)
 
 
+def test_sliding_rollup_stream(spark, stream_dir):
+    from wq_data_pipeline_spark.streaming.stream_qc import read_readings_stream, sliding_rollup
+
+    stream = read_readings_stream(spark, stream_dir)
+    q = (
+        sliding_rollup(stream, "1 hour", "30 minutes", "2 hours")
+        .writeStream.format("memory")
+        .queryName("rollup_sl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from rollup_sl").collect()
+    # ~2x the tumbling window count (30-min slide on 1-h windows)
+    assert len(rows) >= 40
+    starts = sorted({r.window_start for r in rows})
+    # consecutive starts 30 min apart -> overlapping coverage
+    assert any((b - a).total_seconds() == 1800 for a, b in zip(starts, starts[1:]))
+    assert all(r.min_value <= r.mean_value <= r.max_value for r in rows)
+
+
 def test_session_rollup_stream(spark, stream_dir):
     from wq_data_pipeline_spark.streaming.stream_qc import read_readings_stream, session_rollup
 

@@ -71,6 +71,38 @@ def tumbling_rollup(
     )
 
 
+def sliding_rollup(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sliding-window rollup (stream twin of the batch
+    ``sliding_rollup`` query): each row lands in window/slide
+    overlapping windows; append mode emits each window once its end
+    passes the watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("station", "variable", F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("mean_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "station",
+            "variable",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "mean_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 def session_rollup(
     stream: DataFrame,
     gap: str = "30 minutes",
