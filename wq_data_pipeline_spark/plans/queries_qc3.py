@@ -156,15 +156,21 @@ def q_j3_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _mask_from_runs, scripts/ufz_water_qc_pipeline.py:392-397) via a
     broadcast range join; per-key counts of in-run rows."""
     d = _events_clean(spark, sf_dir)
+    # runs derives FROM d: rename its join columns so the self-join
+    # predicate can't resolve both sides to the same attribute
+    # (otherwise Spark warns 'trivially true equals predicate' and
+    # correctness hangs on dataset-id disambiguation)
     runs = D.detect_flat_runs(d, "value", KEY, "ts", atol=1.0, min_hours=0.5).select(
-        "event_type", "start", "end"
+        F.col("event_type").alias("r_type"),
+        F.col("start").alias("r_start"),
+        F.col("end").alias("r_end"),
     )
     joined = d.join(
         F.broadcast(runs),
         on=[
-            d.event_type == runs.event_type,
-            d.ts >= runs.start,
-            d.ts <= runs.end,
+            F.col("event_type") == F.col("r_type"),
+            F.col("ts") >= F.col("r_start"),
+            F.col("ts") <= F.col("r_end"),
         ],
         how="leftsemi",
     )
