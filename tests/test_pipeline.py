@@ -148,3 +148,44 @@ def test_wrtds_matches_reference_numpy(spark):
         coef, *_ = np.linalg.lstsq(A, b, rcond=None)
         exp[i] = coef[0] + X[i] @ coef[1:]
     assert np.allclose(got, exp, rtol=1e-8, atol=1e-8, equal_nan=True)
+
+
+def test_multimodal_to_similarity_bridge(spark, sf_dir):
+    """Full multimodal chain: binary content -> resize -> feature
+    extraction -> similarity search. The fake decode/extract paths are
+    deterministic, so the plumbing (Arrow batch shapes, schemas,
+    partition flow into the ANN operators) is exercised end-to-end."""
+    from pyspark.sql import functions as F
+
+    from wq_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+    )
+    from wq_data_pipeline_spark.operators.similarity import brute_force_topk
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .limit(200)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+    resized = resize_media(media, height=8, width=8, fake=True)
+    assert resized.columns == ["media_id", "content", "height", "width"]
+    first = resized.first()
+    assert len(bytes(first.content)) == 64 and first.height == 8
+
+    feats = extract_features(resized, dim=16, fake=True).withColumnRenamed(
+        "media_id", "vec_id"
+    )
+    qs = feats.filter(F.col("vec_id") % 50 == 0)
+    top = brute_force_topk(feats, qs, k=3)
+    n_q = qs.count()
+    rows = top.collect()
+    assert len(rows) == 3 * n_q
+    assert all(-1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9 for r in rows)
+    # determinism across runs (hash-derived features, no RNG)
+    again = {(r.query_id, r.neighbor_id, r.rank) for r in brute_force_topk(feats, qs, k=3).collect()}
+    assert again == {(r.query_id, r.neighbor_id, r.rank) for r in rows}

@@ -76,6 +76,92 @@ def decode_media(df: DataFrame, fake: bool = False, batch_limit: int = 256) -> D
     return df.select("media_id", "content").mapInPandas(_decode, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, height: int = 32, width: int = 32, fake: bool = False
+) -> DataFrame:
+    """Resize plumbing via mapInPandas: binary in -> binary out with
+    target dims. Stubbed like decode: real resample raises; the fake
+    path emits a deterministic content digest of the requested size so
+    batch shape, schema, and downstream joins are real."""
+
+    def _resize(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resampling requires libs not present in this "
+                    "container; pass fake=True for the deterministic stub"
+                )
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                seed = hashlib.md5(bytes(content)).digest()
+                n = height * width
+                buf = (seed * (n // len(seed) + 1))[:n]
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "content": buf,
+                        "height": height,
+                        "width": width,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select("media_id", "content").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFrame:
+    """Feature-extraction plumbing: binary media -> ``array<float>``
+    embedding, the bridge from multimodal columns into the similarity
+    operators (``operators/similarity.py`` top-k / near-dup run
+    unchanged on this output). Fake path: md5-derived unit-scale
+    floats, deterministic across runs and engines."""
+
+    def _extract(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "feature extraction requires model libs not present in "
+                    "this container; pass fake=True for the deterministic stub"
+                )
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                h = hashlib.md5(bytes(content)).digest()
+                vec = [
+                    (h[i % len(h)] ^ (i * 31 & 0xFF)) / 255.0 - 0.5
+                    for i in range(dim)
+                ]
+                out.append({"media_id": int(mid), "embedding": vec})
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return df.select("media_id", "content").mapInPandas(_extract, FEATURES_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing: pick every Nth media row per mime
     (stand-in for temporal sampling; the real sampler would emit
