@@ -4,6 +4,7 @@ row-count, column names, and order-insensitive values."""
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 
@@ -33,16 +34,26 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    """Driver-strict cell normalization: EXACT values, tagged with a
+    type class so cross-engine type artifacts (e.g. DuckDB
+    decimal128(38,0) from sum(INTEGER) vs Spark int64) fail locally
+    exactly like the driver's value-hash does. No float rounding —
+    round-1 showed exact paths are bit-identical cross-engine."""
     if v is None:
         return None
     if isinstance(v, bool):
-        return bool(v)
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        # absorb <=1ulp accumulation differences that survive rounding
-        return round(v, 9)
-    return v
+            return ("float", "NaN")
+        return ("float", v)
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", v)
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(_norm_cell(x) for x in v))
+    return (type(v).__name__, v)
 
 
 def _norm_rows(cols, rows):

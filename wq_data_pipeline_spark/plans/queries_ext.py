@@ -532,7 +532,7 @@ def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PROPS_JSON = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
        / CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS avg_k

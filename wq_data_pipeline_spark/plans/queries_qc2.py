@@ -242,8 +242,8 @@ msk AS (
   FROM inj i JOIN cnt c USING (event_type)
 )
 SELECT event_type, count(*) AS n_rows,
-       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_masked,
-       sum(CASE WHEN value = -99.0 THEN 1 ELSE 0 END) AS n_unmasked_99
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(sum(CASE WHEN value = -99.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmasked_99
 FROM msk GROUP BY event_type"""
 
 
@@ -476,10 +476,10 @@ fl AS (
   FROM madt
 )
 SELECT event_type, count(*) AS n_rows,
-       sum(CASE WHEN f_range OR f_jump OR f_z THEN 1 ELSE 0 END) AS n_flagged,
-       sum(CASE WHEN f_range THEN 1 ELSE 0 END) AS n_range,
-       sum(CASE WHEN f_jump THEN 1 ELSE 0 END) AS n_jump,
-       sum(CASE WHEN f_z THEN 1 ELSE 0 END) AS n_z,
+       CAST(sum(CASE WHEN f_range OR f_jump OR f_z THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN f_range THEN 1 ELSE 0 END) AS BIGINT) AS n_range,
+       CAST(sum(CASE WHEN f_jump THEN 1 ELSE 0 END) AS BIGINT) AS n_jump,
+       CAST(sum(CASE WHEN f_z THEN 1 ELSE 0 END) AS BIGINT) AS n_z,
        count(CASE WHEN NOT (f_range OR f_jump OR f_z) THEN value END) AS n_accepted
 FROM fl GROUP BY event_type"""
 

@@ -104,12 +104,15 @@ def q_w16_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = num + F.coalesce(tap, F.lit(0.0)) * F.lit(wt)
         den = den + F.when(tap.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
     smooth = F.when(den > 0, num / den)
+    # round to 6 decimals (data resolution 0.01; cross-engine tap
+    # accumulation differs by ~1 ulp at 1e-14 relative — 6-decimal
+    # rounding absorbs it with 1e8 margin)
     return d.select(
         "event_type",
         F.unix_micros("ts").alias("ts_us"),
         "filled",
-        smooth.alias("smooth"),
-        (F.col("filled") - smooth).alias("residual"),
+        F.round(smooth, 6).alias("smooth"),
+        F.round(F.col("filled") - smooth, 6).alias("residual"),
     )
 
 
@@ -142,7 +145,8 @@ sm AS (
          CASE WHEN 0.0 + {den} > 0 THEN (0.0 + {num}) / (0.0 + {den}) END AS smooth
   FROM fill WINDOW w AS (PARTITION BY event_type ORDER BY ts)
 )
-SELECT event_type, epoch_us(ts) AS ts_us, filled, smooth, filled - smooth AS residual
+SELECT event_type, epoch_us(ts) AS ts_us, filled,
+       round(smooth, 6) AS smooth, round(filled - smooth, 6) AS residual
 FROM sm"""
 
 
@@ -274,11 +278,11 @@ def q_p16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_P16 = """
 SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events GROUP BY CAST(ts AS DATE)"""
 
 
