@@ -147,3 +147,45 @@ def test_watermark_drops_late_data(spark, tmp_path):
     h0 = [r for r in all_rows if r.window_start == pd.Timestamp("2024-08-01 00:00")]
     assert len(h0) == 1, all_rows
     assert h0[0].max_value == 1.0 and h0[0].n == 60
+
+
+def test_stateful_timeout_flushes_pending_run():
+    """hasTimedOut branch: an idle key's pending run is emitted as an
+    event (if long enough) and its state removed — no re-arm."""
+    import pandas as pd
+
+    from wq_data_pipeline_spark.streaming.stateful import _detect
+
+    class FakeState:
+        def __init__(self, tup):
+            self.exists = tup is not None
+            self.hasTimedOut = True
+            self._tup = tup
+            self.removed = False
+            self.updated = None
+
+        @property
+        def get(self):
+            return self._tup
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, tup):
+            self.updated = tup
+
+        def setTimeoutDuration(self, ms):
+            self.updated = self.updated  # no-op; must NOT be re-armed
+
+    # pending run long enough -> one event, state removed
+    st = FakeState((1000, 5000, 6, 2.5))
+    out = list(_detect(("s", "v"), iter([]), st, atol=1e-9, min_points=4))
+    assert st.removed and st.updated is None
+    assert len(out) == 1
+    ev = out[0].iloc[0]
+    assert (ev.start_ms, ev.end_ms, ev.n_points, ev.run_value) == (1000, 5000, 6, 2.5)
+
+    # pending run too short -> no event, state still removed
+    st2 = FakeState((1000, 2000, 2, 2.5))
+    out2 = list(_detect(("s", "v"), iter([]), st2, atol=1e-9, min_points=4))
+    assert st2.removed and out2 == []

@@ -218,30 +218,52 @@ def detect_binary_switches(
     event_type: str = "binary_switch",
 ) -> DataFrame:
     """Zero-run (binary switch) events (W4): maximal runs of
-    |value| <= tol with the neighboring finite values before/after;
-    an event is emitted when either neighbor is nonzero.
+    |value| <= tol with the neighboring values before/after; an event
+    is emitted when BOTH neighbors are finite and either is nonzero.
 
     Reference detect_binary_switches,
     scripts/ufz_water_qc_pipeline.py:192-205 + events_from_binary
-    :642-649 (event carries pre/post timestamps and values).
+    :642-649. Boundary convention preserved: the reference clamps the
+    neighbor index into the array (``pre=max(0,a-1)``), so a run at
+    the series edge uses its OWN endpoint (finite, ~0) as that
+    neighbor — edge runs are emitted when the other neighbor is
+    nonzero; a NaN-valued true neighbor suppresses the event
+    (``np.isfinite(preval) and np.isfinite(postval)``, ``:203``).
     """
     in_run = F.col(value).isNotNull() & (F.abs(F.col(value)) <= tol)
     d = _run_events(df, in_run, keys, ts, value)
-    runs = (
+    grouped = (
         d.filter(F.col("_in_run"))
         .groupBy(*keys, "_island")
         .agg(
             F.min(ts).alias("start"),
             F.max(ts).alias("end"),
-            F.min_by("_prev_ts", ts).alias("pre"),
-            F.max_by("_next_ts", ts).alias("post"),
-            F.min_by("_prev_val", ts).alias("pre_val"),
-            F.max_by("_next_val", ts).alias("post_val"),
+            F.min_by("_prev_ts", ts).alias("_pre_ts"),
+            F.max_by("_next_ts", ts).alias("_post_ts"),
+            F.min_by("_prev_val", ts).alias("_pre_nbr"),
+            F.max_by("_next_val", ts).alias("_post_nbr"),
+            F.min_by(value, ts).alias("_first_val"),
+            F.max_by(value, ts).alias("_last_val"),
             F.count(F.lit(1)).alias("n_points"),
         )
+    )
+    # clamp at series edges: missing neighbor row -> the run's own
+    # endpoint (matches the reference's index clamp)
+    pre_val = F.when(F.col("_pre_ts").isNull(), F.col("_first_val")).otherwise(
+        F.col("_pre_nbr")
+    )
+    post_val = F.when(F.col("_post_ts").isNull(), F.col("_last_val")).otherwise(
+        F.col("_post_nbr")
+    )
+    runs = (
+        grouped.withColumn("pre", F.coalesce(F.col("_pre_ts"), F.col("start")))
+        .withColumn("post", F.coalesce(F.col("_post_ts"), F.col("end")))
+        .withColumn("pre_val", pre_val)
+        .withColumn("post_val", post_val)
         .filter(
-            (F.abs(F.coalesce(F.col("pre_val"), F.lit(0.0))) > tol)
-            | (F.abs(F.coalesce(F.col("post_val"), F.lit(0.0))) > tol)
+            F.col("pre_val").isNotNull()
+            & F.col("post_val").isNotNull()
+            & ((F.abs(F.col("pre_val")) > tol) | (F.abs(F.col("post_val")) > tol))
         )
         .select(
             *keys,
@@ -272,9 +294,13 @@ def detect_flat_slopes(
     |slope| <= abs_slope lasting >= min_hours.
 
     Reference detect_flat_slopes over rolling_lin_slope,
-    scripts/ufz_water_qc_pipeline.py:105-123,223-236 (min_periods 5).
+    scripts/ufz_water_qc_pipeline.py:105-123,223-236; the reference
+    calls rolling_lin_slope with ``minp=max(5, win//3)`` (= 8 for the
+    default 25-point window), so sparse regions get no slope.
     """
-    slope = rolling_ols_slope(value, window_points, 5, keys, ts)
+    slope = rolling_ols_slope(
+        value, window_points, max(5, window_points // 3), keys, ts
+    )
     d = df.withColumn("_slope", slope)
     flat = F.coalesce(F.abs(F.col("_slope")) <= abs_slope, F.lit(False))
     return _slope_runs(d, flat, keys, ts, min_hours)
@@ -311,13 +337,17 @@ def detect_isolated_groups(
     out: str = "flag_isolated",
 ) -> DataFrame:
     """Isolated-group flag (W9): finite runs of <= max_group_points
-    with a > min_gap_seconds time gap on BOTH sides.
+    with a > min_gap_seconds MEASURED time gap on BOTH sides.
 
     Reference _fallback_flag_isolated,
-    scripts/ufz_water_qc_pipeline.py:430-453. Implementation: islands
-    of non-nullness; per-island first/last ts plus the neighboring
-    rows' timestamps across the island boundary, then flag whole
-    islands. Returns the input rows + boolean ``out``.
+    scripts/ufz_water_qc_pipeline.py:430-453. The reference requires
+    ``a>0 and big_gap[a]`` / ``b+1<len and big_gap[b+1]`` — a run at
+    the series start/end has no measurable gap on that side and is
+    NEVER flagged; a NULL neighbor timestamp here therefore fails the
+    gap test. Implementation: islands of non-nullness; per-island
+    first/last ts plus the neighboring rows' timestamps across the
+    island boundary, then flag whole islands. Returns the input rows
+    + boolean ``out``.
     """
     w = ordered(keys, ts)
     finite = F.col(value).isNotNull()
@@ -334,13 +364,11 @@ def detect_isolated_groups(
             F.max_by("_next_ts", ts).alias("_after_ts"),
         )
     )
-    gap_before = (
-        F.col("_before_ts").isNull()
-        | ((F.unix_micros("_first_ts") - F.unix_micros("_before_ts")) / 1e6 > min_gap_seconds)
+    gap_before = F.col("_before_ts").isNotNull() & (
+        (F.unix_micros("_first_ts") - F.unix_micros("_before_ts")) / 1e6 > min_gap_seconds
     )
-    gap_after = (
-        F.col("_after_ts").isNull()
-        | ((F.unix_micros("_after_ts") - F.unix_micros("_last_ts")) / 1e6 > min_gap_seconds)
+    gap_after = F.col("_after_ts").isNotNull() & (
+        (F.unix_micros("_after_ts") - F.unix_micros("_last_ts")) / 1e6 > min_gap_seconds
     )
     flagged = isl.withColumn(
         "_isolated", (F.col("_npts") <= max_group_points) & gap_before & gap_after

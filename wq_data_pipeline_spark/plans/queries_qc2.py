@@ -46,8 +46,9 @@ def _us(col: str = "ts") -> F.Column:
 # (same detector, nonzero tolerance), which fires on real data.
 
 def q_w4_binary_switches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4: runs of value <= 5.0 with neighboring values; event when a
-    neighbor is above the tolerance."""
+    """W4: runs of value <= 5.0 with neighboring values; event when
+    both (edge-clamped) neighbors are finite and either is above the
+    tolerance."""
     d = _events_clean(spark, sf_dir)
     ev = D.detect_binary_switches(d, "value", KEY, "ts", tol=5.0)
     return ev.select(
@@ -83,14 +84,25 @@ runs AS (
   SELECT event_type, island, min(ts) AS start_ts, max(ts) AS end_ts,
          min_by({{'t': prev_ts, 'v': prev_val}}, ts) AS pre_s,
          max_by({{'t': next_ts, 'v': next_val}}, ts) AS post_s,
+         min_by(value, ts) AS first_val, max_by(value, ts) AS last_val,
          count(*) AS n_points
   FROM isl WHERE in_run GROUP BY event_type, island
+),
+clamped AS (
+  -- series-edge clamp: missing neighbor row -> the run's own endpoint
+  SELECT event_type, start_ts, end_ts, n_points,
+         COALESCE(pre_s.t, start_ts) AS pre_ts,
+         COALESCE(post_s.t, end_ts) AS post_ts,
+         CASE WHEN pre_s.t IS NULL THEN first_val ELSE pre_s.v END AS pre_val,
+         CASE WHEN post_s.t IS NULL THEN last_val ELSE post_s.v END AS post_val
+  FROM runs
 )
 SELECT event_type, epoch_us(start_ts) AS start_us, epoch_us(end_ts) AS end_us,
-       epoch_us(pre_s.t) AS pre_us, epoch_us(post_s.t) AS post_us,
-       pre_s.v AS pre_val, post_s.v AS post_val, n_points
-FROM runs
-WHERE abs(COALESCE(pre_s.v, 0.0)) > 5.0 OR abs(COALESCE(post_s.v, 0.0)) > 5.0"""
+       epoch_us(pre_ts) AS pre_us, epoch_us(post_ts) AS post_us,
+       pre_val, post_val, n_points
+FROM clamped
+WHERE pre_val IS NOT NULL AND post_val IS NOT NULL
+  AND (abs(pre_val) > 5.0 OR abs(post_val) > 5.0)"""
 
 
 # --- W6: rolling OLS slope over integer (seconds, cents) -------------------
@@ -183,8 +195,10 @@ groups AS (
 flagged AS (
   SELECT event_type, island,
          npts <= 2
-         AND (before_ts IS NULL OR (epoch_us(first_ts) - epoch_us(before_ts)) / 1e6 > 1800.0)
-         AND (after_ts IS NULL OR (epoch_us(after_ts) - epoch_us(last_ts)) / 1e6 > 1800.0) AS isolated
+         AND before_ts IS NOT NULL
+         AND (epoch_us(first_ts) - epoch_us(before_ts)) / 1e6 > 1800.0
+         AND after_ts IS NOT NULL
+         AND (epoch_us(after_ts) - epoch_us(last_ts)) / 1e6 > 1800.0 AS isolated
   FROM groups
 )
 SELECT i.event_type, epoch_us(i.ts) AS ts_us, i.value

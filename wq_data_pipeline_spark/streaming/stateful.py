@@ -63,6 +63,18 @@ def _detect(
         n_points = 0
         run_value = None
 
+    if state.hasTimedOut:
+        # idle key: flush the pending run as an event (if long enough)
+        # and drop the state — no new data arrived within the timeout,
+        # so the candidate run can never be extended.
+        if n_points >= min_points and run_value is not None:
+            yield pd.DataFrame(
+                [(station, variable, run_start, last_ms, n_points, run_value)],
+                columns=["station", "variable", "start_ms", "end_ms", "n_points", "run_value"],
+            )
+        state.remove()
+        return
+
     events = []
     for pdf in pdfs:
         pdf = pdf.sort_values("ts")
