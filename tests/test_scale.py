@@ -134,3 +134,55 @@ def test_lsh_near_dup_subset_and_recall(spark, sf_dir):
     assert exact, "threshold produced a degenerate empty ground truth"
     assert got <= exact
     assert got == exact  # 100% recall at 16 bands on this corpus
+
+
+def test_embed_near_dup_plan_has_no_cartesian(spark, sf_dir):
+    """The CATALOGED embed_near_dup query must be the banded-LSH plan:
+    its physical plan contains no CartesianProduct / BroadcastNestedLoop
+    (VERDICT r1: the O(n^2) exact form is validation-only)."""
+    from wq_data_pipeline_spark.plans.queries_ext import q_embed_near_dup
+
+    plan = q_embed_near_dup(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_lsh_recall_at_08(spark, sf_dir):
+    """Operator-default MinHash-LSH (32 hashes, 8 bands of 4) must
+    catch nearly all true near-dup pairs at Jaccard >= 0.8: theoretical
+    recall 1-(1-0.8^4)^8 ~ 0.985 at the threshold and higher above it
+    (VERDICT r1 flagged the old 8-hash default as recall-thin)."""
+    from pyspark.sql import functions as F
+
+    from wq_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+    from wq_data_pipeline_spark.operators.text import word_shingles
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ground truth over the SAME similarity MinHash estimates: Jaccard
+    # of the distinct 3-gram shingle sets (word-set Jaccard is a looser
+    # measure that MinHash-over-shingles does not approximate)
+    w = docs.select(
+        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("ws")
+    )
+    a = w.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb"))
+    jac = (
+        F.size(F.array_intersect("wa", "wb")).cast("double")
+        / F.size(F.array_union("wa", "wb")).cast("double")
+    )
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("j"))
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert truth, "no true near-dup pairs at J>=0.8 — degenerate fixture"
+    cand = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, "text", "doc_id").collect()
+    }
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.3f} over {len(truth)} true pairs"

@@ -72,3 +72,64 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     got = {r.event_type for r in back.select("event_type").distinct().collect()}
     assert got <= {"click"}
     assert "PartitionFilters" in plan or "partitionFilters" in plan
+
+
+def test_tz_localize_nat_policy(spark):
+    """DST policy parity (reference tz_localize(ambiguous='NaT',
+    nonexistent='NaT'), scripts/ufz_water_qc_pipeline.py:71):
+    spring-forward hole and fall-back fold rows -> NULL, normal rows
+    -> the exact UTC instant."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from wq_data_pipeline_spark.sources.csv_source import localize_naive_timestamps
+
+    rows = [
+        ("hole", "2024-03-31 02:30:00"),      # nonexistent in Berlin
+        ("fold", "2024-10-27 02:30:00"),      # ambiguous in Berlin
+        ("normal", "2024-06-01 12:00:00"),    # CEST -> 10:00 UTC
+        ("winter", "2024-01-15 12:00:00"),    # CET -> 11:00 UTC
+    ]
+    df = spark.createDataFrame(rows, ["k", "t"]).withColumn(
+        "t", F.to_timestamp("t")
+    )
+    out = {
+        r.k: r.t
+        for r in localize_naive_timestamps(df, "t", "Europe/Berlin").collect()
+    }
+    assert out["hole"] is None
+    assert out["fold"] is None
+    assert out["normal"] == datetime.datetime(2024, 6, 1, 10, 0)
+    assert out["winter"] == datetime.datetime(2024, 1, 15, 11, 0)
+    kept = {
+        r.k: r.t
+        for r in localize_naive_timestamps(
+            df, "t", "Europe/Berlin", ambiguous="keep", nonexistent="keep"
+        ).collect()
+    }
+    assert kept["fold"] is not None and kept["hole"] is not None
+
+
+def test_resolve_duplicates_keep_first(spark):
+    """how='first' keeps the first scan-order value per duplicated
+    timestamp (reference ensure_time_index keep-first drop, :74)."""
+    import pandas as pd
+
+    from wq_data_pipeline_spark.operators.clean import resolve_duplicates
+
+    pdf = pd.DataFrame(
+        {
+            "station": "s1",
+            "variable": "o2",
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:00", "2024-01-01 00:15"]
+            ),
+            "value": [1.0, 9.0, 3.0],
+        }
+    )
+    out = resolve_duplicates(
+        spark.createDataFrame(pdf).coalesce(1), how="first"
+    ).orderBy("ts").collect()
+    assert [r.value for r in out] == [1.0, 3.0]
+    assert [r.dup_count for r in out] == [2, 1]

@@ -189,3 +189,76 @@ def test_stateful_timeout_flushes_pending_run():
     st2 = FakeState((1000, 2000, 2, 2.5))
     out2 = list(_detect(("s", "v"), iter([]), st2, atol=1e-9, min_points=4))
     assert st2.removed and out2 == []
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate rows inside the
+    watermark window are emitted once; state is watermark-bounded."""
+    import pandas as pd
+
+    from wq_data_pipeline_spark.streaming.stream_qc import (
+        read_readings_stream,
+        stream_dedup_exact,
+    )
+
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    ts = pd.date_range("2024-03-01", periods=50, freq="5min")
+    pdf = pd.DataFrame(
+        {"station": "s1", "variable": "o2", "ts": ts, "value": [float(i) for i in range(50)]}
+    )
+    dup = pd.concat([pdf, pdf.iloc[10:20]])  # 10 exact duplicates
+    spark.createDataFrame(dup).coalesce(1).write.mode("append").parquet(str(sdir))
+    q = (
+        stream_dedup_exact(read_readings_stream(spark, str(sdir)))
+        .writeStream.format("memory")
+        .queryName("dedup_x")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_x").collect()
+    assert len(rows) == 50
+    assert len({(r.ts, r.value) for r in rows}) == 50
+
+
+def test_stream_dedup_content(spark, tmp_path):
+    """Content-digest dedup keeps one row per identical payload."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from wq_data_pipeline_spark.streaming.stream_qc import stream_dedup_content
+
+    sdir = tmp_path / "docs"
+    sdir.mkdir()
+    ts = pd.date_range("2024-03-01", periods=30, freq="1min")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "ts": ts,
+            "text": [f"document body {i % 10}" for i in range(30)],  # 10 distinct
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(sdir))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(sdir))
+    q = (
+        stream_dedup_content(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_c")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_c").collect()
+    assert len(rows) == 10
+    assert len({r.text for r in rows}) == 10

@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--timestamp-col", default="timestamp")
     p.add_argument("--wrtds-q-col", default=None)
+    p.add_argument(
+        "--figs",
+        action="store_true",
+        help="emit the per-variable figure set (S7; reference figs/ dir) "
+        "to OUT/figs — PNG with matplotlib, SVG otherwise",
+    )
     return p
 
 
@@ -78,6 +84,13 @@ def main(argv: list[str] | None = None) -> None:
             f"{args.out}/wrtds_spikes"
         )
     write_outputs(out, args.out)
+    if args.figs:
+        from wq_data_pipeline_spark.report import render_qc_figures
+
+        paths = render_qc_figures(
+            out.timeseries, out.events, out.seasonal, f"{args.out}/figs"
+        )
+        print(f"wrote {len(paths)} figures to {args.out}/figs")
     print(f"wrote QC outputs to {args.out}")
 
 

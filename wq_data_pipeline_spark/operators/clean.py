@@ -71,12 +71,24 @@ def resolve_duplicates(
     value: str = "value",
     how: str = "median",
 ) -> DataFrame:
-    """Duplicate-timestamp resolution by group median/mean (A1).
+    """Duplicate-timestamp resolution by group median/mean (A1), or
+    keep-first (the reference's ``ensure_time_index`` drop at
+    scripts/ufz_water_qc_pipeline.py:74).
 
     Reference: resolve_duplicates, scripts/ufz_water_qc_pipeline.py:170-176
     (nanmedian over rows sharing a timestamp). Exact median — not
     approx — to stay oracle-exact. Emits ``dup_count`` per surviving row.
+
+    ``how='first'`` keeps the first occurrence in scan order
+    (min_by over a monotonic row id — deterministic for a given file
+    layout, which is what pandas keep='first' means too).
     """
+    if how == "first":
+        d = df.withColumn("_rid", F.monotonically_increasing_id())
+        return d.groupBy(*keys, ts).agg(
+            F.min_by(value, "_rid").alias(value),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
     agg = F.median(value) if how == "median" else F.avg(value)
     return df.groupBy(*keys, ts).agg(
         agg.alias(value), F.count(F.lit(1)).alias("dup_count")

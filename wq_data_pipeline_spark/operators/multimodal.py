@@ -2,11 +2,14 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs
 over ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libs in this container):
-``decode_image_batch`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder produces
-(height, width, mean_luma) from the byte content so the Spark-side
-plumbing — schema, batching, partitioning — is real and testable.
+Decode is REAL for PNG and WAV via the stdlib codecs in
+:mod:`wq_data_pipeline_spark.operators.codecs` (zlib inflate +
+unfilter; ``wave``) — dispatch is magic-byte sniffed per payload.
+Formats that need external codec libs (JPEG, MP3, video) raise
+NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder produces (height, width, mean_luma) from
+the byte content so the Spark-side plumbing — schema, batching,
+partitioning — stays testable for those too.
 """
 
 from __future__ import annotations
@@ -44,9 +47,14 @@ def binary_meta(df: DataFrame, content: str = "content") -> DataFrame:
 
 
 def decode_media(df: DataFrame, fake: bool = False, batch_limit: int = 256) -> DataFrame:
-    """Decode binary media via mapInPandas (Arrow batches). Stubbed:
-    real decode raises; ``fake=True`` derives deterministic pseudo
-    dimensions from the bytes, keeping the distributed plumbing real.
+    """Decode binary media via mapInPandas (Arrow batches).
+
+    REAL for PNG and WAV (stdlib codecs, magic-byte dispatch):
+    - PNG -> (height, width, mean_luma)
+    - WAV -> (height=n_channels, width=n_frames, mean_luma=mean |amp|)
+    Other formats raise NotImplementedError (JPEG/MP3/video need
+    external libs) unless ``fake=True``, which derives deterministic
+    pseudo dimensions from the bytes instead.
     """
 
     def _decode(batches: Iterator) -> Iterator:
@@ -54,23 +62,44 @@ def decode_media(df: DataFrame, fake: bool = False, batch_limit: int = 256) -> D
 
         import pandas as pd
 
+        from wq_data_pipeline_spark.operators import codecs as CC
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image/audio decoding requires libs not present in this "
-                    "container; pass fake=True for the deterministic stub"
-                )
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                h = hashlib.md5(bytes(content)).digest()
-                out.append(
-                    {
+                b = bytes(content)
+                kind = CC.sniff(b)
+                if kind == "png":
+                    w, h, nch, pix = CC.png_decode(b)
+                    rec = {
                         "media_id": int(mid),
-                        "height": 1 + h[0] % 64,
-                        "width": 1 + h[1] % 64,
-                        "mean_luma": h[2] / 255.0,
+                        "height": h,
+                        "width": w,
+                        "mean_luma": CC.mean_luma(nch, pix),
                     }
-                )
+                elif kind == "wav":
+                    nch, n, _rate, amp = CC.wav_decode(b)
+                    rec = {
+                        "media_id": int(mid),
+                        "height": nch,
+                        "width": n,
+                        "mean_luma": amp,
+                    }
+                elif fake:
+                    hsh = hashlib.md5(b).digest()
+                    rec = {
+                        "media_id": int(mid),
+                        "height": 1 + hsh[0] % 64,
+                        "width": 1 + hsh[1] % 64,
+                        "mean_luma": hsh[2] / 255.0,
+                    }
+                else:
+                    raise NotImplementedError(
+                        "only PNG/WAV decode with the stdlib codecs; other "
+                        "formats need external libs — pass fake=True for the "
+                        "deterministic stub"
+                    )
+                out.append(rec)
             yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
 
     return df.select("media_id", "content").mapInPandas(_decode, DECODED_SCHEMA)
@@ -90,26 +119,33 @@ def resize_media(
     df: DataFrame, height: int = 32, width: int = 32, fake: bool = False
 ) -> DataFrame:
     """Resize plumbing via mapInPandas: binary in -> binary out with
-    target dims. Stubbed like decode: real resample raises; the fake
-    path emits a deterministic content digest of the requested size so
-    batch shape, schema, and downstream joins are real."""
+    target dims. REAL for PNG (stdlib nearest-neighbor resample,
+    re-encoded as PNG); other formats raise unless ``fake=True``
+    (deterministic digest payload of the requested size, keeping batch
+    shape, schema, and downstream joins real)."""
 
     def _resize(batches: Iterator) -> Iterator:
         import hashlib
 
         import pandas as pd
 
+        from wq_data_pipeline_spark.operators import codecs as CC
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resampling requires libs not present in this "
-                    "container; pass fake=True for the deterministic stub"
-                )
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                seed = hashlib.md5(bytes(content)).digest()
-                n = height * width
-                buf = (seed * (n // len(seed) + 1))[:n]
+                b = bytes(content)
+                if CC.sniff(b) == "png":
+                    buf, _, _ = CC.png_resize_nearest(b, width, height)
+                elif fake:
+                    seed = hashlib.md5(b).digest()
+                    n = height * width
+                    buf = (seed * (n // len(seed) + 1))[:n]
+                else:
+                    raise NotImplementedError(
+                        "only PNG resizes with the stdlib codec; pass "
+                        "fake=True for the deterministic stub"
+                    )
                 out.append(
                     {
                         "media_id": int(mid),

@@ -73,23 +73,51 @@ def _pseudo_hyperplane_component(dim_idx: Column, plane: int) -> Column:
     ).otherwise(F.lit(-1.0))
 
 
+def hyperplane_components(plane: int, dim: int) -> list[float]:
+    """Driver-side precompute of the ±1 hyperplane: identical digests
+    to the JVM path (md5 is md5), but evaluated ONCE instead of per
+    (row, plane, dim) — the components are data-independent
+    constants."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
 def rp_lsh_signature(
-    vec_col: str | Column, n_planes: int = 4, plane_offset: int = 0
+    vec_col: str | Column,
+    n_planes: int = 4,
+    plane_offset: int = 0,
+    dim: int | None = None,
 ) -> Column:
     """Random-hyperplane LSH signature: bit p = sign(v · h_p) with
-    h_p ∈ {±1}^d derived from md5 — computed as an array fold per
-    plane, no stored hyperplane matrix (scales to any d).
-    ``plane_offset`` selects an independent plane set per band."""
+    h_p ∈ {±1}^d derived from md5. ``plane_offset`` selects an
+    independent plane set per band.
+
+    When ``dim`` (the embedding width) is known, the planes are baked
+    in as literal arrays — the md5 work moves to the driver, executors
+    do pure multiply-adds. Without ``dim`` the components are derived
+    per element in the JVM (same digests, any width)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    idx = F.sequence(F.lit(0), F.size(v) - 1)
     sig = F.lit(0)
     for p in range(n_planes):
-        comp = F.zip_with(
-            v,
-            idx,
-            lambda x, i: x.cast("double")
-            * _pseudo_hyperplane_component(i, plane_offset + p),
-        )
+        if dim is not None:
+            plane = F.array(
+                *[F.lit(c) for c in hyperplane_components(plane_offset + p, dim)]
+            )
+            comp = F.zip_with(v, plane, lambda x, h: x.cast("double") * h)
+        else:
+            idx = F.sequence(F.lit(0), F.size(v) - 1)
+            comp = F.zip_with(
+                v,
+                idx,
+                lambda x, i: x.cast("double")
+                * _pseudo_hyperplane_component(i, plane_offset + p),
+            )
         s = F.aggregate(comp, F.lit(0.0), lambda a, x: a + x)
         sig = sig + F.when(s > 0, F.lit(1 << p)).otherwise(0)
     return sig
@@ -157,36 +185,52 @@ def near_dup_pairs(
     planes_per_band: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection (the dedup-family
     member over vectors): candidate pairs from banded random-hyperplane
     LSH self-join, then exact cosine >= threshold. Output one row per
     unordered pair ``(id_a < id_b, cos_sim)``.
 
-    At scale this replaces the O(n^2) all-pairs cross join with
-    ``n_bands`` shuffles on small integer signatures — the same
-    candidate-generation shape as MinHash-LSH text dedup. Recall
+    At scale this replaces the O(n^2) all-pairs cross join with ONE
+    shuffle of skinny (id, band, sig) rows — bands are unpivoted to
+    rows and self-joined on (band, sig) in a single exchange, and the
+    vector payloads are joined back only for surviving candidate
+    pairs. (The r1 one-join-per-band union ran n_bands shuffle legs
+    concurrently and carried vectors through every one.) Recall
     follows the 1-(1-p^r)^b amplification curve, so high thresholds
     (true near-dups, p -> 1) are caught with near-certainty; the exact
-    all-pairs form (see ``q_embed_near_dup``) is the ground truth the
+    all-pairs form (``exact_near_dup_pairs``) is the ground truth the
     tests compare against."""
-    cand = None
-    for b in range(n_bands):
-        sig = rp_lsh_signature(vec_col, planes_per_band, plane_offset=b * planes_per_band)
-        side = corpus.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
-        a = side.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_sig"
-        )
-        bb = side.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_sig"
-        )
-        j = a.join(bb, on="_sig").filter(F.col("id_a") < F.col("id_b"))
-        p = j.select("id_a", "id_b", "_va", "_vb")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
-    return cand.select(
-        "id_a", "id_b", cosine("_va", "_vb").alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold)
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                rp_lsh_signature(
+                    vec_col, planes_per_band, plane_offset=b * planes_per_band, dim=dim
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    d = corpus.select(F.col(id_col), F.explode(band_sigs).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = d.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = d.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine("_va", "_vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def exact_near_dup_pairs(
@@ -214,29 +258,46 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k with banded OR-amplification: a candidate matches if
     it shares ANY band signature with the query (n_bands independent
     plane sets), then exact cosine within the candidate set.
 
-    At scale each band join is a shuffle on a small int key instead of
-    a cross join; recall rises with n_bands (1 − (1 − p^r)^b curve),
-    precision with planes_per_band."""
-    cand = None
-    for b in range(n_bands):
-        sig = lambda c: rp_lsh_signature(c, planes_per_band, plane_offset=b * planes_per_band)
-        cs = corpus.select(F.col(id_col), F.col(vec_col), sig(vec_col).alias("_sig"))
-        qs = queries.select(
-            F.col(id_col).alias(qid_col),
-            F.col(vec_col).alias("_qv"),
-            sig(vec_col).alias("_sig"),
+    At scale the candidate generation is ONE broadcast join on
+    (band, sig) pairs — bands unpivoted to rows on both sides, the
+    (small) query side broadcast — instead of a cross join or one
+    join leg per band; recall rises with n_bands (1 − (1 − p^r)^b
+    curve), precision with planes_per_band."""
+
+    def banded(side: DataFrame, out_id: str) -> DataFrame:
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    rp_lsh_signature(
+                        vec_col, planes_per_band, plane_offset=b * planes_per_band, dim=dim
+                    ).alias("sig"),
+                )
+                for b in range(n_bands)
+            ]
         )
-        j = cs.join(F.broadcast(qs), on="_sig").filter(F.col(id_col) != F.col(qid_col))
-        p = j.select(qid_col, F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_qv")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates([qid_col, "neighbor_id"])
-    scored = cand.select(
-        qid_col, "neighbor_id", cosine("_cv", "_qv").alias("cos_sim")
+        return side.select(
+            F.col(id_col).alias(out_id), F.explode(sigs).alias("bs")
+        ).select(out_id, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    cand = (
+        banded(corpus, "neighbor_id")
+        .join(F.broadcast(banded(queries, qid_col)), on=["band", "sig"])
+        .filter(F.col("neighbor_id") != F.col(qid_col))
+        .dropDuplicates([qid_col, "neighbor_id"])
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    qv = queries.select(F.col(id_col).alias(qid_col), F.col(vec_col).alias("_qv"))
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), qid_col)
+        .select(qid_col, "neighbor_id", cosine("_cv", "_qv").alias("cos_sim"))
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -125,26 +125,32 @@ def meta_stage(readings: DataFrame) -> DataFrame:
     return step.join(dups, on=KEYS, how="left")
 
 
-def widen(qc: DataFrame) -> DataFrame:
+def widen(qc: DataFrame, variables: list[str] | None = None) -> DataFrame:
     """P16/J2: long -> wide pivot with the reference's naming
-    convention ``{sanitized_var}__{suffix}``. One pivot per suffix,
-    joined on (station, ts) — Catalyst plans this as one shuffle per
-    pivot over the same key, and the variable list is discovered from
-    data unless provided."""
+    convention ``{sanitized_var}__{suffix}``.
+
+    ONE shuffle total: a single ``groupBy(station, ts).pivot(variable)``
+    aggregating ``first(struct(raw, clean, accepted, saqc_flag))``, then
+    a free (narrow) projection expanding each variable's struct into its
+    four suffix columns. The r1 form (one pivot per suffix + 3
+    full-outer joins) was 4 shuffles over the same key.
+
+    Pass ``variables`` to keep the plan fully lazy; when omitted it is
+    discovered with a distinct-collect on the (tiny) variable column.
+    """
     suffixes = ["raw", "clean", "accepted", "saqc_flag"]
-    variables = [r[0] for r in qc.select("variable").distinct().collect()]
-    pivots = None
-    for suf in suffixes:
-        p = (
-            qc.groupBy("station", "ts")
-            .pivot("variable", variables)
-            .agg(F.first(suf))
-        )
-        renames = {v: f"{sanitize_name(v)}__{suf}" for v in variables}
-        for old, new in renames.items():
-            p = p.withColumnRenamed(old, new)
-        pivots = p if pivots is None else pivots.join(p, on=["station", "ts"], how="full_outer")
-    return pivots.orderBy("station", "ts")
+    if variables is None:
+        variables = [r[0] for r in qc.select("variable").distinct().collect()]
+    packed = (
+        qc.groupBy("station", "ts")
+        .pivot("variable", variables)
+        .agg(F.first(F.struct(*suffixes)))
+    )
+    cols = [F.col("station"), F.col("ts")]
+    for v in variables:
+        for suf in suffixes:
+            cols.append(F.col(f"`{v}`.{suf}").alias(f"{sanitize_name(v)}__{suf}"))
+    return packed.select(*cols).orderBy("station", "ts")
 
 
 @dataclass

@@ -169,9 +169,23 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").repartition(n, "doc_id")
 
 
+# SQL mirror of dedup.shingle_hash + the affine permutations: ONE md5
+# per shingle, k integer multiply-add-mods. '0x'-cast and Spark conv()
+# agree on the 8-hex-digit value; all constants are int literals.
+_MH_HASH_SQL = "('0x' || substr(md5(s), 1, 8))::BIGINT"
+
+
+def _minhash_min_sql(i: int) -> str:
+    a, b = DD.minhash_coeffs(max(i + 1, 1))[i]
+    return (
+        f"list_min(list_transform(sh, s -> ({a} * {_MH_HASH_SQL} + {b}) % {DD._MH_P}))"
+    )
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=4) over word 3-gram shingles: lexicographic
-    min of seeded md5 digests — engine-portable min-hash."""
+    """MinHash signatures (k=4 demo; operator default is 32) over word
+    3-gram shingles: one 32-bit md5-derived hash per shingle, affine
+    permutations per seed — engine-portable min-hash."""
     d = _docs_parallel(spark, sf_dir)
     return DD.minhash_signatures_table(d, "text", "doc_id", num_hashes=4)
 
@@ -179,38 +193,60 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MINHASH = f"""{SQL_WORDS},
 sh AS (SELECT doc_id, {_shingles_sql()} AS sh FROM w)
 SELECT doc_id,
-       list_min(list_transform(sh, s -> md5(s || '#0'))) AS mh0,
-       list_min(list_transform(sh, s -> md5(s || '#1'))) AS mh1,
-       list_min(list_transform(sh, s -> md5(s || '#2'))) AS mh2,
-       list_min(list_transform(sh, s -> md5(s || '#3'))) AS mh3
+       {_minhash_min_sql(0)} AS mh0,
+       {_minhash_min_sql(1)} AS mh1,
+       {_minhash_min_sql(2)} AS mh2,
+       {_minhash_min_sql(3)} AS mh3
 FROM sh"""
 
 
+# operator defaults: 32 hashes, 4 rows/band -> 8 bands (recall ~0.985
+# at J=0.8; the r1 catalog used k=4 which is recall-thin)
+_MH_K = 32
+_MH_R = 4
+
+
+def _minhash_sig_sql(num_hashes: int, rows_per_band: int) -> str:
+    """sig CTE: one md5 band key per consecutive group of minhashes —
+    the SQL mirror of dedup.lsh_bands over minhash_signatures_table
+    (concat_ws('|') of BIGINT minhashes -> md5)."""
+    bands = []
+    for b0 in range(0, num_hashes, rows_per_band):
+        group = " || '|' || ".join(
+            f"CAST({_minhash_min_sql(i)} AS VARCHAR)"
+            for i in range(b0, min(b0 + rows_per_band, num_hashes))
+        )
+        bands.append(f"md5({group}) AS band{b0 // rows_per_band}")
+    return ",\n         ".join(bands)
+
+
+def _minhash_pairs_sql(num_hashes: int, rows_per_band: int) -> str:
+    n_bands = (num_hashes + rows_per_band - 1) // rows_per_band
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b "
+        f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(n_bands)
+    )
+    return (
+        f"sh AS (SELECT doc_id, {_shingles_sql()} AS sh FROM w),\n"
+        f"sig AS (\n  SELECT doc_id,\n         {_minhash_sig_sql(num_hashes, rows_per_band)}\n  FROM sh\n),\n"
+        f"pairs AS (\n  SELECT DISTINCT id_a, id_b FROM (\n  {unions}\n  )\n)"
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (k=4, 2 rows/band -> 2 bands):
-    docs sharing a band key. The banding turns all-pairs into
-    per-bucket joins — the 100-TB dedup path."""
+    """MinHash-LSH candidate pairs at the operator defaults (k=32,
+    4 rows/band -> 8 bands): docs sharing a band key. The banding
+    turns all-pairs into per-bucket joins — the 100-TB dedup path."""
     d = _docs_parallel(spark, sf_dir)
     return DD.minhash_lsh_candidates(
-        d, "text", "doc_id", num_hashes=4, rows_per_band=2
+        d, "text", "doc_id", num_hashes=_MH_K, rows_per_band=_MH_R
     )
 
 
 SQL_MINHASH_LSH = f"""{SQL_WORDS},
-sh AS (SELECT doc_id, {_shingles_sql()} AS sh FROM w),
-sig AS (
-  SELECT doc_id,
-         md5(list_min(list_transform(sh, s -> md5(s || '#0'))) || '|' ||
-             list_min(list_transform(sh, s -> md5(s || '#1')))) AS band0,
-         md5(list_min(list_transform(sh, s -> md5(s || '#2'))) || '|' ||
-             list_min(list_transform(sh, s -> md5(s || '#3')))) AS band1
-  FROM sh
-)
-SELECT DISTINCT id_a, id_b FROM (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-  UNION ALL
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
-)"""
+{_minhash_pairs_sql(_MH_K, _MH_R)}
+SELECT id_a, id_b FROM pairs"""
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,29 +254,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components (iterative min-label propagation) -> cluster
     assignments. The oracle replays the pairs with a recursive CTE."""
     d = _docs_parallel(spark, sf_dir)
-    pairs = DD.minhash_lsh_candidates(d, "text", "doc_id", num_hashes=4, rows_per_band=2)
+    pairs = DD.minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=_MH_K, rows_per_band=_MH_R
+    )
     nodes = d.select("doc_id")
     comps = DD.connected_components(nodes, pairs, "doc_id", "id_a", "id_b")
     return comps.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
 
 
 SQL_DEDUP_CLUSTERS = f"""{SQL_WORDS},
-sh AS (SELECT doc_id, {_shingles_sql()} AS sh FROM w),
-sig AS (
-  SELECT doc_id,
-         md5(list_min(list_transform(sh, s -> md5(s || '#0'))) || '|' ||
-             list_min(list_transform(sh, s -> md5(s || '#1')))) AS band0,
-         md5(list_min(list_transform(sh, s -> md5(s || '#2'))) || '|' ||
-             list_min(list_transform(sh, s -> md5(s || '#3')))) AS band1
-  FROM sh
-),
-pairs AS (
-  SELECT DISTINCT id_a, id_b FROM (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-    UNION ALL
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
-  )
-),
+{_minhash_pairs_sql(_MH_K, _MH_R)},
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
 ),
@@ -332,8 +355,10 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
     # single-file corpus -> one scan split; spread the O(corpus x queries)
-    # scoring loop across cores before the broadcast fan-out
-    j = emb.repartition(32).crossJoin(F.broadcast(qs)).filter(
+    # scoring loop across the cluster before the broadcast fan-out
+    # (defaultParallelism, NOT a literal core count — a fixed 32 would
+    # cap parallelism on a real cluster)
+    j = emb.repartition(spark.sparkContext.defaultParallelism).crossJoin(F.broadcast(qs)).filter(
         F.col("vec_id") != F.col("query_id")
     )
     dotq = F.aggregate(
@@ -389,7 +414,7 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2 = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
         return dot.cast("double") / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
 
-    scored_c = emb.repartition(32).crossJoin(F.broadcast(cent)).withColumn(
+    scored_c = emb.repartition(spark.sparkContext.defaultParallelism).crossJoin(F.broadcast(cent)).withColumn(
         "cs", qcos(F.col("q"), F.col("cq"))
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("centroid_id"))
@@ -452,52 +477,114 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 ) WHERE rank <= 5"""
 
 
+_ND_BANDS = 8
+_ND_PLANES = 4  # bits per band
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family over
-    vectors): unordered pairs with cosine >= 0.45. Quantized-integer
-    dot products keep the threshold comparison BIGINT-exact in both
-    engines. This exact all-pairs form is the oracle-able ground
-    truth; the 100-TB path is ``similarity.near_dup_pairs`` (banded
-    LSH candidates, tested for recall against this query)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _quantized("embedding").alias("q")
+    vectors) — the 100-TB banded-LSH plan as the CATALOGED query:
+    candidate pairs share at least one of 8 random-hyperplane band
+    signatures (md5-derived ±1 planes, seedless), then exact
+    quantized-integer cosine >= 0.45 within candidates. No cartesian:
+    each band is a shuffle on a small int signature.
+
+    Oracle-exact because the oracle SQL replicates the SAME md5
+    hyperplanes (md5 hex is portable across engines), so the candidate
+    sets — not just the scores — match bit-for-bit. The O(n^2) exact
+    form stays available as ``similarity.exact_near_dup_pairs`` for
+    bounded-n validation/recall tests."""
+    from wq_data_pipeline_spark.operators.similarity import rp_lsh_signature
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    # probe the embedding width once (1-row job) so the hyperplanes
+    # are baked in as literals — executors do multiply-adds, no md5
+    dim = raw.select(F.size("embedding")).head()[0]
+    emb = raw.select("vec_id", _quantized("embedding").alias("q"))
+    # single-file small table would compute all 32 plane dots in one
+    # task; spread rows across the cluster first
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                rp_lsh_signature(
+                    "q", _ND_PLANES, plane_offset=b * _ND_PLANES, dim=dim
+                ).alias("sig"),
+            )
+            for b in range(_ND_BANDS)
+        ]
     )
-    # norm once per VECTOR, not per pair (cuts 2 of 3 array folds);
-    # repartition the fan-out side — a single-file small table would
-    # otherwise run the O(n^2) pair loop on one task
-    emb = emb.withColumn(
-        "n",
-        F.aggregate(F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x),
+    # shuffle ONLY (vec_id, band, sig) through the band self-join —
+    # vector payloads would multiply shuffle bytes by dim×n_bands;
+    # they are joined back per candidate pair afterwards
+    d = emb.select("vec_id", F.explode(band_sigs).alias("bs")).select(
+        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("n").alias("na")
-    ).repartition(32)
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("n").alias("nb")
+    a = d.select(F.col("vec_id").alias("id_a"), "band", "sig")
+    b = d.select(F.col("vec_id").alias("id_b"), "band", "sig")
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    qa = emb.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"))
+    qb = emb.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"))
+    pairs = cand.join(qa, "id_a").join(qb, "id_b")
     dotq = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
     )
-    cos = dotq.cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
-    )
-    return j.select("id_a", "id_b", cos.alias("cos_sim")).filter(
+    na = F.aggregate(F.transform("qa", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
+    nb = F.aggregate(F.transform("qb", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
+    cos = dotq.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    return pairs.select("id_a", "id_b", cos.alias("cos_sim")).filter(
         F.col("cos_sim") >= 0.45
     )
 
 
+# Oracle: same md5-derived hyperplanes (parity of the first hex digit
+# of md5('<plane>:<dim>') -> ±1, exactly _pseudo_hyperplane_component),
+# same banding, same quantized cosine. Plane dots are BIGINT sums
+# (Spark's double fold over |q_i| <= 1e7 longs is exact), so the
+# sign — and hence every signature bit — matches bit-for-bit.
 SQL_EMBED_NEAR_DUP = f"""
 WITH q AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_Q}) AS BIGINT)) AS q
   FROM embeddings
 ),
+dim AS (SELECT unnest(generate_series(0, (SELECT max(len(q)) - 1 FROM q))) AS i),
+pl AS (SELECT unnest(generate_series(0, {_ND_BANDS * _ND_PLANES - 1})) AS p),
+planes AS (
+  SELECT pl.p, dim.i,
+         CASE WHEN substr(md5(CAST(pl.p AS VARCHAR) || ':' || CAST(dim.i AS VARCHAR)), 1, 1)
+                   IN ('0','2','4','6','8','a','c','e')
+              THEN 1 ELSE -1 END AS h
+  FROM pl CROSS JOIN dim
+),
+dimv AS (
+  SELECT vec_id, i, q[i + 1] AS qi
+  FROM (SELECT vec_id, q, unnest(generate_series(0, len(q) - 1)) AS i FROM q)
+),
+pdot AS (
+  SELECT v.vec_id, pl2.p, sum(v.qi * pl2.h) AS s
+  FROM dimv v JOIN planes pl2 ON v.i = pl2.i
+  GROUP BY v.vec_id, pl2.p
+),
+sigs AS (
+  SELECT vec_id, p // {_ND_PLANES} AS band,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << (p % {_ND_PLANES}) ELSE 0 END) AS BIGINT) AS sig
+  FROM pdot GROUP BY vec_id, p // {_ND_PLANES}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  SELECT c.id_a, c.id_b,
          list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])) AS dotq,
          list_sum(list_transform(a.q, x -> x * x)) AS n1,
          list_sum(list_transform(b.q, x -> x * x)) AS n2
-  FROM q a JOIN q b ON a.vec_id < b.vec_id
+  FROM cand c JOIN q a ON a.vec_id = c.id_a JOIN q b ON b.vec_id = c.id_b
 )
 SELECT id_a, id_b,
        CAST(dotq AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos_sim
@@ -513,8 +600,9 @@ def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wq_data_pipeline_spark.operators.similarity import lsh_bucketed_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).head()[0]
     qs = emb.filter(F.col("vec_id") % 100 == 0)
-    return lsh_bucketed_topk(emb, qs, k=5, n_bands=4, planes_per_band=4)
+    return lsh_bucketed_topk(emb, qs, k=5, n_bands=4, planes_per_band=4, dim=dim)
 
 
 def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:

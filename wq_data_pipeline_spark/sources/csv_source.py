@@ -38,6 +38,49 @@ def read_wide_csv(
     return df
 
 
+def localize_naive_timestamps(
+    df: DataFrame,
+    ts_col: str,
+    zone: str,
+    ambiguous: str = "NaT",
+    nonexistent: str = "NaT",
+) -> DataFrame:
+    """tz-localize naive wall-clock timestamps to UTC with the
+    reference's DST policy (``tz_localize(ambiguous='NaT',
+    nonexistent='NaT')``, scripts/ufz_water_qc_pipeline.py:71).
+
+    Pure JVM expressions — a naive t in ``zone`` is
+    - *nonexistent* (spring-forward hole) iff the UTC round-trip does
+      not reproduce t;
+    - *ambiguous* (fall-back fold) iff a second UTC instant (±1h from
+      Spark's pick) also maps back to t.
+    ``'NaT'`` nulls those rows (reference policy); ``'keep'`` keeps
+    Spark's resolution (earliest offset). Output column is the UTC
+    instant; malformed policy strings raise.
+    """
+    if ambiguous not in ("NaT", "keep") or nonexistent not in ("NaT", "keep"):
+        raise ValueError("ambiguous/nonexistent must be 'NaT' or 'keep'")
+    t = F.col(ts_col)
+    utc = F.to_utc_timestamp(t, zone)
+    roundtrip = F.from_utc_timestamp(utc, zone)
+    is_nonexistent = roundtrip != t
+    # a second mapping sits ±1h away for standard DST, ±30m for the
+    # half-hour DST zones (e.g. Lord Howe)
+    folds = [
+        F.from_utc_timestamp(utc + F.expr(f"INTERVAL {m} MINUTES"), zone) == t
+        for m in (60, -60, 30, -30)
+    ]
+    is_ambiguous = ~is_nonexistent & folds[0]
+    for c in folds[1:]:
+        is_ambiguous = is_ambiguous | (~is_nonexistent & c)
+    out = utc
+    if nonexistent == "NaT":
+        out = F.when(is_nonexistent, None).otherwise(out)
+    if ambiguous == "NaT":
+        out = F.when(is_ambiguous, None).otherwise(out)
+    return df.withColumn(ts_col, out)
+
+
 def melt_wide(
     df: DataFrame,
     variables: list[str],

@@ -46,6 +46,22 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build: surface the read error instead
+    # Right-size shuffle width for the actual cluster: a vanilla
+    # session leaves spark.sql.shuffle.partitions at 200; on a small
+    # local[N] driver every concurrent map task then opens ~200
+    # bypass-merge partition writers (each with an LZ4 buffer), which
+    # can exhaust the default 1 GB heap (observed: OOM in banded-join
+    # shuffles). Only the untouched default is overridden — an
+    # explicit user/cluster setting is respected. Results are
+    # partition-count independent (all order-sensitive accumulations
+    # are quantized; verified hash-exact at 8/32/200).
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            n = max(spark.sparkContext.defaultParallelism, 32)
+            if n < 200:
+                spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    except Exception:
+        pass
     # executors must be able to import this package (pandas-UDF
     # closures are pickled by module reference)
     from wq_data_pipeline_spark.session import ship_package

@@ -125,6 +125,44 @@ def session_rollup(
     )
 
 
+def stream_dedup_exact(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    ts: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming member of the
+    dedup family (batch twin: ``operators.dedup.exact_dedup_*``).
+
+    ``dropDuplicatesWithinWatermark`` keys state on the dedup columns
+    and EVICTS each key once the watermark passes it, so state is
+    bounded by (arrival-rate × watermark window), not by stream
+    history — the property that keeps this runnable forever at
+    ingest scale. Plain ``dropDuplicates`` on a stream would grow
+    state without bound."""
+    keys = keys or ["station", "variable", ts, "value"]
+    return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_dedup_content(
+    stream: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming content-hash dedup for document ingest: md5 of the
+    payload is the dedup key (the streaming analog of the batch
+    hash-groupBy ``exact_dedup``); watermark-bounded state as above.
+    Emits the first-seen row per content digest."""
+    d = stream.withColumn("_digest", F.md5(F.col(text)))
+    return (
+        d.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )
+
+
 def stateless_qc_flags(
     stream: DataFrame, lo: float = 0.0, hi: float = 40.0
 ) -> DataFrame:
