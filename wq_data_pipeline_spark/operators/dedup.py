@@ -209,14 +209,18 @@ def connected_components(
     O(log diameter) rounds, not diameter rounds — the shape that holds
     when a 100-TB near-dup graph contains long chains.
 
-    Scale mechanics: every round caches its (node, label) frame and
-    unpersists the previous round's (so storage stays O(1) rounds —
-    pinned localCheckpoint blocks starved the 1 GB default driver
-    heap), and the fixpoint test is a ``limit(1)`` scan over a
-    changed-flag computed inside the round's own join (no extra
-    old-vs-new join job). No driver-side graph. On a real cluster,
-    add a reliable-store ``checkpoint()`` every ~10 rounds to bound
-    lineage depth.
+    Scale mechanics: every round ``localCheckpoint(eager=True)``s its
+    (node, label) frame. This is not optional lineage hygiene — each
+    round references the previous labels THREE times (neighbor-min
+    build, the propagation join, the pointer-jump self-join), so
+    without the checkpoint the logical plan TRIPLES per round:
+    exponential analysis cost (StackOverflow in plan handling by
+    round ~6 at sf0.1). The checkpointed label frame is O(n_nodes)
+    skinny rows, so the pinned blocks are negligible; the fixpoint
+    test is a scan of a changed-flag computed inside the round's own
+    join (no extra old-vs-new join job). No driver-side graph. On a
+    multi-executor cluster swap localCheckpoint for reliable-store
+    ``checkpoint()`` (localCheckpoint dies with an executor).
     """
     lab = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
@@ -244,14 +248,10 @@ def connected_components(
             F.least(F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))).alias("label"),
             (F.least(F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))) != F.col("_old")).alias("_chg"),
         )
-        new_lab = jumped.cache()
-        # one aggregate job: materializes EVERY partition into the
-        # cache (a limit(1) probe would leave partitions uncomputed
-        # and later rounds would replay the unpersisted upstream)
-        changed = new_lab.agg(F.max(F.col("_chg").cast("int"))).first()[0]
-        lab.unpersist()
+        new_lab = jumped.localCheckpoint()  # eager: materialize + cut lineage
+        changed = new_lab.filter("_chg").limit(1).count()
         lab = new_lab.drop("_chg")
-        if not changed:
+        if changed == 0:
             break
     both.unpersist()
     return lab.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -625,9 +625,10 @@ ORACLES.update(ORACLES5)
 # entries. Order so every SURVEY-§2 / LLM-pipeline operator's backing
 # query sits inside that window; the tail holds the no-oracle entries
 # (rows-only check — no hash signal) and extras whose capability is
-# already demonstrated by a checked query (A6 by a6_diff_quantiles,
-# scan/agg/joins by tpch_q3 + rel_anti/semi/rollup). All tail entries
-# remain covered by the local pytest oracle mirror.
+# already demonstrated by a checked query (A6 by a6_diff_quantiles;
+# scan/agg/join breadth by tpch_q3 + asof + j3; the rel_* one-liners
+# by the same join machinery). All tail entries remain covered by the
+# local pytest oracle mirror.
 _TAIL = [
     "tpch_q1",
     "tpch_q5",
@@ -636,6 +637,9 @@ _TAIL = [
     "rel_distinct_agg",
     "rel_union_having",
     "rel_corr_subquery",
+    "rel_anti_join",
+    "rel_semi_join",
+    "rel_rollup",
     "embed_lsh_ann",
     "multimodal_decode",
     "wrtds_residuals",

@@ -515,30 +515,42 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_ND_BANDS)
         ]
     )
-    # shuffle ONLY (vec_id, band, sig) through the band self-join —
-    # vector payloads would multiply shuffle bytes by dim×n_bands;
-    # they are joined back per candidate pair afterwards
-    d = emb.select("vec_id", F.explode(band_sigs).alias("bs")).select(
-        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    # At this threshold (0.45, barely above the background cosine
+    # distribution) 4-bit bands collide densely: ~1M candidate pairs
+    # from 5k vectors at sf0.1. Carrying the vectors + hoisted norms
+    # THROUGH the band join (n_bands × corpus rows, ~MBs) and scoring
+    # inline is cheaper than shuffling the 1M-pair candidate list
+    # into two vector joins; dedup happens AFTER the threshold filter
+    # when only the surviving pairs (~100 rows) shuffle. For sparse
+    # candidates (high thresholds) the opposite shape wins — shuffle
+    # skinny (id, band, sig) and join vectors back per candidate.
+    nrm = F.aggregate(
+        F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x
     )
-    a = d.select(F.col("vec_id").alias("id_a"), "band", "sig")
-    b = d.select(F.col("vec_id").alias("id_b"), "band", "sig")
-    cand = (
-        a.join(b, on=["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    d = emb.withColumn("n", nrm).select(
+        "vec_id", "q", "n", F.explode(band_sigs).alias("bs")
+    ).select(
+        "vec_id", "q", "n", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    qa = emb.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"))
-    qb = emb.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"))
-    pairs = cand.join(qa, "id_a").join(qb, "id_b")
+    a = d.select(
+        F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("n").alias("na"),
+        "band", "sig",
+    )
+    b = d.select(
+        F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("n").alias("nb"),
+        "band", "sig",
+    )
+    j = a.join(b, on=["band", "sig"]).filter(F.col("id_a") < F.col("id_b"))
     dotq = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
     )
-    na = F.aggregate(F.transform("qa", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
-    nb = F.aggregate(F.transform("qb", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
-    cos = dotq.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
-    return pairs.select("id_a", "id_b", cos.alias("cos_sim")).filter(
-        F.col("cos_sim") >= 0.45
+    cos = dotq.cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        j.select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.45)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -655,6 +667,121 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(d, fake=True)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by md5 bucket of
+    doc_id — the reproducible-split primitive of a training-data
+    pipeline (same doc lands in the same split on any engine, any
+    run, any partitioning; no RNG). Emits per (source, split) counts."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+SQL_HASH_SPLIT = """
+WITH b AS (
+  SELECT source, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1, 2"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (CCNet-style perplexity proxy): corpus
+    word frequencies -> per-doc mean surprisal -log2(c/total).
+
+    Determinism across engines: the per-token surprisal is quantized
+    to integer micro-bits (round(lp*1e6) as BIGINT) and summed as
+    BIGINT — integer addition is order-free, so the score is identical
+    under any partitioning and any engine. One corpus-wide freq table
+    (broadcast-sized vocabulary), one explode, two shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    lp = F.round(
+        -F.log2(F.col("c").cast("double") / F.col("total").cast("double")) * 1e6
+    ).cast("long")
+    scored = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(lp).cast("long").alias("sum_surprisal_micro"),
+        (F.sum(lp).cast("double") / F.count(F.lit(1))).alias("mean_surprisal_micro"),
+    )
+
+
+SQL_UNIGRAM_LOGPROB = f"""{SQL_WORDS},
+t AS (SELECT doc_id, unnest(toks) AS tok FROM w),
+f AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM f),
+term AS (
+  SELECT t.doc_id,
+         CAST(round(-log2(CAST(f.c AS DOUBLE) / CAST(tot.total AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+  FROM t JOIN f USING (tok) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(lp) AS BIGINT) AS sum_surprisal_micro,
+       CAST(sum(lp) AS DOUBLE) / count(*) AS mean_surprisal_micro
+FROM term GROUP BY doc_id"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source decontamination check (train/eval leakage): for
+    each non-src0 source, how many docs share an order-insensitive
+    content fingerprint with the src0 'training' corpus. The semi
+    join touches only fingerprints (one md5 per doc) — the cheap
+    first-stage leak scan a training pipeline runs before a split."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("source", TX.doc_fingerprint("text").alias("fp"))
+    train_fp = fp.filter(F.col("source") == "src0").select("fp").distinct()
+    ev = fp.filter(F.col("source") != "src0")
+    hits = (
+        ev.join(train_fp, "fp", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = ev.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return totals.join(hits, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+    )
+
+
+SQL_DECONTAMINATE = f"""{SQL_WORDS},
+fp AS (
+  SELECT source, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+  FROM w
+),
+train AS (SELECT DISTINCT fp FROM fp WHERE source = 'src0'),
+ev AS (SELECT * FROM fp WHERE source <> 'src0')
+SELECT ev.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ev.fp IN (SELECT fp FROM train) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+FROM ev GROUP BY ev.source"""
+
+
 QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -673,6 +800,9 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_json": q_props_json,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "hash_split": q_hash_split,
+    "unigram_logprob": q_unigram_logprob,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLES3: dict[str, str] = {
@@ -691,5 +821,8 @@ ORACLES3: dict[str, str] = {
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "props_json": SQL_PROPS_JSON,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "hash_split": SQL_HASH_SPLIT,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "decontaminate": SQL_DECONTAMINATE,
     # embed_lsh_ann, multimodal_decode: rows-only (non-SQL-expressible)
 }

@@ -10,6 +10,8 @@ Mappings:
                                islands need ordered history; a
                                per-key applyInPandasWithState variant
                                is the low-latency path)
+- exact/content dedup       -> dropDuplicatesWithinWatermark
+                               (watermark-bounded state)
 
 All sources here are file streams for testability; swap
 ``readStream.format`` for kafka/kinesis in production — the plan is
