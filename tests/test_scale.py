@@ -186,3 +186,38 @@ def test_minhash_lsh_recall_at_08(spark, sf_dir):
     }
     recall = len(truth & cand) / len(truth)
     assert recall >= 0.95, f"recall {recall:.3f} over {len(truth)} true pairs"
+
+
+def test_kmeans_descends_and_ivf_recall(spark, sf_dir):
+    """Lloyd k-means: the cosine-space objective must not increase
+    with training, and IVF over the trained centroids must reach
+    reasonable recall vs exact brute force at nprobe=2."""
+    from pyspark.sql import functions as F
+
+    from wq_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+        kmeans_inertia,
+    )
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = kmeans_centroids(emb, k=8, iters=0)
+    trained = kmeans_centroids(emb, k=8, iters=3)
+    i0 = kmeans_inertia(emb, init)
+    i3 = kmeans_inertia(emb, trained)
+    assert i3 <= i0 + 1e-9, f"objective rose: {i0} -> {i3}"
+    assert i3 < i0 * 0.95, f"training barely moved the objective: {i0} -> {i3}"
+
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, qs, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, qs, trained, k=5, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low with trained centroids"

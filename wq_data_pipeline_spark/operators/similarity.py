@@ -178,6 +178,98 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means trainer for IVF coarse centroids.
+
+    Deterministic seedless init: the k corpus vectors with the
+    smallest md5(id) (uniform pseudo-random, engine/partition
+    independent). Each round: broadcast the k×dim centroid table,
+    assign every vector to its nearest centroid (map-side, no
+    shuffle of the corpus), recompute centroids as element-wise
+    means via posexplode + groupBy, and COLLECT the k×dim result to
+    the driver — centroids are tiny, so driver round-trips per
+    iteration are the standard Spark k-means shape (what MLlib does)
+    and keep every round's plan flat (no lineage growth, no
+    checkpoint needed). Empty clusters keep their previous centroid.
+
+    Returns a (centroid_id, ``vec_col``) DataFrame ready for
+    :func:`ivf_topk`.
+    """
+    spark = corpus.sparkSession
+    seed_rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    cents: list[list[float]] = [list(r[vec_col]) for r in seed_rows]
+
+    def cent_df(vectors: list[list[float]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+            f"centroid_id INT, {vec_col} ARRAY<DOUBLE>",
+        )
+
+    for _ in range(iters):
+        cent = cent_df(cents).select(
+            F.col("centroid_id").alias("_cid"), F.col(vec_col).alias("_cv")
+        )
+        scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cent))
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc(cosine(vec_col, "_cv")), F.asc("_cid")
+        )
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_cid", vec_col)
+        )
+        means = (
+            assigned.select("_cid", F.posexplode(vec_col).alias("_pos", "_x"))
+            .groupBy("_cid", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_m"))
+                ).alias("_pm")
+            )
+            .select("_cid", F.transform("_pm", lambda s: s["_m"]).alias("_mv"))
+            .collect()
+        )
+        new_cents = list(cents)  # empty clusters keep previous centroid
+        for r in means:
+            new_cents[r["_cid"]] = list(r["_mv"])
+        cents = new_cents
+    return cent_df(cents).select("centroid_id", vec_col)
+
+
+def kmeans_inertia(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Sum over vectors of (1 - cosine to nearest centroid) — the
+    cosine-space objective kmeans_centroids descends; exposed for
+    convergence tests."""
+    cent = centroids.select(
+        F.col("centroid_id").alias("_cid"), F.col(vec_col).alias("_cv")
+    )
+    scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cent))
+    w = Window.partitionBy(id_col).orderBy(F.desc(cosine(vec_col, "_cv")), F.asc("_cid"))
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return best.agg(
+        F.sum(F.lit(1.0) - cosine(vec_col, "_cv")).alias("s")
+    ).first()["s"]
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

@@ -641,6 +641,7 @@ _TAIL = [
     "rel_semi_join",
     "rel_rollup",
     "embed_lsh_ann",
+    "embed_kmeans_ivf",
     "multimodal_decode",
     "wrtds_residuals",
 ]

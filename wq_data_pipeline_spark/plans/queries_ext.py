@@ -667,6 +667,20 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(d, fake=True)
 
 
+def q_embed_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over TRAINED coarse centroids: Lloyd k-means (k=8,
+    3 rounds, deterministic md5-seeded init) -> nprobe bucket search.
+    The trained-quantizer variant of ``embed_ivf_topk``. Rows-only:
+    the iterative trainer is not SQL-expressible; recall and
+    objective descent are asserted in tests/test_scale.py."""
+    from wq_data_pipeline_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=8, iters=3)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, qs, cent, k=5, nprobe=2)
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (80/10/10) by md5 bucket of
     doc_id — the reproducible-split primitive of a training-data
@@ -803,6 +817,7 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "unigram_logprob": q_unigram_logprob,
     "decontaminate": q_decontaminate,
+    "embed_kmeans_ivf": q_embed_kmeans_ivf,
 }
 
 ORACLES3: dict[str, str] = {
