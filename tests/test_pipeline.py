@@ -88,8 +88,23 @@ def test_gap_nulled(outputs):
 def test_wide_schema_naming(outputs):
     cols = set(outputs.timeseries_wide.columns)
     for var in ("o2", "ph"):
-        for suf in ("raw", "clean", "accepted", "saqc_flag"):
+        for suf in (
+            "raw", "clean", "accepted", "saqc_flag",
+            # sentem columns attached when apply_sentem (reference
+            # process_variable :740-744)
+            "sm_masked", "sm_flagged", "sm_flagreason",
+        ):
             assert f"{var}__{suf}" in cols, cols
+
+
+def test_sentem_columns_in_long(outputs):
+    from pyspark.sql import functions as F
+
+    ts = outputs.timeseries
+    assert {"sm_masked", "sm_flagged", "sm_flagreason"} <= set(ts.columns)
+    # flagged rows are masked to NULL; unflagged keep the (premasked) value
+    assert ts.filter(F.col("sm_flagged") & F.col("sm_masked").isNotNull()).count() == 0
+    assert ts.filter(F.col("sm_flagged") & (F.col("sm_flagreason") == "")).count() == 0
 
 
 def test_seasonal_rows(outputs):

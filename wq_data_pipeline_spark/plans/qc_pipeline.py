@@ -45,6 +45,10 @@ class QCConfig:
     jump_thresh: float | None = None
     slope_window_points: int = 25
     slope_abs: float = 1e-10
+    # reference default: process_variable(apply_sentem=True) attaches
+    # __sm_masked/__sm_flagged/__sm_flagreason to the wide output
+    # (scripts/ufz_water_qc_pipeline.py:740-744)
+    apply_sentem: bool = True
 
 
 def clean_stage(readings: DataFrame, cfg: QCConfig) -> DataFrame:
@@ -125,6 +129,26 @@ def meta_stage(readings: DataFrame) -> DataFrame:
     return step.join(dups, on=KEYS, how="left")
 
 
+def sentem_stage(flagged: DataFrame) -> DataFrame:
+    """SentemQC columns on the QC long table (reference sm_df inside
+    process_variable, scripts/ufz_water_qc_pipeline.py:697-701,
+    740-744): 5-pass band flags over the clean series ->
+    ``sm_masked`` / ``sm_flagged`` / ``sm_flagreason``. Runs on a
+    copy column so the pre-mask does not clobber ``clean``; the band
+    windows share the pipeline's (station, variable) × ts sort key."""
+    from wq_data_pipeline_spark.operators.sentem import apply_sentemqc
+
+    d = flagged.withColumn("_sv", F.col("clean"))
+    d = apply_sentemqc(d, value="_sv", keys=KEYS, ts="ts")
+    keep = [c for c in flagged.columns]
+    return d.select(
+        *keep,
+        F.col("value_masked").alias("sm_masked"),
+        F.col("is_flagged").alias("sm_flagged"),
+        F.col("flag_reason").alias("sm_flagreason"),
+    )
+
+
 def widen(qc: DataFrame, variables: list[str] | None = None) -> DataFrame:
     """P16/J2: long -> wide pivot with the reference's naming
     convention ``{sanitized_var}__{suffix}``.
@@ -138,7 +162,9 @@ def widen(qc: DataFrame, variables: list[str] | None = None) -> DataFrame:
     Pass ``variables`` to keep the plan fully lazy; when omitted it is
     discovered with a distinct-collect on the (tiny) variable column.
     """
-    suffixes = ["raw", "clean", "accepted", "saqc_flag"]
+    suffixes = ["raw", "clean", "accepted", "saqc_flag"] + [
+        s for s in ("sm_masked", "sm_flagged", "sm_flagreason") if s in qc.columns
+    ]
     if variables is None:
         variables = [r[0] for r in qc.select("variable").distinct().collect()]
     packed = (
@@ -171,6 +197,8 @@ def run_qc_pipeline(readings: DataFrame, cfg: QCConfig | None = None) -> QCOutpu
     cfg = cfg or QCConfig()
     cleaned = clean_stage(readings, cfg).cache()
     flagged = flag_stage(cleaned, cfg)
+    if cfg.apply_sentem:
+        flagged = sentem_stage(flagged)
     events = event_stage(cleaned, cfg)
     seasonal = seasonal_stage(cleaned, events)
     meta = meta_stage(readings)
