@@ -204,3 +204,13 @@ def test_multimodal_to_similarity_bridge(spark, sf_dir):
     # determinism across runs (hash-derived features, no RNG)
     again = {(r.query_id, r.neighbor_id, r.rank) for r in brute_force_topk(feats, qs, k=3).collect()}
     assert again == {(r.query_id, r.neighbor_id, r.rank) for r in rows}
+
+
+def test_meta_sentinel_used(outputs):
+    """meta carries the per-series ACTIVE sentinel set (reference meta
+    'sentinel_used', :738): o2 had 10x -9999 injected -> active;
+    ph had none."""
+    rows = {r.variable: r for r in outputs.meta.collect()}
+    assert "-9999" in (rows["o2"].sentinel_used or "")
+    assert rows["ph"].sentinel_used in ("[]", None)
+    assert rows["o2"].duplicates == 0

@@ -19,6 +19,43 @@ from wq_data_pipeline_spark.operators.windows import SERIES_KEYS, ordered, with_
 DEFAULT_SENTINELS = (-9.0, -99.0, -999.0, -9999.0)
 
 
+def active_sentinels(
+    df: DataFrame,
+    keys: Sequence[str] = SERIES_KEYS,
+    value: str = "value",
+    sentinels: Sequence[float] = DEFAULT_SENTINELS,
+    min_count: int = 5,
+    min_frac: float = 0.001,
+) -> DataFrame:
+    """Per-series array of ACTIVE sentinels (count >= min_count OR
+    count/n >= min_frac — reference detect_and_mask_sentinels 'used'
+    set, scripts/ufz_water_qc_pipeline.py:158-167). One row per
+    series: (keys..., ``_active_sentinels`` sorted ascending)."""
+    keys = list(keys)
+    cnt_cols = [
+        F.sum(F.when(F.col(value) == F.lit(float(s)), 1).otherwise(0)).alias(f"_sc{i}")
+        for i, s in enumerate(sentinels)
+    ]
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"), *cnt_cols)
+    return per_key.select(
+        *keys,
+        F.array_sort(
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(
+                            (F.col(f"_sc{i}") >= min_count)
+                            | (F.col(f"_sc{i}") / F.col("_n") >= min_frac),
+                            F.lit(float(s)),
+                        )
+                        for i, s in enumerate(sentinels)
+                    ]
+                )
+            )
+        ).alias("_active_sentinels"),
+    )
+
+
 def mask_sentinels(
     df: DataFrame,
     keys: Sequence[str] = SERIES_KEYS,
@@ -37,26 +74,7 @@ def mask_sentinels(
     whole thing stays one lazy plan.
     """
     keys = list(keys)
-    cnt_cols = [
-        F.sum(F.when(F.col(value) == F.lit(float(s)), 1).otherwise(0)).alias(f"_sc{i}")
-        for i, s in enumerate(sentinels)
-    ]
-    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"), *cnt_cols)
-    active = per_key.select(
-        *keys,
-        F.array_compact(
-            F.array(
-                *[
-                    F.when(
-                        (F.col(f"_sc{i}") >= min_count)
-                        | (F.col(f"_sc{i}") / F.col("_n") >= min_frac),
-                        F.lit(float(s)),
-                    )
-                    for i, s in enumerate(sentinels)
-                ]
-            )
-        ).alias("_active_sentinels"),
-    )
+    active = active_sentinels(df, keys, value, sentinels, min_count, min_frac)
     joined = df.join(F.broadcast(active), on=keys, how="left")
     masked = F.when(
         F.array_contains(F.col("_active_sentinels"), F.col(value)), None

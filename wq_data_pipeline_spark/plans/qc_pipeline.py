@@ -116,9 +116,12 @@ def seasonal_stage(cleaned: DataFrame, events: DataFrame, step_seconds: float = 
     return out.fillna(0, subset=[c for c in ("flat_values_events", "flat_slopes_events") if c in out.columns])
 
 
-def meta_stage(readings: DataFrame) -> DataFrame:
-    """Per-series meta: inferred step + duplicate count (reference
-    meta CSV, :738,764-765)."""
+def meta_stage(readings: DataFrame, cfg: QCConfig | None = None) -> DataFrame:
+    """Per-series meta: inferred step, duplicate count, and the
+    ACTIVE sentinel set (reference meta dict
+    ``{station, col, step, sentinel_used, duplicates}``,
+    scripts/ufz_water_qc_pipeline.py:738)."""
+    cfg = cfg or QCConfig()
     step = C.infer_step(readings, KEYS, "ts")
     dups = (
         readings.groupBy(*KEYS, "ts")
@@ -126,7 +129,13 @@ def meta_stage(readings: DataFrame) -> DataFrame:
         .groupBy(*KEYS)
         .agg(F.sum(F.col("_n") - 1).alias("duplicates"))
     )
-    return step.join(dups, on=KEYS, how="left")
+    used = C.active_sentinels(readings, KEYS, "value", cfg.sentinels).select(
+        *KEYS,
+        # JSON-ish string (the reference stores the sorted list) so the
+        # CSV meta sink can carry it
+        F.to_json(F.col("_active_sentinels")).alias("sentinel_used"),
+    )
+    return step.join(dups, on=KEYS, how="left").join(used, on=KEYS, how="left")
 
 
 def sentem_stage(flagged: DataFrame) -> DataFrame:
@@ -201,7 +210,7 @@ def run_qc_pipeline(readings: DataFrame, cfg: QCConfig | None = None) -> QCOutpu
         flagged = sentem_stage(flagged)
     events = event_stage(cleaned, cfg)
     seasonal = seasonal_stage(cleaned, events)
-    meta = meta_stage(readings)
+    meta = meta_stage(readings, cfg)
     wide = widen(flagged)
     return QCOutputs(
         timeseries=flagged,
