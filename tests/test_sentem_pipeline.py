@@ -127,3 +127,16 @@ def test_matches_pandas_reference_flow(spark, fixture_long, ep3_out):
     eng_flags = [r.flag_run4 == 200 for r in eng]
     mismatches = sum(1 for a, b in zip(flagged.tolist(), eng_flags) if a != b)
     assert mismatches == 0, f"{mismatches} run-4 flag mismatches vs pandas"
+
+
+def test_ep3_figure_renders(ep3_out, tmp_path):
+    """EP3 output feeds the sentemqc combined plot directly
+    (reference run_sentemqc_on_dataframe plot_dir path)."""
+    import os
+
+    from wq_data_pipeline_spark.report import render_sentemqc_figure
+
+    p = render_sentemqc_figure(
+        ep3_out, str(tmp_path), "stn", "no3", value_col="obs_raw", max_points=200
+    )
+    assert os.path.exists(p) and os.path.getsize(p) > 500

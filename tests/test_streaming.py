@@ -262,3 +262,58 @@ def test_stream_dedup_content(spark, tmp_path):
     rows = spark.sql("select * from dedup_c").collect()
     assert len(rows) == 10
     assert len({r.text for r in rows}) == 10
+
+
+def test_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join: readings pair with maintenance
+    events of the same station within the last 30 minutes."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from wq_data_pipeline_spark.streaming.stream_qc import (
+        read_readings_stream,
+        stream_interval_join,
+    )
+
+    rdir, mdir = tmp_path / "read", tmp_path / "maint"
+    rdir.mkdir(); mdir.mkdir()
+    ts = pd.date_range("2024-03-01", periods=60, freq="5min")
+    readings = pd.DataFrame(
+        {"station": "s1", "variable": "o2", "ts": ts, "value": 1.0}
+    )
+    spark.createDataFrame(readings).coalesce(1).write.mode("append").parquet(str(rdir))
+    maint = pd.DataFrame(
+        {
+            "station": ["s1", "s1", "s2"],
+            "ts": pd.to_datetime(
+                ["2024-03-01 01:00", "2024-03-01 03:00", "2024-03-01 01:00"]
+            ),
+            "action": ["calibrate", "clean", "calibrate"],
+        }
+    )
+    spark.createDataFrame(maint).coalesce(1).write.mode("append").parquet(str(mdir))
+    mschema = T.StructType(
+        [
+            T.StructField("station", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("action", T.StringType()),
+        ]
+    )
+    mstream = spark.readStream.schema(mschema).parquet(str(mdir))
+    joined = stream_interval_join(
+        read_readings_stream(spark, str(rdir)), mstream, within="30 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ij").collect()
+    # each s1 maintenance event covers 7 readings (its minute + 30 min after)
+    assert len(rows) == 14, [(r.ts, r.r_ts) for r in rows]
+    assert all(r.station == "s1" for r in rows)
+    assert all(r.r_ts <= r.ts <= r.r_ts + pd.Timedelta(minutes=30) for r in rows)

@@ -357,6 +357,7 @@ def render_sentemqc_figure(
     variable: str,
     top_col: str = "qcband_top",
     bottom_col: str = "qcband_bottom",
+    value_col: str = "value",
     max_points: int = 1100,
     title: str | None = None,
 ) -> str:
@@ -367,6 +368,8 @@ def render_sentemqc_figure(
     (plus band columns from the last pass)."""
     os.makedirs(out_dir, exist_ok=True)
     d = sq.filter((F.col("station") == station) & (F.col("variable") == variable))
+    if value_col != "value":
+        d = d.withColumn("value", F.col(value_col))
     d = d.withColumn(
         "_acc", F.when(~F.col("is_flagged") & (F.col("value") > 0), F.col("value"))
     ).withColumn(

@@ -165,6 +165,37 @@ def stream_dedup_content(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "station",
+    ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream event-time interval join: pair each left row with
+    right rows of the same key whose timestamp falls in
+    ``[left.ts - within, left.ts]`` (e.g. flag readings near a
+    maintenance event). Both sides watermarked — Spark bounds the
+    join state to watermark + interval, so state size follows arrival
+    rate, not stream history; without the time bound a stream-stream
+    join would buffer forever."""
+    lcols = left.columns
+    r = right.select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    ).withWatermark(f"{right_prefix}{ts}", watermark)
+    l = left.withWatermark(ts, watermark)
+    cond = (
+        (F.col(key) == F.col(f"{right_prefix}{key}"))
+        & (F.col(f"{right_prefix}{ts}") >= F.col(ts) - F.expr(f"INTERVAL {within}"))
+        & (F.col(f"{right_prefix}{ts}") <= F.col(ts))
+    )
+    return l.join(r, cond, "inner").select(
+        *lcols, *[f"{right_prefix}{c}" for c in right.columns if c != key]
+    )
+
+
 def stateless_qc_flags(
     stream: DataFrame, lo: float = 0.0, hi: float = 40.0
 ) -> DataFrame:
