@@ -642,6 +642,9 @@ _TAIL = [
     "rel_rollup",
     "embed_lsh_ann",
     "embed_kmeans_ivf",
+    # oracle-checked by the pytest mirror; in-window capability already
+    # shown by hash_split (deterministic md5-rank sampling)
+    "stratified_sample",
     "multimodal_decode",
     "wrtds_residuals",
 ]

@@ -681,6 +681,42 @@ def q_embed_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, qs, cent, k=5, nprobe=2)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep the 10% of each label
+    stratum with the smallest md5(vec_id) — reproducible on any
+    engine/partitioning (the distributed analog of a seeded
+    per-stratum sample; a training pipeline uses this for balanced
+    eval subsets). Emits per-label kept counts + the kept ids'
+    checksum so the oracle verifies membership, not just size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    n_w = Window.partitionBy("label")
+    d = emb.select("label", "vec_id").withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(n_w)
+    )
+    kept = d.filter(F.col("_rn") <= F.ceil(F.col("_n") * 0.1))
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("vec_id").cast("long").alias("sum_ids"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list("vec_id")))).alias("ids_digest"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH r AS (
+  SELECT label, vec_id,
+         row_number() OVER (PARTITION BY label ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM embeddings
+),
+kept AS (SELECT label, vec_id FROM r WHERE rn <= CAST(ceil(n * 0.1) AS BIGINT))
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+       md5(array_to_string(list_sort(list(vec_id)), ',')) AS ids_digest
+FROM kept GROUP BY label"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (80/10/10) by md5 bucket of
     doc_id — the reproducible-split primitive of a training-data
@@ -818,6 +854,7 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,
     "decontaminate": q_decontaminate,
     "embed_kmeans_ivf": q_embed_kmeans_ivf,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES3: dict[str, str] = {
@@ -839,5 +876,6 @@ ORACLES3: dict[str, str] = {
     "hash_split": SQL_HASH_SPLIT,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "decontaminate": SQL_DECONTAMINATE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     # embed_lsh_ann, multimodal_decode: rows-only (non-SQL-expressible)
 }
