@@ -133,3 +133,38 @@ def test_sentem_nitrate_and_calibration_path(spark):
     assert len(ok) > 0.9 * n
     # N units (~4.6 ± 0.23), not NO3 (~20.5): ±4σ bound
     assert all(3.5 < r.value_masked < 7.0 for r in ok)
+
+
+def test_prefix_rolling_matches_direct(spark):
+    """O(n) prefix-sum rolling mean/std must agree with the direct
+    frame computation to float precision (incl. null gaps, series
+    edges, the even-window left-heavy frame, and min_periods)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wq_data_pipeline_spark.operators.sentem import (
+        rolling_mean_std,
+        rolling_mean_std_prefix,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    ts = pd.date_range("2024-01-01", periods=n, freq="15min")
+    v = rng.normal(1000.0, 3.0, n)  # large offset stresses cancellation
+    v[500:700] = np.nan  # a long null gap
+    v[::97] = np.nan  # scattered nulls
+    pdf = pd.DataFrame({"station": "s", "variable": "x", "ts": ts, "value": v})
+    df = spark.createDataFrame(pdf)
+    for w in (48, 960):
+        a = (
+            rolling_mean_std(df, "value", w, ma_col="ma", sd_col="sd")
+            .orderBy("ts").select("ma", "sd").toPandas()
+        )
+        b = (
+            rolling_mean_std_prefix(df, "value", w, ma_col="ma", sd_col="sd")
+            .orderBy("ts").select("ma", "sd").toPandas()
+        )
+        assert a["ma"].isna().equals(b["ma"].isna()), f"minp mask differs at w={w}"
+        np.testing.assert_allclose(a["ma"], b["ma"], rtol=1e-9, atol=1e-9, equal_nan=True)
+        np.testing.assert_allclose(a["sd"], b["sd"], rtol=1e-7, atol=1e-9, equal_nan=True)

@@ -18,12 +18,14 @@ from __future__ import annotations
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from wq_data_pipeline_spark.operators.windows import (
     SERIES_KEYS,
     centered,
+    centered_bounds,
     guard_min_periods,
+    ordered,
 )
 
 
@@ -103,6 +105,76 @@ def rolling_mean_std(
         ma_col, guard_min_periods(center, value, frame, minp)
     ).withColumn(sd_col, guard_min_periods(sd, value, frame, minp))
 
+
+def rolling_mean_std_prefix(
+    df: DataFrame,
+    value: str = "value",
+    window: int = 960,
+    keys: Sequence[str] = SERIES_KEYS,
+    ts: str = "ts",
+    minp: int | None = None,
+    ma_col: str = "ma",
+    sd_col: str = "sd",
+) -> DataFrame:
+    """O(n) rolling mean + population std via prefix sums — the scale
+    path for wide windows.
+
+    Spark's WindowExec evaluates a sliding ROWS frame by re-scanning
+    the frame per row: O(n·w) — measured 64 s for ONE 1M-row series at
+    w=960 vs 6.7 s at w=48 (the pandas reference's rolling sums are
+    O(n)). Here the frame aggregate telescopes out of three RUNNING
+    windows (count / sum / sum-of-squares of anchor-centered values)
+    combined with lead/lag at the frame edges — O(n) total, one sort.
+
+    Numerical note: contributions are centered on the series' first
+    non-null value before accumulating, so the prefix subtraction
+    cancels ~zero-mean partial sums (double precision error ~1e-12
+    relative in practice, vs bit-exact direct frames). Use
+    :func:`rolling_mean_std` where results feed a bit-exact
+    cross-engine comparison; use this in the pipeline hot path.
+    """
+    import math
+
+    if minp is None:
+        minp = max(3, math.ceil(window * 0.3))
+    lo, hi = centered_bounds(window)
+    w_ord = ordered(keys, ts)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    v = F.col(value)
+    anchor = F.first(v, ignorenulls=True).over(w_run)
+    contrib = F.when(v.isNotNull(), v - anchor).otherwise(F.lit(0.0))
+    d = (
+        df.withColumn("_anchor", F.first(v, ignorenulls=True).over(w_all))
+        .withColumn("_cc", F.sum(v.isNotNull().cast("long")).over(w_run))
+        .withColumn("_cs", F.sum(contrib).over(w_run))
+        .withColumn("_cs2", F.sum(contrib * contrib).over(w_run))
+    )
+
+    def windowed(cum: str, zero):
+        upper = F.coalesce(
+            F.lead(cum, hi).over(w_ord), F.last(cum).over(w_all)
+        )
+        lower = F.coalesce(F.lag(cum, 1 - lo).over(w_ord), F.lit(zero))
+        return upper - lower
+
+    c = windowed("_cc", 0)
+    s = windowed("_cs", 0.0)
+    s2 = windowed("_cs2", 0.0)
+    mean = F.col("_anchor") + s / c.cast("double")
+    var = F.greatest(
+        s2 / c.cast("double") - (s / c.cast("double")) * (s / c.cast("double")),
+        F.lit(0.0),
+    )
+    ok = c >= minp
+    return d.withColumn(ma_col, F.when(ok, mean)).withColumn(
+        sd_col, F.when(ok, F.sqrt(var))
+    ).drop("_anchor", "_cc", "_cs", "_cs2")
+
+
+# WindowExec frame scans are O(n·w); beyond this width the prefix-sum
+# form wins decisively (measured crossover well below 128 at 1M rows)
+PREFIX_WINDOW_THRESHOLD = 128
 
 TRI5_WEIGHTS = (1.0, 2.0, 3.0, 2.0, 1.0)
 
@@ -236,12 +308,21 @@ def apply_band_pass(
     flag_col: str = "flag_band",
     top_col: str | None = None,
     bottom_col: str | None = None,
+    prefix: bool = False,
 ) -> DataFrame:
     """One full band pass: center/std -> bands -> overlap flag.
     Optionally materializes the band columns (run 5 exports them,
-    scripts/sentemqc.py:105-111)."""
+    scripts/sentemqc.py:105-111).
+
+    ``prefix=True`` routes wide mean windows (>= PREFIX_WINDOW_THRESHOLD)
+    through the O(n) prefix-sum form — the pipeline hot path; leave
+    False where results feed a bit-exact cross-engine oracle."""
     if cfg.stat == "tri5":
         d = tri5_mean_std(df, value, keys, ts, ma_col="_ma", sd_col="_sd")
+    elif prefix and cfg.stat == "mean" and cfg.window >= PREFIX_WINDOW_THRESHOLD:
+        d = rolling_mean_std_prefix(
+            df, value, cfg.window, keys, ts, ma_col="_ma", sd_col="_sd"
+        )
     else:
         d = rolling_mean_std(
             df, value, cfg.window, keys, ts, stat=cfg.stat, ma_col="_ma", sd_col="_sd"
@@ -265,16 +346,20 @@ def apply_sentemqc(
     ts: str = "ts",
     passes: Sequence[BandPassCfg] = DEFAULT_PASSES,
     sensor_code: int | None = None,
+    prefix: bool = False,
 ) -> DataFrame:
     """The reference's apply_sentemqc_to_series pipeline
     (scripts/sentemqc.py:80-114): pre-mask -> per-pass band flags ->
     combined flag + reasons + masked value. Returns the input plus
     ``flag_run{i}``, ``flag_sensor``, ``flag_global``, ``is_flagged``,
-    ``flag_reason``, ``value_masked``."""
+    ``flag_reason``, ``value_masked``. ``prefix`` routes the wide mean
+    windows through the O(n) prefix-sum form (pipeline hot path)."""
     d = df.withColumn(value, premask_nonpositive(value))
     named: dict[str, Column] = {}
     for i, cfg in enumerate(passes, start=1):
-        d = apply_band_pass(d, cfg, value, keys, ts, flag_col=f"flag_run{i}")
+        d = apply_band_pass(
+            d, cfg, value, keys, ts, flag_col=f"flag_run{i}", prefix=prefix
+        )
         named[f"flag_run{i}"] = F.col(f"flag_run{i}")
     if sensor_code is not None:
         d = d.withColumn("flag_sensor", sensor_error_flag(value, sensor_code))
