@@ -168,3 +168,34 @@ def test_prefix_rolling_matches_direct(spark):
         assert a["ma"].isna().equals(b["ma"].isna()), f"minp mask differs at w={w}"
         np.testing.assert_allclose(a["ma"], b["ma"], rtol=1e-9, atol=1e-9, equal_nan=True)
         np.testing.assert_allclose(a["sd"], b["sd"], rtol=1e-7, atol=1e-9, equal_nan=True)
+
+
+def test_robust_z_pandas_engine_matches_window(spark):
+    """The applyInPandas robust-z engine must agree with the window
+    engine to float identity (same exact medians) including null gaps
+    and MAD==0 plateaus."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wq_data_pipeline_spark.operators.detectors import with_robust_z
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    ts = pd.date_range("2024-01-01", periods=n, freq="15min")
+    v = rng.normal(50.0, 4.0, n)
+    v[400:600] = np.nan
+    v[800:950] = 7.0  # constant plateau -> MAD == 0 -> NULL z
+    v[::53] = np.nan
+    pdf = pd.DataFrame({"station": "s", "variable": "x", "ts": ts, "value": v})
+    df = spark.createDataFrame(pdf)
+    a = (
+        with_robust_z(df, "value", 96, out="z", engine="window")
+        .orderBy("ts").select("z").toPandas()["z"]
+    )
+    b = (
+        with_robust_z(df, "value", 96, out="z", engine="pandas")
+        .orderBy("ts").select("z").toPandas()["z"]
+    )
+    assert a.isna().equals(b.isna())
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12, equal_nan=True)
