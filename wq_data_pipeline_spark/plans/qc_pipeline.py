@@ -159,9 +159,9 @@ def sentem_stage(flagged: DataFrame) -> DataFrame:
     from wq_data_pipeline_spark.operators.sentem import apply_sentemqc
 
     d = flagged.withColumn("_sv", F.col("clean"))
-    # prefix=True: the 960-point mean windows run O(n) prefix-sum
-    # instead of O(n·w) frame scans — the pipeline hot path
-    d = apply_sentemqc(d, value="_sv", keys=KEYS, ts="ts", prefix=True)
+    # fast=True: 960-point mean windows run O(n) prefix-sum and the
+    # 48-point median pass the pandas skiplist — the pipeline hot path
+    d = apply_sentemqc(d, value="_sv", keys=KEYS, ts="ts", fast=True)
     keep = [c for c in flagged.columns]
     return d.select(
         *keep,
