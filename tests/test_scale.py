@@ -221,3 +221,42 @@ def test_kmeans_descends_and_ivf_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low with trained centroids"
+
+
+def test_chunk_documents_invariants(spark, sf_dir):
+    """Chunking: full coverage with exact overlap, partial tail kept,
+    every chunk after the first contributes new tokens, and the plan
+    has no Exchange (narrow explode only)."""
+    from pyspark.sql import functions as F
+
+    from wq_data_pipeline_spark.operators.text import chunk_documents, tokens
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=8)
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "chunking must not shuffle"
+
+    n_tok = {r.doc_id: r.n for r in docs.select("doc_id", F.size(tokens("text")).alias("n")).collect()}
+    rows = sorted(ch.collect(), key=lambda r: (r.doc_id, r.chunk_id))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, n in n_tok.items() if n > 0}
+    for doc_id, chunks in by_doc.items():
+        n = n_tok[doc_id]
+        # contiguous ids, stride-56 starts
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert all(c.chunk_start_tok == i * 56 for i, c in enumerate(chunks))
+        # coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert last.chunk_start_tok + last.n_chunk_tokens == n
+        # every chunk has >0 tokens; non-final chunks are full
+        for c in chunks[:-1]:
+            assert c.n_chunk_tokens == 64
+        assert 0 < last.n_chunk_tokens <= 64
+        # reassembly: drop the 8-token overlap from chunks 1.. -> doc
+        toks = chunks[0].chunk_text.split()
+        for c in chunks[1:]:
+            toks += c.chunk_text.split()[8:]
+        assert len(toks) == n

@@ -126,6 +126,50 @@ def word_shingles(text: str | Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    — the context-window packing primitive of a training-data
+    pipeline (every chunk starts ``chunk_tokens - overlap`` tokens
+    after the previous one; the final partial chunk is kept).
+
+    Pure Column algebra: tokens once, chunk start offsets via
+    ``sequence`` with the stride, one ``explode`` — no UDF, the
+    explode fans out in place (narrow), so this scales with input
+    splits and never shuffles. Output one row per chunk:
+    (id, chunk_id, chunk_start_tok, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text)
+    n = F.size(toks)
+    # starts: 0, stride, 2*stride, ... while start < max(n - overlap, 1)
+    # — every chunk after the first contributes at least one NEW token;
+    # empty docs emit no chunks
+    m = F.greatest(n - F.lit(overlap), F.lit(1))
+    last_start = (((m - 1) / stride).cast("int") * stride).cast("int")
+    starts = F.when(n > 0, F.sequence(F.lit(0), last_start, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    d = df.withColumn("_toks", toks).withColumn(
+        "_start", F.explode(starts)
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return d.select(
+        F.col(id_col),
+        (F.col("_start") / stride).cast("int").alias("chunk_id"),
+        F.col("_start").alias("chunk_start_tok"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
 def doc_fingerprint(text: str | Column) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct word set. Identical bags of words collide — the cheap

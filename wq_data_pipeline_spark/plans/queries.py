@@ -643,8 +643,10 @@ _TAIL = [
     "embed_lsh_ann",
     "embed_kmeans_ivf",
     # oracle-checked by the pytest mirror; in-window capability already
-    # shown by hash_split (deterministic md5-rank sampling)
+    # shown by hash_split (deterministic md5-rank sampling) and the
+    # token ops behind text_token_stats
     "stratified_sample",
+    "chunk_documents",
     "multimodal_decode",
     "wrtds_residuals",
 ]

@@ -681,6 +681,33 @@ def q_embed_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, qs, cent, k=5, nprobe=2)
 
 
+_CHUNK_C = 64
+_CHUNK_O = 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token chunks with 8-token overlap
+    (stride 56) — one row per chunk, no shuffle (the explode is
+    narrow). The packing primitive before tokenize-and-train."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.chunk_documents(d, "text", "doc_id", _CHUNK_C, _CHUNK_O)
+
+
+SQL_CHUNK_DOCS = f"""{SQL_WORDS},
+n AS (SELECT doc_id, toks, len(toks) AS n FROM w WHERE len(toks) > 0),
+starts AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, CAST(floor((greatest(n - {_CHUNK_O}, 1) - 1) / {_CHUNK_C - _CHUNK_O}) AS BIGINT) * {_CHUNK_C - _CHUNK_O}, {_CHUNK_C - _CHUNK_O})) AS s
+  FROM n
+)
+SELECT doc_id,
+       CAST(s / {_CHUNK_C - _CHUNK_O} AS INT) AS chunk_id,
+       CAST(s AS INT) AS chunk_start_tok,
+       CAST(len(toks[s + 1 : s + {_CHUNK_C}]) AS INT) AS n_chunk_tokens,
+       array_to_string(toks[s + 1 : s + {_CHUNK_C}], ' ') AS chunk_text
+FROM starts"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: keep the 10% of each label
     stratum with the smallest md5(vec_id) — reproducible on any
@@ -855,6 +882,7 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "embed_kmeans_ivf": q_embed_kmeans_ivf,
     "stratified_sample": q_stratified_sample,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLES3: dict[str, str] = {
@@ -877,5 +905,6 @@ ORACLES3: dict[str, str] = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "chunk_documents": SQL_CHUNK_DOCS,
     # embed_lsh_ann, multimodal_decode: rows-only (non-SQL-expressible)
 }
