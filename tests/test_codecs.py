@@ -149,3 +149,61 @@ def test_resize_media_real_png(spark):
     # the resized payload is itself a decodable PNG
     dec = decode_media(resized.select("media_id", "content")).collect()[0]
     assert (dec.height, dec.width) == (4, 4)
+
+
+# --------------------------------------------------------------- properties
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        nch=st.sampled_from([1, 3, 4]),
+        data=st.data(),
+    )
+    def test_png_roundtrip_property(w, h, nch, data):
+        """encode -> decode is the identity for any 8-bit image."""
+        pix = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * nch, max_size=w * h * nch
+                )
+            )
+        )
+        out = CC.png_decode(CC.png_encode(w, h, nch, pix))
+        assert out == (w, h, nch, pix)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 10),
+        h=st.integers(1, 10),
+        ow=st.integers(1, 10),
+        oh=st.integers(1, 10),
+    )
+    def test_png_resize_property(w, h, ow, oh):
+        """Resize output decodes to the requested dims and every output
+        pixel is an input pixel (nearest-neighbor picks, never blends)."""
+        pix = bytes([(i * 37) % 256 for i in range(w * h)])
+        resized, _, _ = CC.png_resize_nearest(CC.png_encode(w, h, 1, pix), ow, oh)
+        w2, h2, nch, out = CC.png_decode(resized)
+        assert (w2, h2, nch) == (ow, oh, 1)
+        assert set(out) <= set(pix)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+        rate=st.sampled_from([4000, 8000, 44100]),
+    )
+    def test_wav_roundtrip_property(samples, rate):
+        nch, n, rate2, amp = CC.wav_decode(CC.wav_encode(samples, rate=rate))
+        assert (nch, n, rate2) == (1, len(samples), rate)
+        expected = sum(abs(s) for s in samples) / len(samples) / 32768.0
+        assert abs(amp - expected) < 1e-9
