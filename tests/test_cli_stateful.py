@@ -71,3 +71,29 @@ def test_streaming_flat_runs_across_batches(spark, tmp_path):
     assert r.n_points == 20 and r.run_value == 7.0
     assert pd.Timestamp(r.start_ms, unit="ms") == ts[10]
     assert pd.Timestamp(r.end_ms, unit="ms") == ts[29]
+
+
+def test_cli_tz_localize(spark, tmp_path):
+    """--tz: DST hole/fold rows dropped per the reference NaT policy;
+    normal rows localized to UTC."""
+    import pandas as pd
+
+    from wq_data_pipeline_spark.cli import build_parser
+    from wq_data_pipeline_spark.sources.csv_source import (
+        localize_naive_timestamps,
+        read_wide_csv,
+    )
+
+    args = build_parser().parse_args(
+        ["--csv", "x.csv", "--out", "o", "--vars", "v", "--tz", "Europe/Berlin"]
+    )
+    assert args.tz == "Europe/Berlin"
+
+    ts = ["2024-03-31 02:30:00", "2024-10-27 02:30:00", "2024-06-01 12:00:00"]
+    pd.DataFrame({"timestamp": ts, "v": [1.0, 2.0, 3.0]}).to_csv(
+        tmp_path / "t.csv", index=False
+    )
+    wide = read_wide_csv(spark, str(tmp_path / "t.csv"))
+    wide = localize_naive_timestamps(wide, "timestamp", args.tz)
+    rows = wide.filter(wide.timestamp.isNotNull()).collect()
+    assert len(rows) == 1 and rows[0].v == 3.0

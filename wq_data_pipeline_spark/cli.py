@@ -35,6 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="emit the per-variable figure set (S7; reference figs/ dir) "
         "to OUT/figs — PNG with matplotlib, SVG otherwise",
     )
+    p.add_argument(
+        "--tz",
+        default=None,
+        metavar="ZONE",
+        help="treat CSV timestamps as naive wall-clock in ZONE and "
+        "localize to UTC with the reference's DST policy "
+        "(ambiguous/nonexistent -> dropped, i.e. tz_localize NaT)",
+    )
     return p
 
 
@@ -57,6 +65,11 @@ def main(argv: list[str] | None = None) -> None:
         station_field=args.station_field if args.station else None,
         station_value=args.station,
     )
+    if args.tz:
+        from wq_data_pipeline_spark.sources.csv_source import localize_naive_timestamps
+
+        wide = localize_naive_timestamps(wide, args.timestamp_col, args.tz)
+        wide = wide.filter(wide[args.timestamp_col].isNotNull())  # NaT policy drops
     station_col = args.station_field if args.station_field in wide.columns else None
     readings = melt_wide(
         wide,
