@@ -105,3 +105,19 @@ def test_sentemqc_combined_figure(spark, tmp_path):
     with open(p) as f:
         svg = f.read()
     assert "Availability:" in svg and "Flagged:" in svg
+
+
+def test_wrtds_figure_path(qc_outputs, tmp_path):
+    """The opt-in WRTDS buster figure (07) renders end-to-end."""
+    from wq_data_pipeline_spark.report import render_qc_figures
+
+    paths = render_qc_figures(
+        qc_outputs.timeseries,
+        qc_outputs.events,
+        qc_outputs.seasonal,
+        str(tmp_path),
+        max_points=200,
+        include_wrtds=True,
+    )
+    names = {os.path.basename(p) for p in paths}
+    assert "o2__07_wrtds_buster.svg" in names, names

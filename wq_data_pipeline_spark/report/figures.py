@@ -330,9 +330,9 @@ def _render_wrtds_fig(d: DataFrame, base: str, max_points: int) -> str:
     rows = downsample_series(res, ["value", "residual"], max_points=max_points)
     spikes = (
         wrtds_buster(res, KEYS)
-        .select(F.unix_micros("ts").alias("ts_us"), "residual")
         .orderBy(F.desc(F.abs("robust_z")))
         .limit(2000)
+        .select(F.unix_micros("ts").alias("ts_us"), "residual")
         .collect()
     )
     fig = Figure(
