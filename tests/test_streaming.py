@@ -317,3 +317,46 @@ def test_stream_interval_join(spark, tmp_path):
     assert len(rows) == 14, [(r.ts, r.r_ts) for r in rows]
     assert all(r.station == "s1" for r in rows)
     assert all(r.r_ts <= r.ts <= r.r_ts + pd.Timedelta(minutes=30) for r in rows)
+
+
+def test_streaming_robust_z_across_batches(spark, tmp_path):
+    """Stateful streaming robust-z: the spike in the SECOND micro-batch
+    is scored against the buffer accumulated in the FIRST (state
+    carries across batches); baseline rows are not flagged."""
+    import numpy as np
+    import pandas as pd
+
+    from wq_data_pipeline_spark.streaming.stateful import streaming_robust_z
+    from wq_data_pipeline_spark.streaming.stream_qc import read_readings_stream
+
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    rng = np.random.default_rng(2)
+    ts1 = pd.date_range("2024-03-01", periods=60, freq="5min")
+    b1 = pd.DataFrame(
+        {"station": "s1", "variable": "o2", "ts": ts1,
+         "value": rng.normal(10, 0.3, 60)}
+    )
+    ts2 = pd.date_range(ts1[-1] + pd.Timedelta(minutes=5), periods=10, freq="5min")
+    v2 = rng.normal(10, 0.3, 10)
+    v2[4] = 50.0  # spike scored against batch-1 history
+    b2 = pd.DataFrame({"station": "s1", "variable": "o2", "ts": ts2, "value": v2})
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(str(sdir))
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(str(sdir))
+
+    stream = read_readings_stream(spark, str(sdir), max_files_per_trigger=1)
+    q = (
+        streaming_robust_z(stream, window_points=48, thresh=6.0, min_points=16)
+        .writeStream.format("memory")
+        .queryName("zstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from zstream order by ts_ms").collect()
+    assert len(rows) == 70
+    spikes = [r for r in rows if r.is_spike]
+    assert len(spikes) == 1 and abs(spikes[0].value - 50.0) < 1e-9
+    # early rows (< min_points of history) carry NULL z
+    assert all(r.robust_z is None for r in rows[:15])

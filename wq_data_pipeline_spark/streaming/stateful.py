@@ -119,3 +119,94 @@ def streaming_flat_runs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --------------------------------------------------------------- robust-z
+Z_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("station", T.StringType()),
+        T.StructField("variable", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("robust_z", T.DoubleType()),
+        T.StructField("is_spike", T.BooleanType()),
+    ]
+)
+
+Z_STATE_SCHEMA = T.StructType(
+    [T.StructField("values", T.ArrayType(T.DoubleType()))]
+)
+
+
+def _zdetect(
+    key: Any,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    window_points: int,
+    thresh: float,
+    min_points: int,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    station, variable = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    buf: list[float] = list(state.get[0]) if state.exists else []
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            ms = int(pd.Timestamp(ts).value // 1_000_000)
+            z = None
+            spike = False
+            v = None if value is None or pd.isna(value) else float(value)
+            if v is not None:
+                buf.append(v)
+                if len(buf) > window_points:
+                    del buf[: len(buf) - window_points]
+                if len(buf) >= min_points:
+                    arr = np.asarray(buf)
+                    med = float(np.median(arr))
+                    mad = float(np.median(np.abs(arr - med)))
+                    if mad > 0:
+                        z = 0.6745 * (v - med) / mad
+                        spike = abs(z) >= thresh
+            rows.append((station, variable, ms, v, z, spike))
+    if buf:
+        state.update((buf,))
+        state.setTimeoutDuration(3_600_000)
+    else:
+        state.remove()
+    if rows:
+        yield pd.DataFrame(
+            rows,
+            columns=["station", "variable", "ts_ms", "value", "robust_z", "is_spike"],
+        )
+
+
+def streaming_robust_z(
+    stream: DataFrame,
+    window_points: int = 96,
+    thresh: float = 4.0,
+    min_points: int = 32,
+) -> DataFrame:
+    """Low-latency rolling robust-z (the streaming W8/W11 analog):
+    per-key buffer of the last ``window_points`` values carried across
+    micro-batches in group state — each arriving row is scored
+    immediately against the TRAILING window's median/MAD (a stream
+    cannot see the future, so this is the causal variant of the batch
+    CENTERED robust-z; thresholds are comparable, frames are not
+    identical). State is bounded at window_points doubles per key;
+    idle keys are dropped after 1h."""
+
+    def fn(key, pdfs, state):
+        return _zdetect(key, pdfs, state, window_points, thresh, min_points)
+
+    return stream.groupBy("station", "variable").applyInPandasWithState(
+        fn,
+        outputStructType=Z_OUT_SCHEMA,
+        stateStructType=Z_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
