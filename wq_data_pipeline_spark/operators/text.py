@@ -111,10 +111,9 @@ def predict_lang(text: str | Column) -> Column:
     return expr
 
 
-def word_shingles(text: str | Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (for MinHash/Jaccard).
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Word n-gram shingles of a token array as an array<string>.
     Built with sequence+transform — no UDF, no explode."""
-    toks = tokens(text)
     k = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(-1)))
     return F.when(
@@ -124,6 +123,65 @@ def word_shingles(text: str | Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (for MinHash/Jaccard)."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+def repetition_features(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    grams: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition statistics per document: duplicate-word
+    fraction and the share of the single most frequent word n-gram
+    (Rae et al. 2021 §A1.1 use these to drop low-quality repetitive
+    web text before training).
+
+    Scale shape: per-n-gram counts go through explode -> two hash
+    aggregations keyed by (doc, gram) then doc — map-side combinable,
+    never materializes a per-doc map, so a 100-TB corpus just means
+    more partitions. The per-doc token/distinct counts are narrow
+    array ops on the same scan.
+
+    Output: (id, n_tokens, n_distinct, dup_word_frac,
+    top{n}gram_share ...), where shares are NULL for docs shorter than
+    the gram size.
+    """
+    base = df.select(F.col(id_col), tokens(text).alias("_toks"))
+    out = base.select(
+        id_col,
+        F.size("_toks").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("n_distinct"),
+    ).withColumn(
+        "dup_word_frac",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double"),
+        ),
+    )
+    for n in grams:
+        g = base.select(
+            id_col, F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_g")
+        )
+        top = (
+            g.groupBy(id_col, "_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy(id_col)
+            .agg(F.sum("_c").alias("_tot"), F.max("_c").alias("_top"))
+            .select(
+                id_col,
+                (F.col("_top").cast("double") / F.col("_tot").cast("double")).alias(
+                    f"top{n}gram_share"
+                ),
+            )
+        )
+        out = out.join(top, id_col, "left")
+    return out
 
 
 def chunk_documents(
