@@ -708,6 +708,46 @@ SELECT doc_id,
 FROM starts"""
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    duplicate-word fraction and top 2-/3-gram share — the standard
+    drop-repetitive-web-text signals of a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.repetition_features(d, "text", "doc_id", grams=(2, 3))
+
+
+SQL_REPETITION = f"""{SQL_WORDS},
+base AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+  FROM w
+),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM base WHERE len(toks) >= 2
+),
+t2 AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2gram_share
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+  FROM base WHERE len(toks) >= 3
+),
+t3 AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top3gram_share
+  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g) GROUP BY doc_id
+)
+SELECT base.doc_id, n_tokens, n_distinct,
+       CASE WHEN n_tokens > 0
+            THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS dup_word_frac,
+       t2.top2gram_share, t3.top3gram_share
+FROM base LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: keep the 10% of each label
     stratum with the smallest md5(vec_id) — reproducible on any
@@ -883,6 +923,7 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_kmeans_ivf": q_embed_kmeans_ivf,
     "stratified_sample": q_stratified_sample,
     "chunk_documents": q_chunk_documents,
+    "repetition_stats": q_repetition_stats,
 }
 
 ORACLES3: dict[str, str] = {
@@ -906,5 +947,6 @@ ORACLES3: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "chunk_documents": SQL_CHUNK_DOCS,
+    "repetition_stats": SQL_REPETITION,
     # embed_lsh_ann, multimodal_decode: rows-only (non-SQL-expressible)
 }
