@@ -260,3 +260,41 @@ def test_chunk_documents_invariants(spark, sf_dir):
         for c in chunks[1:]:
             toks += c.chunk_text.split()[8:]
         assert len(toks) == n
+
+
+def test_winnow_guarantee_and_plan(spark):
+    """Winnowing (k=3, w=4): two docs sharing a token run of length
+    >= w + k - 1 = 6 must share at least one fingerprint; disjoint
+    vocabularies share none; the per-doc fingerprint computation is
+    shuffle-free (pure array algebra on the scan)."""
+    from wq_data_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_matches,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    docs = spark.createDataFrame(
+        [
+            (0, f"one two three {shared} four five six"),
+            (1, f"seven eight nine ten {shared} eleven"),
+            (2, "completely different words everywhere again forever more"),
+            (3, "tiny"),  # < k tokens -> 0 grams, 0 fingerprints
+        ],
+        "doc_id int, text string",
+    )
+    fp = winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+    plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "per-doc winnowing must not shuffle"
+
+    rows = {r.doc_id: r for r in fp.collect()}
+    assert rows[3].n_grams == 0 and rows[3].n_fingerprints == 0
+    assert rows[3].fingerprints == []
+    assert rows[0].n_fingerprints >= 1
+    # guarantee: docs 0 and 1 share a fingerprint; doc 2 shares none
+    sets = {i: set(rows[i].fingerprints) for i in rows}
+    assert sets[0] & sets[1], "shared 6-token run must share a fingerprint"
+    assert not (sets[0] & sets[2]) and not (sets[1] & sets[2])
+
+    m = winnow_matches(docs, "text", "doc_id", k=3, w=4, min_shared=1, max_df=50)
+    got = {(r.doc_a, r.doc_b) for r in m.collect()}
+    assert got == {(0, 1)}

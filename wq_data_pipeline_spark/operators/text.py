@@ -228,6 +228,95 @@ def chunk_documents(
     )
 
 
+def gram_hash(g: Column) -> Column:
+    """60-bit positive integer hash of a shingle string: first 15 hex
+    digits of md5 — portable (identical in DuckDB via
+    ('0x' || substr(md5(g), 1, 15))::BIGINT), overflow-free in int64."""
+    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    w-window over the hash sequence, keep each window's minimum, and
+    emit the distinct selected hashes as the document's fingerprint
+    set. Any shared token run of length >= w + k - 1 between two docs
+    is guaranteed to share at least one fingerprint; docs with fewer
+    than w k-grams contribute the min over all their grams (one
+    window).
+
+    Pure Column algebra (arrays + transform/slice) — no UDF and no
+    shuffle: fingerprints are computed in place on the scan, so this
+    maps linearly over input splits at any corpus size.
+
+    Output: (id, n_grams, n_fingerprints, fingerprints
+    array<bigint> sorted ascending).
+    """
+    toks = tokens(text)
+    grams = shingles_from_tokens(toks, k)
+    hashes = F.transform(grams, gram_hash)
+    n = F.size(hashes)
+    idx = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
+    mins = F.when(
+        n > 0, F.transform(idx, lambda i: F.array_min(F.slice(hashes, i + 1, w)))
+    ).otherwise(F.array().cast("array<bigint>"))
+    fps = F.array_sort(F.array_distinct(mins))
+    return df.select(
+        F.col(id_col),
+        F.size(grams).alias("n_grams"),
+        F.size(fps).alias("n_fingerprints"),
+        fps.alias("fingerprints"),
+    )
+
+
+def winnow_matches(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """Cross-document fingerprint matching (the plagiarism / overlap
+    scan built on winnowing): explode each doc's fingerprint set into
+    an inverted index, drop fingerprints occurring in more than
+    ``max_df`` docs (stop-gram guard — at corpus scale a hot
+    fingerprint would otherwise produce a quadratic bucket), self-join
+    on the fingerprint key, and count shared fingerprints per doc
+    pair.
+
+    Scale shape: the only shuffle is on the fingerprint key; bucket
+    fan-out is bounded by ``max_df``, so worst-case work per
+    fingerprint is max_df^2 regardless of corpus size.
+
+    Output: (doc_a, doc_b, n_shared) with doc_a < doc_b and
+    n_shared >= min_shared.
+    """
+    fp = winnow_fingerprints(df, text, id_col, k, w).select(
+        F.col(id_col), F.explode("fingerprints").alias("fp")
+    )
+    keep = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= max_df
+    )
+    fp = fp.join(keep.select("fp"), "fp")
+    a = fp.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fp.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def doc_fingerprint(text: str | Column) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct word set. Identical bags of words collide — the cheap

@@ -748,6 +748,71 @@ SELECT base.doc_id, n_tokens, n_distinct,
 FROM base LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)"""
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: rolling k-gram hashes,
+    min per w-window, distinct selected set — emitted as a per-doc
+    count + digest of the sorted fingerprint list."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = TX.winnow_fingerprints(d, "text", "doc_id", k=3, w=4)
+    return fp.select(
+        "doc_id",
+        "n_grams",
+        "n_fingerprints",
+        F.md5(
+            F.concat_ws(",", F.transform("fingerprints", lambda x: x.cast("string")))
+        ).alias("fp_digest"),
+    )
+
+
+# Shared oracle CTE chain: winnowing fingerprint sets (k=3, w=4).
+SQL_WINNOW_FPS = f"""{SQL_WORDS},
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS grams
+  FROM w
+),
+h AS (
+  SELECT doc_id, len(grams) AS n_grams,
+         list_transform(grams, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+  FROM g
+),
+m AS (
+  SELECT doc_id, n_grams,
+         CASE WHEN len(hs) > 0
+              THEN list_sort(list_distinct(list_transform(
+                     generate_series(1, greatest(len(hs) - 4, 0) + 1),
+                     i -> list_min(hs[i : i + 3]))))
+              ELSE CAST([] AS BIGINT[]) END AS fps
+  FROM h
+)"""
+
+SQL_WINNOW = f"""{SQL_WINNOW_FPS}
+SELECT doc_id, n_grams, len(fps) AS n_fingerprints,
+       md5(array_to_string(fps, ',')) AS fp_digest
+FROM m"""
+
+
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc overlap scan on winnowing fingerprints (inverted
+    index self-join with a max-df stop-gram guard)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.winnow_matches(
+        d, "text", "doc_id", k=3, w=4, min_shared=3, max_df=50
+    ).select("doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared"))
+
+
+SQL_WINNOW_MATCHES = f"""{SQL_WINNOW_FPS},
+fpx AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+keep AS (SELECT fp FROM fpx GROUP BY fp HAVING count(*) <= 50),
+f2 AS (SELECT fpx.doc_id, fpx.fp FROM fpx JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM f2 a JOIN f2 b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: keep the 10% of each label
     stratum with the smallest md5(vec_id) — reproducible on any
@@ -924,6 +989,8 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "chunk_documents": q_chunk_documents,
     "repetition_stats": q_repetition_stats,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_matches": q_winnow_matches,
 }
 
 ORACLES3: dict[str, str] = {
@@ -948,5 +1015,7 @@ ORACLES3: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "chunk_documents": SQL_CHUNK_DOCS,
     "repetition_stats": SQL_REPETITION,
+    "winnow_fingerprints": SQL_WINNOW,
+    "winnow_matches": SQL_WINNOW_MATCHES,
     # embed_lsh_ann, multimodal_decode: rows-only (non-SQL-expressible)
 }
