@@ -228,6 +228,44 @@ def chunk_documents(
     )
 
 
+# PII patterns restricted to the regex subset Java (Spark) and RE2
+# (DuckDB) agree on: no lookaround, no backrefs. Applied in dict order
+# for redaction (emails before bare-number rules so digits consumed by
+# an email aren't double-counted).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}[- ]\d{3}[- ]\d{4}",
+    "id_number": r"\b\d{6,}\b",
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] = PII_PATTERNS,
+) -> DataFrame:
+    """PII detection + redaction — the scrubbing pass a training-data
+    pipeline runs before anything leaves the raw zone: per-pattern
+    match counts and the text with every match replaced by a
+    ``<type>`` placeholder (sequentially, in ``patterns`` order).
+
+    Pure regexp Column algebra — codegens JVM-side, no Python
+    boundary, scales linearly with input splits.
+    """
+    t = F.col(text)
+    cols = [F.col(id_col)]
+    red = t
+    for name, pat in patterns.items():
+        cols.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, f"<{name}>")
+    cols.append(red.alias("redacted"))
+    return df.select(*cols)
+
+
 def gram_hash(g: Column) -> Column:
     """60-bit positive integer hash of a shingle string: first 15 hex
     digits of md5 — portable (identical in DuckDB via
