@@ -289,27 +289,55 @@ def winnow_fingerprints(
     than w k-grams contribute the min over all their grams (one
     window).
 
-    Pure Column algebra (arrays + transform/slice) — no UDF and no
-    shuffle: fingerprints are computed in place on the scan, so this
-    maps linearly over input splits at any corpus size.
+    Scale shape: tokens are posexploded to rows so every k-gram is
+    hashed exactly ONCE, then window mins + the per-doc collect ride a
+    single hash-partition-by-id exchange — O(n) work per doc, linear
+    in corpus size. (The r2 array formulation kept the md5 hash array
+    as an *unbound expression* inside the per-window lambda; Catalyst
+    higher-order functions don't do common-subexpression elimination,
+    so the whole tokenize+hash chain re-ran at every window position —
+    O(n²·md5) per doc, which alone timed out the round-2 driver
+    bench. The one skinny shuffle here is the fix, not a cost.)
 
     Output: (id, n_grams, n_fingerprints, fingerprints
     array<bigint> sorted ascending).
     """
-    toks = tokens(text)
-    grams = shingles_from_tokens(toks, k)
-    hashes = F.transform(grams, gram_hash)
-    n = F.size(hashes)
-    idx = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
-    mins = F.when(
-        n > 0, F.transform(idx, lambda i: F.array_min(F.slice(hashes, i + 1, w)))
-    ).otherwise(F.array().cast("array<bigint>"))
-    fps = F.array_sort(F.array_distinct(mins))
-    return df.select(
-        F.col(id_col),
-        F.size(grams).alias("n_grams"),
-        F.size(fps).alias("n_fingerprints"),
-        fps.alias("fingerprints"),
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(tokens(text)).alias("_pos", "_tok"),
+    )
+    ws = Window.partitionBy("_id").orderBy("_pos")
+    # token row p carries the k-gram starting at p; rows within k-1 of
+    # the end (lead null) carry no gram -> null hash, ignored by min
+    gram = F.concat_ws(
+        " ", F.col("_tok"), *[F.lead("_tok", j).over(ws) for j in range(1, k)]
+    )
+    last = F.lead("_tok", k - 1).over(ws) if k > 1 else F.col("_tok")
+    g = t.select(
+        "_id", "_pos", F.when(last.isNotNull(), gram_hash(gram)).alias("_h")
+    )
+    g2 = g.select(
+        "_id",
+        "_pos",
+        F.min("_h").over(ws.rowsBetween(Window.currentRow, w - 1)).alias("_wmin"),
+        F.count("_h").over(Window.partitionBy("_id")).alias("_ng"),
+    )
+    # winnowing selects windows starting at gram index 0..max(ng-w, 0);
+    # gram index == token position, contiguous from 0
+    sel = F.when(
+        F.col("_pos") <= F.greatest(F.col("_ng") - w, F.lit(0)), F.col("_wmin")
+    )
+    agg = g2.groupBy("_id").agg(
+        F.max("_ng").alias("_ngm"),
+        F.array_sort(F.array_distinct(F.collect_list(sel))).alias("fingerprints"),
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.col("_ngm").cast("int").alias("n_grams"),
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.col("fingerprints"),
     )
 
 
@@ -330,20 +358,28 @@ def winnow_matches(
     on the fingerprint key, and count shared fingerprints per doc
     pair.
 
-    Scale shape: the only shuffle is on the fingerprint key; bucket
-    fan-out is bounded by ``max_df``, so worst-case work per
-    fingerprint is max_df^2 regardless of corpus size.
+    Scale shape: the only extra shuffle is on the fingerprint key;
+    bucket fan-out is bounded by ``max_df``, so worst-case work per
+    fingerprint is max_df^2 regardless of corpus size. The df-count
+    guard is a count() window over the SAME fp partitioning (not a
+    separate aggregate + semi-join), and both self-join sides are the
+    identical subplan, so the fingerprint pipeline executes once and
+    the join sides come from one ReusedExchange — no triple
+    recomputation of the tokenize/hash/winnow scan.
 
     Output: (doc_a, doc_b, n_shared) with doc_a < doc_b and
     n_shared >= min_shared.
     """
+    from pyspark.sql import Window
+
     fp = winnow_fingerprints(df, text, id_col, k, w).select(
         F.col(id_col), F.explode("fingerprints").alias("fp")
     )
-    keep = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
-        F.col("_df") <= max_df
+    fp = (
+        fp.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
     )
-    fp = fp.join(keep.select("fp"), "fp")
     a = fp.select(F.col(id_col).alias("doc_a"), "fp")
     b = fp.select(F.col(id_col).alias("doc_b"), "fp")
     return (

@@ -748,12 +748,20 @@ SELECT base.doc_id, n_tokens, n_distinct,
 FROM base LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)"""
 
 
+# Winnowing parameters — the ONE source of truth for both the Spark
+# call sites and the DuckDB oracle below (the r2 oracle hard-coded the
+# k=3/w=4 offsets as raw literals, so changing either side silently
+# desynchronized them).
+_WIN_K = 3
+_WIN_W = 4
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) document fingerprints: rolling k-gram hashes,
     min per w-window, distinct selected set — emitted as a per-doc
     count + digest of the sorted fingerprint list."""
     d = load_table(spark, sf_dir, "documents")
-    fp = TX.winnow_fingerprints(d, "text", "doc_id", k=3, w=4)
+    fp = TX.winnow_fingerprints(d, "text", "doc_id", k=_WIN_K, w=_WIN_W)
     return fp.select(
         "doc_id",
         "n_grams",
@@ -764,12 +772,16 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared oracle CTE chain: winnowing fingerprint sets (k=3, w=4).
-SQL_WINNOW_FPS = f"""{SQL_WORDS},
+def _winnow_fps_sql(k: int = _WIN_K, w: int = _WIN_W) -> str:
+    """Oracle CTE chain for winnowing fingerprint sets, built from the
+    same k/w constants the Spark call sites pass (DuckDB lists are
+    1-based; slice bounds are inclusive)."""
+    gram_concat = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return f"""{SQL_WORDS},
 g AS (
   SELECT doc_id,
-         list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
-                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS grams
+         list_transform(generate_series(1, greatest(len(toks) - {k - 1}, 0)),
+                        i -> {gram_concat}) AS grams
   FROM w
 ),
 h AS (
@@ -781,11 +793,14 @@ m AS (
   SELECT doc_id, n_grams,
          CASE WHEN len(hs) > 0
               THEN list_sort(list_distinct(list_transform(
-                     generate_series(1, greatest(len(hs) - 4, 0) + 1),
-                     i -> list_min(hs[i : i + 3]))))
+                     generate_series(1, greatest(len(hs) - {w}, 0) + 1),
+                     i -> list_min(hs[i : i + {w - 1}]))))
               ELSE CAST([] AS BIGINT[]) END AS fps
   FROM h
 )"""
+
+
+SQL_WINNOW_FPS = _winnow_fps_sql()
 
 SQL_WINNOW = f"""{SQL_WINNOW_FPS}
 SELECT doc_id, n_grams, len(fps) AS n_fingerprints,
@@ -798,7 +813,7 @@ def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     index self-join with a max-df stop-gram guard)."""
     d = load_table(spark, sf_dir, "documents")
     return TX.winnow_matches(
-        d, "text", "doc_id", k=3, w=4, min_shared=3, max_df=50
+        d, "text", "doc_id", k=_WIN_K, w=_WIN_W, min_shared=3, max_df=50
     ).select("doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared"))
 
 
