@@ -199,62 +199,109 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 20,
+    steps_per_round: int = 2,
+    skip_check_rounds: int = 2,
+    broadcast_edges_max: int = 4_000_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the
     final stage of near-dup clustering (candidate pairs -> clusters).
 
     Each node's label converges to the minimum id in its component.
-    Each round = neighbor-min propagation + pointer jump
+    Each step = neighbor-min propagation + pointer jump
     (label <- min(label, label[label])), so convergence takes
-    O(log diameter) rounds, not diameter rounds — the shape that holds
+    O(log diameter) steps, not diameter steps — the shape that holds
     when a 100-TB near-dup graph contains long chains.
 
-    Scale mechanics: every round ``localCheckpoint(eager=True)``s its
-    (node, label) frame. This is not optional lineage hygiene — each
-    round references the previous labels THREE times (neighbor-min
-    build, the propagation join, the pointer-jump self-join), so
-    without the checkpoint the logical plan TRIPLES per round:
-    exponential analysis cost (StackOverflow in plan handling by
-    round ~6 at sf0.1). The checkpointed label frame is O(n_nodes)
-    skinny rows, so the pinned blocks are negligible; the fixpoint
-    test is a scan of a changed-flag computed inside the round's own
-    join (no extra old-vs-new join job). No driver-side graph. On a
-    multi-executor cluster swap localCheckpoint for reliable-store
-    ``checkpoint()`` (localCheckpoint dies with an executor).
+    Scale mechanics:
+
+    - Only nodes that touch an edge iterate; untouched nodes are
+      singleton clusters and rejoin at the end (a 100-TB near-dup
+      graph is sparse — iterating all nodes, as r2 did, drags the
+      full corpus through every round for labels that cannot change).
+    - The edge skeleton and label frames are
+      ``localCheckpoint(eager=True)``ed. The checkpoint is not
+      optional lineage hygiene — each step references the previous
+      labels THREE times (neighbor-min build, the propagation join,
+      the pointer-jump self-join), so an uncheckpointed plan TRIPLES
+      per step: exponential analysis cost (StackOverflow in plan
+      handling by step ~6 at sf0.1). Batching ``steps_per_round``
+      steps per checkpoint and skipping the fixpoint scan for the
+      first ``skip_check_rounds`` rounds halves the materialization +
+      action count (the r2 one-step-per-round form spent 8s at sf0.1
+      on ~12 rounds of driver-side job scheduling, not on data).
+    - Checkpointed RDD-backed frames report no stats, so AQE can
+      never see that the skeleton is tiny and every round would run
+      32-partition sort-merge joins. The driver *knows* the edge
+      count (it materializes the skeleton anyway), so below
+      ``broadcast_edges_max`` edges it pins broadcast-hash joins for
+      the round joins — the exact decision AQE would make with
+      accurate stats. Above the threshold (the true 100-TB path) the
+      shuffling sort-merge rounds run unchanged.
+    - On a multi-executor cluster swap localCheckpoint for
+      reliable-store ``checkpoint()`` (localCheckpoint dies with an
+      executor).
     """
-    lab = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct()
-    # the edge list joins into EVERY round — without caching, each
-    # iteration would re-run the whole upstream plan (e.g. the full
-    # MinHash-LSH candidate generation) from the source
-    both = both.cache()
-    for _ in range(max_iters):
+    # the edge list joins into EVERY round — materialize once so no
+    # iteration re-runs the upstream plan (e.g. the full MinHash-LSH
+    # candidate generation) from the source
+    both = both.localCheckpoint()
+    n_edges = both.count()
+    small = n_edges <= broadcast_edges_max
+    hint = F.broadcast if small else (lambda d: d)
+
+    lab = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+
+    def _step(f: DataFrame) -> DataFrame:
+        # f: (node, _l0, label); one neighbor-min propagation followed
+        # by one pointer jump
         neighbor_min = (
-            both.join(lab, both.b == lab.node)
+            both.join(
+                hint(f.select(F.col("node").alias("_n"), F.col("label").alias("_nl"))),
+                both.b == F.col("_n"),
+            )
             .groupBy("a")
-            .agg(F.min("label").alias("nlabel"))
+            .agg(F.min("_nl").alias("nlabel"))
         )
-        prop = lab.join(neighbor_min, lab.node == neighbor_min.a, "left").select(
+        prop = f.join(hint(neighbor_min), f.node == neighbor_min.a, "left").select(
             "node",
-            F.col("label").alias("_old"),
+            "_l0",
             F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
         )
-        # pointer jump: follow one level of label indirection
         parents = prop.select(F.col("node").alias("_pn"), F.col("label").alias("_pl"))
-        jumped = prop.join(parents, prop.label == F.col("_pn"), "left").select(
+        return prop.join(hint(parents), prop.label == F.col("_pn"), "left").select(
             "node",
+            "_l0",
             F.least(F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))).alias("label"),
-            (F.least(F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))) != F.col("_old")).alias("_chg"),
         )
-        new_lab = jumped.localCheckpoint()  # eager: materialize + cut lineage
-        changed = new_lab.filter("_chg").limit(1).count()
+
+    n_rounds = (max_iters + steps_per_round - 1) // steps_per_round
+    for r in range(n_rounds):
+        f = lab.select("node", F.col("label").alias("_l0"), "label")
+        for _ in range(steps_per_round):
+            f = _step(f)
+        f = f.select("node", "label", (F.col("label") != F.col("_l0")).alias("_chg"))
+        new_lab = f.localCheckpoint()  # eager: materialize + cut lineage
         lab = new_lab.drop("_chg")
-        if changed == 0:
-            break
-    both.unpersist()
-    return lab.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+        # skip the fixpoint action while convergence is certain to be
+        # incomplete (first rounds cover only distance 2*steps_per_round)
+        if r + 1 >= skip_check_rounds:
+            if new_lab.filter("_chg").limit(1).count() == 0:
+                break
+    # untouched nodes are their own clusters
+    return nodes.select(F.col(id_col)).join(
+        hint(lab.withColumnRenamed("node", id_col)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+    )
 
 
 def jaccard_pairs(
