@@ -302,3 +302,29 @@ def test_winnow_guarantee_and_plan(spark):
     m = winnow_matches(docs, "text", "doc_id", k=3, w=4, min_shared=1, max_df=50)
     got = {(r.doc_a, r.doc_b) for r in m.collect()}
     assert got == {(0, 1)}
+
+
+def test_minhash_lsh_hot_bucket_guard(spark):
+    """A (band, key) bucket bigger than max_df must be dropped before
+    the self-join — one degenerate band key (template spam, empty
+    docs) is otherwise a quadratic bucket at corpus scale. Distinct
+    docs keep their candidate pairs; the hot group contributes none."""
+    from wq_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+
+    hot = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit") for i in range(40)]
+    near = [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    docs = spark.createDataFrame(hot + near, "doc_id int, text string")
+
+    guarded = minhash_lsh_candidates(docs, "text", "doc_id", max_df=10)
+    got = {(r.id_a, r.id_b) for r in guarded.collect()}
+    assert (1000, 1001) in got, "near-dup pair must survive the guard"
+    assert not any(a < 1000 and b < 1000 for a, b in got), (
+        "hot-bucket pairs must be dropped, not joined quadratically"
+    )
+
+    unguarded = minhash_lsh_candidates(docs, "text", "doc_id", max_df=None)
+    n_unguarded = unguarded.count()
+    assert n_unguarded >= 40 * 39 // 2, "sanity: guard off -> quadratic bucket"

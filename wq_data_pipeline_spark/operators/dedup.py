@@ -133,6 +133,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     rows_per_band: int = 4,
     shingle_n: int = 3,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash-LSH banding: signature ->
     band keys -> unpivot bands to rows -> ONE self-join on
@@ -145,10 +146,24 @@ def minhash_lsh_candidates(
     shuffle-write buffers alone exhausted a 1 GB driver heap, and on
     a real cluster it's 8× the stage count for nothing.
 
+    ``max_df`` is the hot-bucket guard: a (band, key) bucket holding
+    more than ``max_df`` docs is dropped before the self-join —
+    without it one degenerate band key (boilerplate, empty docs, a
+    template) makes the bucket-join quadratic in that bucket's size,
+    which at corpus scale is THE failure mode of LSH dedup. Work per
+    bucket is then bounded by max_df²; docs that agree on a band this
+    common are either exact dups (caught upstream by
+    :func:`exact_dedup`) or template spam a near-dup pass shouldn't
+    chain through anyway. The guard count is a window over the SAME
+    (band, key) partitioning the join shuffles on — no extra
+    aggregate/semi-join legs. ``None`` disables.
+
     Defaults (32 hashes, 4 rows/band -> 8 bands) target high recall
     at real near-dup thresholds: P(candidate) = 1-(1-J^4)^8, ~0.985
     at J=0.8 and ~0.9998 at J=0.9 (the s-curve knee sits near 0.72).
     The r1 defaults (8 hashes, 4 bands of 2) were recall-thin at 0.8."""
+    from pyspark.sql import Window
+
     sig = minhash_signatures_table(df, text, id_col, num_hashes, shingle_n)
     band_cols = lsh_bands([f"mh{i}" for i in range(num_hashes)], rows_per_band)
     n_bands = len(band_cols)
@@ -162,6 +177,14 @@ def minhash_lsh_candidates(
     d = banded.select(id_col, F.explode(kv).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if max_df is not None:
+        d = (
+            d.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+            )
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     a = d.select(F.col(id_col).alias("id_a"), "band", "key")
     b = d.select(F.col(id_col).alias("id_b"), "band", "key")
     return (

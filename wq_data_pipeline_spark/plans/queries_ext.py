@@ -201,9 +201,12 @@ FROM sh"""
 
 
 # operator defaults: 32 hashes, 4 rows/band -> 8 bands (recall ~0.985
-# at J=0.8; the r1 catalog used k=4 which is recall-thin)
+# at J=0.8; the r1 catalog used k=4 which is recall-thin), hot-bucket
+# guard at 100 docs per (band, key) — constants shared with the
+# operator so the oracle can never silently desynchronize
 _MH_K = 32
 _MH_R = 4
+_MH_MAXDF = 100
 
 
 def _minhash_sig_sql(num_hashes: int, rows_per_band: int) -> str:
@@ -220,17 +223,24 @@ def _minhash_sig_sql(num_hashes: int, rows_per_band: int) -> str:
     return ",\n         ".join(bands)
 
 
-def _minhash_pairs_sql(num_hashes: int, rows_per_band: int) -> str:
+def _minhash_pairs_sql(
+    num_hashes: int, rows_per_band: int, max_df: int = _MH_MAXDF
+) -> str:
+    """Unpivoted band rows + the max_df hot-bucket guard + one
+    self-join — the SQL mirror of dedup.minhash_lsh_candidates."""
     n_bands = (num_hashes + rows_per_band - 1) // rows_per_band
-    unions = "\n  UNION ALL\n  ".join(
-        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b "
-        f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+    unpivot = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS key FROM sig"
         for b in range(n_bands)
     )
     return (
         f"sh AS (SELECT doc_id, {_shingles_sql()} AS sh FROM w),\n"
         f"sig AS (\n  SELECT doc_id,\n         {_minhash_sig_sql(num_hashes, rows_per_band)}\n  FROM sh\n),\n"
-        f"pairs AS (\n  SELECT DISTINCT id_a, id_b FROM (\n  {unions}\n  )\n)"
+        f"bands AS (\n  {unpivot}\n),\n"
+        f"guard AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= {max_df}),\n"
+        f"b2 AS (SELECT bands.doc_id, bands.band, bands.key FROM bands JOIN guard USING (band, key)),\n"
+        f"pairs AS (\n  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        f"  FROM b2 a JOIN b2 b USING (band, key) WHERE a.doc_id < b.doc_id\n)"
     )
 
 
@@ -240,7 +250,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns all-pairs into per-bucket joins — the 100-TB dedup path."""
     d = _docs_parallel(spark, sf_dir)
     return DD.minhash_lsh_candidates(
-        d, "text", "doc_id", num_hashes=_MH_K, rows_per_band=_MH_R
+        d, "text", "doc_id", num_hashes=_MH_K, rows_per_band=_MH_R, max_df=_MH_MAXDF
     )
 
 
@@ -255,7 +265,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments. The oracle replays the pairs with a recursive CTE."""
     d = _docs_parallel(spark, sf_dir)
     pairs = DD.minhash_lsh_candidates(
-        d, "text", "doc_id", num_hashes=_MH_K, rows_per_band=_MH_R
+        d, "text", "doc_id", num_hashes=_MH_K, rows_per_band=_MH_R, max_df=_MH_MAXDF
     )
     nodes = d.select("doc_id")
     comps = DD.connected_components(nodes, pairs, "doc_id", "id_a", "id_b")
