@@ -328,3 +328,27 @@ def test_minhash_lsh_hot_bucket_guard(spark):
     unguarded = minhash_lsh_candidates(docs, "text", "doc_id", max_df=None)
     n_unguarded = unguarded.count()
     assert n_unguarded >= 40 * 39 // 2, "sanity: guard off -> quadratic bucket"
+
+
+def test_pii_scan_no_double_count(spark):
+    """Counts run against the progressively-redacted text: the digit
+    run inside an email must not also count as an id_number, and the
+    redacted output carries one placeholder per match."""
+    from wq_data_pipeline_spark.operators.text import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail 123456@x.com and ip 10.0.0.1 and +1-555-1234 and id 9876543"),
+            (1, "no pii here at all"),
+            (2, "bare number 123456789 only"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scan(docs, "text", "doc_id").collect()}
+    r0 = rows[0]
+    assert (r0.n_email, r0.n_ipv4, r0.n_phone, r0.n_id_number) == (1, 1, 1, 1), r0
+    assert "<email>" in r0.redacted and "123456@" not in r0.redacted
+    r1 = rows[1]
+    assert (r1.n_email, r1.n_ipv4, r1.n_phone, r1.n_id_number) == (0, 0, 0, 0)
+    assert r1.redacted == "no pii here at all"
+    assert rows[2].n_id_number == 1 and "<id_number>" in rows[2].redacted

@@ -230,8 +230,10 @@ def chunk_documents(
 
 # PII patterns restricted to the regex subset Java (Spark) and RE2
 # (DuckDB) agree on: no lookaround, no backrefs. Applied in dict order
-# for redaction (emails before bare-number rules so digits consumed by
-# an email aren't double-counted).
+# (emails before bare-number rules), and each pattern is counted
+# against the PROGRESSIVELY-REDACTED text, so digits consumed by an
+# earlier pattern (e.g. 123456@x.com) are never double-counted by a
+# later one.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
@@ -244,25 +246,31 @@ def pii_scan(
     df: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
-    patterns: dict[str, str] = PII_PATTERNS,
+    patterns: dict[str, str] | None = None,
 ) -> DataFrame:
     """PII detection + redaction — the scrubbing pass a training-data
     pipeline runs before anything leaves the raw zone: per-pattern
     match counts and the text with every match replaced by a
-    ``<type>`` placeholder (sequentially, in ``patterns`` order).
+    ``<type>`` placeholder (count-then-replace, sequentially, in
+    ``patterns`` order — each count sees the text with every earlier
+    pattern already redacted, so one substring is attributed to
+    exactly one PII type).
 
-    Pure regexp Column algebra — codegens JVM-side, no Python
-    boundary, scales linearly with input splits.
+    Pure regexp Column algebra — codegens JVM-side (the repeated
+    replace chain is shared across counts by whole-stage-codegen
+    subexpression elimination), no Python boundary, scales linearly
+    with input splits.
     """
-    t = F.col(text)
+    if patterns is None:
+        patterns = PII_PATTERNS
+    cur = F.col(text)
     cols = [F.col(id_col)]
-    red = t
     for name, pat in patterns.items():
         cols.append(
-            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(f"n_{name}")
         )
-        red = F.regexp_replace(red, pat, f"<{name}>")
-    cols.append(red.alias("redacted"))
+        cur = F.regexp_replace(cur, pat, f"<{name}>")
+    cols.append(cur.alias("redacted"))
     return df.select(*cols)
 
 

@@ -262,9 +262,28 @@ FROM ranked WHERE rn = 1"""
 
 
 def q_a6_diff_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 (first half): quantiles of positive |successive diff|."""
+    """A6, both halves in one driver row: quantiles of positive
+    |successive diff| (candidate steps) PLUS the quantization-step
+    score of the median cents-diff candidate (share of positive diffs
+    that are integer multiples, atol 1e-3) — reference
+    quant_step_estimate, scripts/ufz_water_qc_pipeline.py:129-142."""
     d = _events_clean(spark, sf_dir)
-    return S.diff_quantiles(d, KEY, "ts", "value")
+    q = S.diff_quantiles(d, KEY, "ts", "value")
+    c = d.withColumn("_c", F.round(F.col("value") * 100).cast("long"))
+    w = W.ordered(KEY, "ts")
+    c = c.withColumn("_dc", F.abs(F.col("_c") - F.lag("_c").over(w)))
+    pos = c.filter(F.col("_dc") > 0)
+    med = pos.groupBy(*KEY).agg(
+        F.percentile(F.col("_dc"), F.lit(0.5)).alias("cand_cents")
+    )
+    j = pos.join(F.broadcast(med), on=KEY)
+    ratio = F.col("_dc") / F.col("cand_cents")
+    hit = (F.abs(ratio - F.round(ratio)) < 1e-3).cast("double")
+    step = j.groupBy("event_type", "cand_cents").agg(
+        F.round(F.avg(hit), 4).alias("step_score"),
+        F.count(F.lit(1)).alias("n_diffs"),
+    )
+    return q.join(step, "event_type")
 
 
 SQL_A6 = f"""{ORACLE_CLEAN},
@@ -272,14 +291,34 @@ d AS (
   SELECT event_type,
          abs(value - lag(value) OVER (PARTITION BY event_type ORDER BY ts)) AS absdiff
   FROM clean
+),
+quants AS (
+  SELECT event_type,
+         round(quantile_cont(absdiff, 0.10), 6) AS q10,
+         round(quantile_cont(absdiff, 0.25), 6) AS q25,
+         round(quantile_cont(absdiff, 0.50), 6) AS q50,
+         round(quantile_cont(absdiff, 0.75), 6) AS q75,
+         round(quantile_cont(absdiff, 0.90), 6) AS q90
+  FROM d WHERE absdiff > 0 GROUP BY event_type
+),
+cd AS (
+  SELECT event_type,
+         abs(CAST(round(value * 100) AS BIGINT)
+             - lag(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY event_type ORDER BY ts)) AS dc
+  FROM clean
+),
+pos AS (SELECT * FROM cd WHERE dc > 0),
+med AS (SELECT event_type, quantile_cont(dc, 0.5) AS cand_cents FROM pos GROUP BY event_type),
+step AS (
+  SELECT p.event_type, m.cand_cents,
+         round(avg(CASE WHEN abs(p.dc / m.cand_cents - round(p.dc / m.cand_cents)) < 1e-3
+                        THEN 1.0 ELSE 0.0 END), 4) AS step_score,
+         count(*) AS n_diffs
+  FROM pos p JOIN med m USING (event_type)
+  GROUP BY p.event_type, m.cand_cents
 )
-SELECT event_type,
-       round(quantile_cont(absdiff, 0.10), 6) AS q10,
-       round(quantile_cont(absdiff, 0.25), 6) AS q25,
-       round(quantile_cont(absdiff, 0.50), 6) AS q50,
-       round(quantile_cont(absdiff, 0.75), 6) AS q75,
-       round(quantile_cont(absdiff, 0.90), 6) AS q90
-FROM d WHERE absdiff > 0 GROUP BY event_type"""
+SELECT quants.*, step.cand_cents, step.step_score, step.n_diffs
+FROM quants JOIN step USING (event_type)"""
 
 
 def q_a8_global_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,15 +664,27 @@ ORACLES.update(ORACLES5)
 # entries. Order so every SURVEY-§2 / LLM-pipeline operator's backing
 # query sits inside that window; the tail holds the no-oracle entries
 # (rows-only check — no hash signal) and extras whose capability is
-# already demonstrated by a checked query (A6 by a6_diff_quantiles;
-# scan/agg/join breadth by tpch_q3 + asof + j3; the rel_* one-liners
-# by the same join machinery). All tail entries remain covered by the
-# local pytest oracle mirror.
+# demonstrated by an explicit in-window proxy:
+#   a6_quant_step        -> folded into a6_diff_quantiles
+#   text_token_stats     -> folded into text_quality
+#   fingerprint_dedup    -> folded into exact_dedup (per-doc form)
+#   jaccard_pairs        -> folded into minhash_lsh_pairs (verify leg)
+#   w15_band_support     -> folded into w12_bands (support/band_ok)
+#   p2_time_slice        -> folded into p16_pivot (BETWEEN slice)
+#   rel_* / tpch_q1/q5/q6 -> same scan/agg/join machinery as tpch_q3,
+#                           asof_join, j3_range_join
+#   chunk_documents      -> narrow-explode invariants pytest-pinned
+# All tail entries remain covered by the local pytest oracle mirror.
 _TAIL = [
     "tpch_q1",
     "tpch_q5",
     "tpch_q6",
     "a6_quant_step",
+    "text_token_stats",
+    "fingerprint_dedup",
+    "jaccard_pairs",
+    "w15_band_support",
+    "p2_time_slice",
     "rel_distinct_agg",
     "rel_union_having",
     "rel_corr_subquery",
@@ -642,10 +693,6 @@ _TAIL = [
     "rel_rollup",
     "embed_lsh_ann",
     "embed_kmeans_ivf",
-    # oracle-checked by the pytest mirror; in-window capability already
-    # shown by hash_split (deterministic md5-rank sampling) and the
-    # token ops behind text_token_stats
-    "stratified_sample",
     "chunk_documents",
     "multimodal_decode",
     "wrtds_residuals",

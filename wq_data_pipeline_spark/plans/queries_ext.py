@@ -57,12 +57,17 @@ FROM w"""
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: stopword/punct ratios + composite score
-    (explicit expression tree — bit-deterministic)."""
+    """Quality scoring + token counting in one driver row: stopword/
+    punct ratios + composite score (explicit expression tree —
+    bit-deterministic) plus the distinct-token and BPE-ish
+    pre-tokenizer counts (the token-counting op's remaining
+    columns)."""
     d = load_table(spark, sf_dir, "documents")
     d = TX.quality_features(d, "text")
     return d.select(
         "doc_id", "n_tokens", "n_stopwords", "n_punct",
+        F.size(F.array_distinct(TX.tokens("text"))).alias("n_distinct"),
+        TX.bpe_ish_count("text").alias("n_bpe_ish"),
         "stop_ratio", "punct_ratio", "mean_token_len", "quality_score",
     )
 
@@ -70,13 +75,15 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_QUALITY = f"""{SQL_WORDS},
 f AS (
   SELECT doc_id, toks, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
          len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and|is|in|it|on|for)\\b')) AS n_stopwords,
          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
          length(text) AS n_chars
   FROM w
 ),
 r AS (
-  SELECT doc_id, n_tokens, n_stopwords, n_punct,
+  SELECT doc_id, n_tokens, n_distinct, n_bpe_ish, n_stopwords, n_punct,
          CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stop_ratio,
          CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
          CASE WHEN n_tokens > 0
@@ -84,7 +91,8 @@ r AS (
               ELSE 0.0 END AS mean_token_len
   FROM f
 )
-SELECT doc_id, n_tokens, n_stopwords, n_punct, stop_ratio, punct_ratio, mean_token_len,
+SELECT doc_id, n_tokens, n_stopwords, n_punct, n_distinct, n_bpe_ish,
+       stop_ratio, punct_ratio, mean_token_len,
        0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
        + 0.3 * stop_ratio
        + 0.3 * (1.0 - least(punct_ratio * 10.0, 1.0)) AS quality_score
@@ -123,17 +131,47 @@ SELECT lang, predicted, count(*) AS n_docs FROM p GROUP BY lang, predicted"""
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via md5-of-text grouping (per-row canonical flag)."""
-    d = load_table(spark, sf_dir, "documents")
-    out = DD.exact_dedup(d, "text", "doc_id")
-    return out.select("doc_id", "canonical_id", "is_duplicate")
+    """Exact + fingerprint dedup in one per-doc driver row: md5-of-
+    text canonical flag (exact) alongside the order-insensitive
+    word-set fingerprint group (near-dup first stage) — each as a
+    min/count window over its own hash partitioning (two skinny
+    shuffles, no joins)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("text")).alias("_h"),
+        TX.doc_fingerprint("text").alias("fp"),
+    )
+    wh = Window.partitionBy("_h")
+    wf = Window.partitionBy("fp")
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(wh).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(wh)).alias("is_duplicate"),
+        F.min("doc_id").over(wf).alias("fp_canonical_id"),
+        F.count(F.lit(1)).over(wf).alias("fp_group_size"),
+        (
+            (F.count(F.lit(1)).over(wf) >= 2)
+            & (F.col("doc_id") != F.min("doc_id").over(wf))
+        ).alias("is_fp_duplicate"),
+    )
 
 
-SQL_EXACT_DEDUP = """
-WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
-c AS (SELECT h, min(doc_id) AS canonical_id FROM h GROUP BY h)
-SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_duplicate
-FROM h JOIN c USING (h)"""
+SQL_EXACT_DEDUP = f"""{SQL_WORDS},
+h AS (
+  SELECT doc_id, md5(text) AS h,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+  FROM w
+)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY h) AS is_duplicate,
+       min(doc_id) OVER (PARTITION BY fp) AS fp_canonical_id,
+       count(*) OVER (PARTITION BY fp) AS fp_group_size,
+       count(*) OVER (PARTITION BY fp) >= 2
+         AND doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_fp_duplicate
+FROM h"""
 
 
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,17 +284,25 @@ def _minhash_pairs_sql(
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs at the operator defaults (k=32,
-    4 rows/band -> 8 bands): docs sharing a band key. The banding
-    turns all-pairs into per-bucket joins — the 100-TB dedup path."""
+    4 rows/band -> 8 bands) VERIFIED with exact word-set Jaccard —
+    the real near-dup pipeline shape (banding turns all-pairs into
+    per-bucket joins, then only the candidates pay the exact
+    comparison; one driver row checks both ops). Jaccard is an exact
+    integer-cardinality division, bit-identical cross-engine."""
     d = _docs_parallel(spark, sf_dir)
-    return DD.minhash_lsh_candidates(
+    cand = DD.minhash_lsh_candidates(
         d, "text", "doc_id", num_hashes=_MH_K, rows_per_band=_MH_R, max_df=_MH_MAXDF
     )
+    return DD.jaccard_pairs(d, cand, "text", "doc_id")
 
 
 SQL_MINHASH_LSH = f"""{SQL_WORDS},
-{_minhash_pairs_sql(_MH_K, _MH_R)}
-SELECT id_a, id_b FROM pairs"""
+{_minhash_pairs_sql(_MH_K, _MH_R)},
+ws AS (SELECT doc_id, list_distinct(toks) AS ws FROM w)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) AS jaccard
+FROM pairs JOIN ws a ON pairs.id_a = a.doc_id JOIN ws b ON pairs.id_b = b.doc_id"""
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -838,6 +884,40 @@ GROUP BY 1, 2
 HAVING count(*) >= 3"""
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: per-pattern counts against the
+    progressively-redacted text plus the fully-redacted text itself
+    (count-then-replace in fixed pattern order, so one substring is
+    attributed to exactly one PII type)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.pii_scan(d, "text", "doc_id")
+
+
+def _pii_scan_sql() -> str:
+    """Oracle mirror generated from the SAME pattern dict the Spark
+    operator uses (sequential count-then-replace CTE chain; patterns
+    are in the Java/RE2-shared regex subset)."""
+    ctes = ["s0 AS (SELECT doc_id, text AS t FROM documents)"]
+    names = list(TX.PII_PATTERNS)
+    for i, name in enumerate(names):
+        pat = TX.PII_PATTERNS[name].replace("'", "''")
+        prev_counts = ", ".join(f"n_{n}" for n in names[:i])
+        carry = f"{prev_counts}, " if prev_counts else ""
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id, {carry}"
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '<{name}>', 'g') AS t FROM s{i})"
+        )
+    counts = ", ".join(f"n_{n}" for n in names)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {counts}, t AS redacted FROM s{len(names)}"
+    )
+
+
+SQL_PII_SCAN = _pii_scan_sql()
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: keep the 10% of each label
     stratum with the smallest md5(vec_id) — reproducible on any
@@ -1016,6 +1096,7 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_matches": q_winnow_matches,
+    "pii_scan": q_pii_scan,
 }
 
 ORACLES3: dict[str, str] = {
@@ -1042,5 +1123,6 @@ ORACLES3: dict[str, str] = {
     "repetition_stats": SQL_REPETITION,
     "winnow_fingerprints": SQL_WINNOW,
     "winnow_matches": SQL_WINNOW_MATCHES,
+    "pii_scan": SQL_PII_SCAN,
     # embed_lsh_ann, multimodal_decode: rows-only (non-SQL-expressible)
 }

@@ -304,9 +304,12 @@ GROUP BY p.event_type, m.cand_cents"""
 # --- W12+W14: SentemQC band pass (cents-exact) -----------------------------
 
 def q_w12_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W12+W14: one band pass (w=48 even -> pandas left-heavy frame,
-    minp=15, sf=3, 10% uncertainty envelope). Mean/std via exact
-    integer sums; flag 200 where the envelope clears a band."""
+    """W12+W14+W15: one band pass (w=48 even -> pandas left-heavy
+    frame, minp=15, sf=3, 10% uncertainty envelope). Mean/std via
+    exact integer sums; flag 200 where the envelope clears a band.
+    The W15 band-support mask (scripts/sentemqc.py:105-107) is the
+    same rolling finite-count that gates ma/sd — emitted explicitly
+    as (support, band_ok) so the driver row checks all three ops."""
     d = _events_clean(spark, sf_dir)
     d = d.withColumn("_c", F.round(F.col("value") * 100).cast("long"))
     frame = W.centered(48, KEY, "ts")  # rows [-24, +23]
@@ -318,14 +321,25 @@ def q_w12_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt((n * s2 - s1 * s1).cast("double")) / n.cast("double") / F.lit(100.0)
     )
     ok = n >= 15
-    d = d.withColumn("ma", F.when(ok, ma)).withColumn("sd", F.when(ok, sd))
+    d = (
+        d.withColumn("support", n)
+        .withColumn("band_ok", ok)
+        .withColumn("ma", F.when(ok, ma))
+        .withColumn("sd", F.when(ok, sd))
+    )
     top = F.col("ma") + F.lit(3.0) * F.col("sd")
     bottom = F.col("ma") - F.lit(3.0) * F.col("sd")
     hi, lo = F.col("value") * 1.1, F.col("value") * 0.9
     flagged = F.coalesce(((hi > top) & (lo > top)) | ((hi < bottom) & (lo < bottom)), F.lit(False))
     flag = F.when(flagged, 200).otherwise(100)
     return d.select(
-        "event_type", _us().alias("ts_us"), "ma", "sd", flag.alias("flag_band")
+        "event_type",
+        _us().alias("ts_us"),
+        "support",
+        "band_ok",
+        "ma",
+        "sd",
+        flag.alias("flag_band"),
     )
 
 
@@ -337,12 +351,12 @@ s AS (
   FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 24 PRECEDING AND 23 FOLLOWING)
 ),
 b AS (
-  SELECT event_type, ts, value,
+  SELECT event_type, ts, value, n AS support, n >= 15 AS band_ok,
          CASE WHEN n >= 15 THEN CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 END AS ma,
          CASE WHEN n >= 15 THEN sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0 END AS sd
   FROM s
 )
-SELECT event_type, epoch_us(ts) AS ts_us, ma, sd,
+SELECT event_type, epoch_us(ts) AS ts_us, support, band_ok, ma, sd,
        CASE WHEN COALESCE((value * 1.1 > ma + 3.0 * sd AND value * 0.9 > ma + 3.0 * sd)
                        OR (value * 1.1 < ma - 3.0 * sd AND value * 0.9 < ma - 3.0 * sd), FALSE)
             THEN 200 ELSE 100 END AS flag_band

@@ -262,11 +262,21 @@ SELECT event_type,
 FROM fl GROUP BY event_type"""
 
 
+# P2/P16 combined slice bounds — shared between the Spark query and
+# the oracle SQL below
+_P2_LO = "2024-01-10 00:00:00"
+_P2_HI = "2024-01-20 00:00:00"
+
+
 def q_p16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P16/J2: long -> wide pivot (per-day rows, one count column per
-    event_type) — the reference's wide output assembly as
-    groupBy().pivot()."""
-    ev = load_table(spark, sf_dir, "events")
+    """P16/J2 + P2 in one driver row: inclusive-inclusive time-range
+    slice (pandas .loc semantics == BETWEEN) feeding the long -> wide
+    pivot (per-day rows, one count column per event_type) — the
+    reference's wide output assembly as groupBy().pivot() over a
+    sliced scan."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").between(_P2_LO, _P2_HI)
+    )
     d = ev.groupBy(F.to_date("ts").alias("day")).pivot(
         "event_type", ["click", "error", "purchase", "signup", "view"]
     ).count()
@@ -276,14 +286,16 @@ def q_p16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_P16 = """
+SQL_P16 = f"""
 SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
        CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
-FROM events GROUP BY CAST(ts AS DATE)"""
+FROM events
+WHERE ts BETWEEN TIMESTAMP '{_P2_LO}' AND TIMESTAMP '{_P2_HI}'
+GROUP BY CAST(ts AS DATE)"""
 
 
 def q_w15_band_support(spark: SparkSession, sf_dir: str) -> DataFrame:
