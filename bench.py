@@ -3,10 +3,13 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed to completion of a driver-side count() +
-collect-free foreach-noop (we materialize results the cheap way:
-``df.write.format('noop')`` executes the full plan without collecting
-rows to the driver, which is what a cluster deployment would do).
+Each query is timed from CONSTRUCTION through completion of a
+collect-free noop sink (``df.write.format('noop')`` executes the full
+plan without collecting rows to the driver, which is what a cluster
+deployment would do). Construction is inside the timer because
+iterative operators (connected components, k-means) run their
+driver-side rounds eagerly at build time — excluding it (the r1/r2
+protocol) under-reported exactly the queries most likely to regress.
 """
 
 from __future__ import annotations
@@ -42,8 +45,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        df = queries[name](spark, sf_dir)
         t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
