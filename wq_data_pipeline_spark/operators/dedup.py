@@ -223,7 +223,7 @@ def connected_components(
     dst: str = "dst",
     max_iters: int = 20,
     steps_per_round: int = 2,
-    skip_check_rounds: int = 2,
+    skip_check_rounds: int = 1,
     broadcast_edges_max: int = 4_000_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the

@@ -189,22 +189,35 @@ def kmeans_centroids(
 
     Deterministic seedless init: the k corpus vectors with the
     smallest md5(id) (uniform pseudo-random, engine/partition
-    independent). Each round: broadcast the k×dim centroid table,
-    assign every vector to its nearest centroid (map-side, no
-    shuffle of the corpus), recompute centroids as element-wise
-    means via posexplode + groupBy, and COLLECT the k×dim result to
-    the driver — centroids are tiny, so driver round-trips per
-    iteration are the standard Spark k-means shape (what MLlib does)
-    and keep every round's plan flat (no lineage growth, no
-    checkpoint needed). Empty clusters keep their previous centroid.
+    independent). Each round assigns every vector to its nearest
+    centroid MAP-SIDE: the driver holds the k×dim centroids anyway
+    (it collected them), so they are baked into the plan as
+    L2-normalized literal arrays and the argmax over cosine is a
+    per-row ``transform`` + ``array_position`` — no crossJoin, no
+    per-round window shuffle (the r2 crossJoin + row_number form
+    shuffled corpus×k scored rows every round; at 6 jobs that was
+    most of the query's wall time). argmax over dot with normalized
+    centroids == argmax over cosine, ties to the lowest centroid id
+    (array_position returns the first hit). New centroids come from
+    one posexplode + groupBy (the round's only shuffle) and a k×dim
+    COLLECT — the standard Spark k-means driver round-trip (what
+    MLlib does); plans stay flat, no checkpoint needed. Empty
+    clusters keep their previous centroid. The corpus projection is
+    localCheckpoint'ed once so no round re-reads the source.
 
     Returns a (centroid_id, ``vec_col``) DataFrame ready for
     :func:`ivf_topk`.
     """
+    import math
+
     spark = corpus.sparkSession
+    base = (
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
     seed_rows = (
-        corpus.select(id_col, vec_col)
-        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        base.withColumn("_h", F.md5(F.col(id_col).cast("string")))
         .orderBy("_h")
         .limit(k)
         .collect()
@@ -218,18 +231,21 @@ def kmeans_centroids(
         )
 
     for _ in range(iters):
-        cent = cent_df(cents).select(
-            F.col("centroid_id").alias("_cid"), F.col(vec_col).alias("_cv")
+        normed = []
+        for v in cents:
+            n = math.sqrt(sum(x * x for x in v))
+            normed.append([x / n if n > 0 else 0.0 for x in v])
+        cent_arr = F.array(*[F.array(*[F.lit(x) for x in v]) for v in normed])
+        sims = F.transform(
+            cent_arr,
+            lambda c: F.aggregate(
+                F.zip_with(F.col(vec_col), c, lambda x, h: x * h),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
         )
-        scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cent))
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc(cosine(vec_col, "_cv")), F.asc("_cid")
-        )
-        assigned = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("_cid", vec_col)
-        )
+        best = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        assigned = base.select(best.alias("_cid"), F.col(vec_col))
         means = (
             assigned.select("_cid", F.posexplode(vec_col).alias("_pos", "_x"))
             .groupBy("_cid", "_pos")
