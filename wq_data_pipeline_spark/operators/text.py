@@ -399,6 +399,64 @@ def winnow_matches(
     )
 
 
+def filter_decision(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 25,
+    max_dup_word_frac: float = 0.6,
+    max_top2gram_share: float = 0.2,
+    min_mean_tok_len: float = 3.0,
+    max_mean_tok_len: float = 10.0,
+    min_stop_ratio: float = 0.02,
+) -> DataFrame:
+    """Document keep/drop decision — the C4/Gopher-style quality gate
+    a training-data pipeline applies after scoring (Raffel et al. 2020
+    §2.2; Rae et al. 2021 §A1.1): combine length, repetition and
+    stopword signals into one verdict plus the ordered list of failed
+    rules, so downstream can both filter and audit drop reasons.
+
+    Scale shape: quality features are narrow per-row algebra on the
+    scan; the 2-gram repetition share joins in from one explode + two
+    hash aggregations (map-side combinable); the rule evaluation is a
+    literal array of CASE expressions — nothing here grows faster
+    than the corpus. Rules that need a missing signal (e.g. 2-gram
+    share on a 1-token doc) evaluate NULL and simply don't fire;
+    ``too_short`` covers those docs.
+
+    Output: (id, n_tokens, dup_word_frac, top2gram_share,
+    reasons array<string> in fixed rule order, keep boolean).
+    """
+    q = quality_features(df, text)
+    rep = repetition_features(df, text, id_col, grams=(2,))
+    j = q.select(
+        id_col, "n_tokens", "stop_ratio", "mean_token_len"
+    ).join(rep.select(id_col, "dup_word_frac", "top2gram_share"), id_col)
+    rules = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("too_repetitive", F.col("dup_word_frac") > max_dup_word_frac),
+        ("ngram_repetition", F.col("top2gram_share") > max_top2gram_share),
+        (
+            "token_len_out_of_range",
+            (F.col("mean_token_len") < min_mean_tok_len)
+            | (F.col("mean_token_len") > max_mean_tok_len),
+        ),
+        ("low_stopword_ratio", F.col("stop_ratio") < min_stop_ratio),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in rules]),
+        lambda x: x.isNotNull(),
+    )
+    return j.select(
+        F.col(id_col),
+        "n_tokens",
+        "dup_word_frac",
+        "top2gram_share",
+        reasons.alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )
+
+
 def doc_fingerprint(text: str | Column) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct word set. Identical bags of words collide — the cheap

@@ -693,6 +693,10 @@ _TAIL = [
     "rel_rollup",
     "embed_lsh_ann",
     "embed_kmeans_ivf",
+    # keep the checked window at exactly 50: doc_filter's component
+    # signals (quality ratios, repetition shares) are already
+    # driver-checked via text_quality + repetition_stats
+    "doc_filter",
     "chunk_documents",
     "multimodal_decode",
     "wrtds_residuals",

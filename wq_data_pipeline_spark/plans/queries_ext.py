@@ -884,6 +884,59 @@ GROUP BY 1, 2
 HAVING count(*) >= 3"""
 
 
+def q_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style keep/drop gate: length + repetition + stopword
+    rules -> verdict and ordered failed-rule reasons per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.filter_decision(d, "text", "doc_id")
+
+
+SQL_DOC_FILTER = f"""{SQL_WORDS},
+f AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and|is|in|it|on|for)\\b')) AS n_stopwords,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS mean_token_len
+  FROM w
+),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM w
+),
+t2 AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2gram_share
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id
+),
+base AS (
+  SELECT f.doc_id, f.n_tokens,
+         CASE WHEN f.n_tokens > 0
+              THEN CAST(f.n_stopwords AS DOUBLE) / CAST(f.n_tokens AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+         f.mean_token_len,
+         CASE WHEN f.n_tokens > 0
+              THEN 1.0 - CAST(f.n_distinct AS DOUBLE) / CAST(f.n_tokens AS DOUBLE) END AS dup_word_frac,
+         t2.top2gram_share
+  FROM f LEFT JOIN t2 USING (doc_id)
+),
+ruled AS (
+  SELECT doc_id, n_tokens, dup_word_frac, top2gram_share,
+         list_filter([
+           CASE WHEN n_tokens < 25 THEN 'too_short' END,
+           CASE WHEN dup_word_frac > 0.6 THEN 'too_repetitive' END,
+           CASE WHEN top2gram_share > 0.2 THEN 'ngram_repetition' END,
+           CASE WHEN mean_token_len < 3.0 OR mean_token_len > 10.0 THEN 'token_len_out_of_range' END,
+           CASE WHEN stop_ratio < 0.02 THEN 'low_stopword_ratio' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM base
+)
+SELECT doc_id, n_tokens, dup_word_frac, top2gram_share, reasons,
+       len(reasons) = 0 AS keep
+FROM ruled"""
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction: per-pattern counts against the
     progressively-redacted text plus the fully-redacted text itself
@@ -1097,6 +1150,7 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_matches": q_winnow_matches,
     "pii_scan": q_pii_scan,
+    "doc_filter": q_doc_filter,
 }
 
 ORACLES3: dict[str, str] = {
@@ -1124,5 +1178,6 @@ ORACLES3: dict[str, str] = {
     "winnow_fingerprints": SQL_WINNOW,
     "winnow_matches": SQL_WINNOW_MATCHES,
     "pii_scan": SQL_PII_SCAN,
+    "doc_filter": SQL_DOC_FILTER,
     # embed_lsh_ann, multimodal_decode: rows-only (non-SQL-expressible)
 }
