@@ -64,7 +64,12 @@ def test_streaming_flat_runs_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # applyInPandasWithState queries do not self-terminate under
+    # availableNow; poll the sink and stop explicitly (see
+    # test_streaming._drain_stateful).
+    from tests.test_streaming import _drain_stateful
+
+    _drain_stateful(spark, q, "flatruns", target_rows=1)
     rows = spark.sql("select * from flatruns").collect()
     assert len(rows) == 1, rows
     r = rows[0]
