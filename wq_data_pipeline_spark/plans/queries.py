@@ -695,8 +695,12 @@ _TAIL = [
     "embed_kmeans_ivf",
     # keep the checked window at exactly 50: doc_filter's component
     # signals (quality ratios, repetition shares) are already
-    # driver-checked via text_quality + repetition_stats
+    # driver-checked via text_quality + repetition_stats; tfidf/bm25
+    # share the explode->agg token machinery checked by text_quality
+    # and unigram_logprob
     "doc_filter",
+    "tfidf_terms",
+    "bm25_search",
     "chunk_documents",
     "multimodal_decode",
     "wrtds_residuals",

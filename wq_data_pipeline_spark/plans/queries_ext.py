@@ -884,6 +884,75 @@ GROUP BY 1, 2
 HAVING count(*) >= 3"""
 
 
+# BM25 constants — shared between the Spark query and the oracle SQL
+_BM25_TERMS = ("hash", "join", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 20
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by tf·idf (BM25-smoothed idf), ties by
+    term — the corpus-exploration side of ranked retrieval."""
+    from wq_data_pipeline_spark.operators.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+SQL_TFIDF = f"""{SQL_WORDS},
+t AS (SELECT doc_id, unnest(toks) AS term FROM w),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+sc AS (
+  SELECT doc_id, term, tf,
+         round(tf * ln(((SELECT count(*) FROM documents) - count(*) OVER (PARTITION BY term) + 0.5)
+                       / (count(*) OVER (PARTITION BY term) + 0.5) + 1.0), 6) AS score
+  FROM tf
+)
+SELECT doc_id, term, tf, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM sc
+) WHERE rank <= 3"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 docs for a fixed 3-term query; per-term scores
+    quantized to integer micros before the per-doc sum so the ranking
+    is accumulation-order-independent."""
+    from wq_data_pipeline_spark.operators.retrieval import bm25_search
+
+    return bm25_search(
+        load_table(spark, sf_dir, "documents"),
+        _BM25_TERMS,
+        topn=_BM25_TOPN,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+SQL_BM25 = f"""{SQL_WORDS},
+t AS (SELECT doc_id, unnest(toks) AS term FROM w),
+tfall AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+tfd AS (SELECT *, CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl FROM tfall),
+q AS (SELECT * FROM tfd WHERE term IN ({_BM25_TERMS_SQL})),
+scored AS (
+  SELECT doc_id,
+         CAST(round(
+           ln(((SELECT count(*) FROM documents) - count(*) OVER (PARTITION BY term) + 0.5)
+              / (count(*) OVER (PARTITION BY term) + 0.5) + 1.0)
+           * ((tf * ({_BM25_K1} + 1.0))
+              / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + ({_BM25_B} * dl)
+                 / (SELECT avg(len(toks)) FROM w))))
+           * 1000000.0) AS BIGINT) AS m
+  FROM q
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM (SELECT doc_id, CAST(sum(m) AS DOUBLE) / 1e6 AS score FROM scored GROUP BY doc_id)
+) WHERE rank <= {_BM25_TOPN}"""
+
+
 def q_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style keep/drop gate: length + repetition + stopword
     rules -> verdict and ordered failed-rule reasons per doc."""
@@ -1151,6 +1220,8 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_matches": q_winnow_matches,
     "pii_scan": q_pii_scan,
     "doc_filter": q_doc_filter,
+    "tfidf_terms": q_tfidf_terms,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLES3: dict[str, str] = {
@@ -1179,5 +1250,7 @@ ORACLES3: dict[str, str] = {
     "winnow_matches": SQL_WINNOW_MATCHES,
     "pii_scan": SQL_PII_SCAN,
     "doc_filter": SQL_DOC_FILTER,
+    "tfidf_terms": SQL_TFIDF,
+    "bm25_search": SQL_BM25,
     # embed_lsh_ann, multimodal_decode: rows-only (non-SQL-expressible)
 }
