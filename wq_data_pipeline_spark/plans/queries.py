@@ -691,6 +691,8 @@ _TAIL = [
     "rel_anti_join",
     "rel_semi_join",
     "rel_rollup",
+    "table_profile",
+    "heavy_hitters",
     "embed_lsh_ann",
     "embed_kmeans_ivf",
     # keep the checked window at exactly 50: doc_filter's component

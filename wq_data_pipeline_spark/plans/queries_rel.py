@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from wq_data_pipeline_spark.sources.testdata import load_table
 
@@ -145,6 +145,65 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM s WHERE n >= 3 AND o_totalprice > a * 1.5"""
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass over events — the pre-flight a pipeline
+    runs before touching a new 100-TB table: row/null counts, ranges,
+    exact distinct cardinalities. One scan, one agg row (at scale the
+    distinct counts would switch to approx_count_distinct; the exact
+    forms stay oracle-comparable)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_value_nonnull"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_value_null"),
+        F.unix_micros(F.min("ts")).alias("ts_min_us"),
+        F.unix_micros(F.max("ts")).alias("ts_max_us"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("event_type").alias("n_event_types"),
+    )
+
+
+SQL_PROFILE = """
+SELECT count(*) AS n_rows,
+       count(value) AS n_value_nonnull,
+       count(*) - count(value) AS n_value_null,
+       epoch_us(min(ts)) AS ts_min_us, epoch_us(max(ts)) AS ts_max_us,
+       min(value) AS value_min, max(value) AS value_max,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT event_type) AS n_event_types
+FROM events"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis: top-10 user_ids by event count with their
+    corpus share — the check that decides whether a join key needs
+    salting BEFORE the shuffle melts an executor. TakeOrdered top-k,
+    no single-partition rank window."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    top = counts.orderBy(F.desc("n_events"), F.asc("user_id")).limit(10)
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("n_events") / F.lit(float(total)), 6).alias("share"),
+        "rank",
+    )
+
+
+SQL_HEAVY = """
+WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       round(n_events / (SELECT CAST(count(*) AS DOUBLE) FROM events), 6) AS share,
+       rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS rank FROM c
+) WHERE rank <= 10"""
+
+
 QUERIES5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_distinct_agg": q_distinct_agg,
     "rel_anti_join": q_anti_join,
@@ -152,6 +211,8 @@ QUERIES5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_rollup": q_rollup_revenue,
     "rel_union_having": q_union_having,
     "rel_corr_subquery": q_corr_scalar_subquery,
+    "table_profile": q_table_profile,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLES5: dict[str, str] = {
@@ -161,4 +222,6 @@ ORACLES5: dict[str, str] = {
     "rel_rollup": SQL_ROLLUP,
     "rel_union_having": SQL_UNION_HAVING,
     "rel_corr_subquery": SQL_CORR,
+    "table_profile": SQL_PROFILE,
+    "heavy_hitters": SQL_HEAVY,
 }
