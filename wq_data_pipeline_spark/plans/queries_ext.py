@@ -660,17 +660,113 @@ FROM pairs
 WHERE CAST(dotq AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) >= 0.45"""
 
 
-def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: random-hyperplane LSH bucketing (md5-derived
-    ±1 planes), exact cosine within bucket. No oracle — covered by the
-    rows-only check; correctness of components is oracled by
-    embed_cosine_topk + the signature determinism test."""
-    from wq_data_pipeline_spark.operators.similarity import lsh_bucketed_topk
+_ANN_BANDS = 4
+_ANN_PLANES = 4
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = emb.select(F.size("embedding")).head()[0]
-    qs = emb.filter(F.col("vec_id") % 100 == 0)
-    return lsh_bucketed_topk(emb, qs, k=5, n_bands=4, planes_per_band=4, dim=dim)
+
+def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: banded random-hyperplane LSH bucketing
+    (md5-derived ±1 planes, the same portable construction
+    embed_near_dup oracles), exact quantized-integer cosine within
+    shared buckets, top-5 per query. Fully oracled: integer plane
+    dots make every signature bit — hence the candidate set — and
+    every cosine bit-identical cross-engine (was rows-only in r2)."""
+    from wq_data_pipeline_spark.operators.similarity import rp_lsh_signature
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    dim = raw.select(F.size("embedding")).head()[0]
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized("embedding").alias("q")
+    )
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    nrm = F.aggregate(
+        F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                rp_lsh_signature(
+                    "q", _ANN_PLANES, plane_offset=b * _ANN_PLANES, dim=dim
+                ).alias("sig"),
+            )
+            for b in range(_ANN_BANDS)
+        ]
+    )
+    d = emb.withColumn("n", nrm).select(
+        "vec_id", "q", "n", F.explode(band_sigs).alias("bs")
+    ).select(
+        "vec_id", "q", "n", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    qs = d.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n").alias("qn"),
+        "band",
+        "sig",
+    )
+    cand = (
+        d.join(F.broadcast(qs), on=["band", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    dotq = F.aggregate(
+        F.zip_with("q", "qq", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    cos = dotq.cast("double") / (
+        F.sqrt(F.col("n").cast("double")) * F.sqrt(F.col("qn").cast("double"))
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+SQL_EMBED_LSH_ANN = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+dim AS (SELECT unnest(generate_series(0, (SELECT max(len(q)) - 1 FROM q))) AS i),
+pl AS (SELECT unnest(generate_series(0, {_ANN_BANDS * _ANN_PLANES - 1})) AS p),
+planes AS (
+  SELECT pl.p, dim.i,
+         CASE WHEN substr(md5(CAST(pl.p AS VARCHAR) || ':' || CAST(dim.i AS VARCHAR)), 1, 1)
+                   IN ('0','2','4','6','8','a','c','e')
+              THEN 1 ELSE -1 END AS h
+  FROM pl CROSS JOIN dim
+),
+dimv AS (
+  SELECT vec_id, i, q[i + 1] AS qi
+  FROM (SELECT vec_id, q, unnest(generate_series(0, len(q) - 1)) AS i FROM q)
+),
+pdot AS (
+  SELECT v.vec_id, pl2.p, sum(v.qi * pl2.h) AS s
+  FROM dimv v JOIN planes pl2 ON v.i = pl2.i
+  GROUP BY v.vec_id, pl2.p
+),
+sigs AS (
+  SELECT vec_id, p // {_ANN_PLANES} AS band,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << (p % {_ANN_PLANES}) ELSE 0 END) AS BIGINT) AS sig
+  FROM pdot GROUP BY vec_id, p // {_ANN_PLANES}
+),
+qs AS (SELECT * FROM sigs WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT DISTINCT c.vec_id AS neighbor_id, p.vec_id AS query_id
+  FROM sigs c JOIN qs p ON c.band = p.band AND c.sig = p.sig AND c.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(b.q, x -> x * x)) AS DOUBLE))) AS cos_sim
+  FROM cand JOIN q a ON a.vec_id = cand.neighbor_id JOIN q b ON b.vec_id = cand.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5"""
 
 
 def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1252,5 +1348,6 @@ ORACLES3: dict[str, str] = {
     "doc_filter": SQL_DOC_FILTER,
     "tfidf_terms": SQL_TFIDF,
     "bm25_search": SQL_BM25,
-    # embed_lsh_ann, multimodal_decode: rows-only (non-SQL-expressible)
+    "embed_lsh_ann": SQL_EMBED_LSH_ANN,
+    # multimodal_decode: rows-only (binary codec paths)
 }
