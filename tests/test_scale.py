@@ -352,3 +352,40 @@ def test_pii_scan_no_double_count(spark):
     assert (r1.n_email, r1.n_ipv4, r1.n_phone, r1.n_id_number) == (0, 0, 0, 0)
     assert r1.redacted == "no pii here at all"
     assert rows[2].n_id_number == 1 and "<id_number>" in rows[2].redacted
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Pre-bucketing both join sides on the key makes the join
+    shuffle-free — the co-located-join strategy for repeated
+    100-TB joins (bucket once, join many times). Plan-asserted:
+    no Exchange above either bucketed scan."""
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    warehouse = str(tmp_path / "wh")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    (ev.write.bucketBy(8, "user_id").sortBy("user_id")
+       .option("path", warehouse + "/ev_b").mode("overwrite").saveAsTable("ev_b"))
+    (agg.write.bucketBy(8, "user_id").sortBy("user_id")
+       .option("path", warehouse + "/agg_b").mode("overwrite").saveAsTable("agg_b"))
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path: broadcast would bypass bucketing
+        # (at real scale neither side fits a broadcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("ev_b")
+        b = spark.table("agg_b")
+        j = a.join(b, "user_id")
+        j.collect()  # finalize AQE plan
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, (
+            "bucketed join must not shuffle:\n" + plan
+        )
+        # same result as the unbucketed join
+        direct = ev.join(agg, "user_id")
+        assert j.count() == direct.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS ev_b")
+        spark.sql("DROP TABLE IF EXISTS agg_b")
