@@ -389,3 +389,39 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS ev_b")
         spark.sql("DROP TABLE IF EXISTS agg_b")
+
+
+def test_round3_operators_empty_and_edge_inputs(spark):
+    """Operators touched in r3 must survive degenerate inputs: empty
+    corpus, no-edge graphs, queries with no matching terms."""
+    from wq_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+    from wq_data_pipeline_spark.operators.retrieval import bm25_search, tfidf_top_terms
+    from wq_data_pipeline_spark.operators.text import (
+        filter_decision,
+        pii_scan,
+        winnow_fingerprints,
+        winnow_matches,
+    )
+
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert winnow_fingerprints(empty, "text", "doc_id").count() == 0
+    assert winnow_matches(empty, "text", "doc_id").count() == 0
+    assert pii_scan(empty, "text", "doc_id").count() == 0
+    assert filter_decision(empty, "text", "doc_id").count() == 0
+    assert tfidf_top_terms(empty).count() == 0
+    assert minhash_lsh_candidates(empty, "text", "doc_id").count() == 0
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    # no query term present -> empty ranking, no crash
+    assert bm25_search(docs, ("nonexistent",)).count() == 0
+    # graph with zero edges -> every node is its own cluster
+    no_edges = spark.createDataFrame([], "id_a int, id_b int")
+    cc = connected_components(docs.select("doc_id"), no_edges, "doc_id", "id_a", "id_b")
+    rows = {r.doc_id: r.cluster_id for r in cc.collect()}
+    assert rows == {1: 1, 2: 2}
