@@ -425,3 +425,33 @@ def test_round3_operators_empty_and_edge_inputs(spark):
     cc = connected_components(docs.select("doc_id"), no_edges, "doc_id", "id_a", "id_b")
     rows = {r.doc_id: r.cluster_id for r in cc.collect()}
     assert rows == {1: 1, 2: 2}
+
+
+def test_sketch_profile_error_bounds(spark, sf_dir):
+    """Sketch estimates (HLL++ distincts, approx percentiles) must sit
+    inside their documented error bounds vs the exact profile — the
+    verification that replaces a cross-engine oracle for
+    engine-specific sketch implementations."""
+    from wq_data_pipeline_spark.plans.queries_rel import q_sketch_profile
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    got = {r.event_type: r for r in q_sketch_profile(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.percentile(F.col("value"), F.lit(0.45)).alias("p45"),
+            F.percentile(F.col("value"), F.lit(0.55)).alias("p55"),
+            F.percentile(F.col("value"), F.lit(0.90)).alias("p90"),
+            F.percentile(F.col("value"), F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    assert got.keys() == exact.keys() and got
+    for k in got:
+        rel_err = abs(got[k].approx_users - exact[k].n_users) / exact[k].n_users
+        assert rel_err <= 0.05, (k, got[k].approx_users, exact[k].n_users)
+        assert exact[k].p45 <= got[k].approx_p50 <= exact[k].p55, k
+        assert exact[k].p90 <= got[k].approx_p95 <= exact[k].p99, k

@@ -693,6 +693,7 @@ _TAIL = [
     "rel_rollup",
     "table_profile",
     "heavy_hitters",
+    "sketch_profile",
     "embed_lsh_ann",
     "embed_kmeans_ivf",
     # keep the checked window at exactly 50: doc_filter's component

@@ -176,6 +176,24 @@ SELECT count(*) AS n_rows,
 FROM events"""
 
 
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profiling — the 100-TB path where exact distincts
+    and exact percentiles are unaffordable: HLL++ distinct-user
+    estimates (rsd 2%) and approximate value quantiles per
+    event_type, one scan, constant memory per group. Rows-only by
+    design: sketch estimates are engine-specific (DuckDB's HLL is a
+    different implementation), so there is no cross-engine oracle —
+    the error bounds vs the exact profile are pinned in
+    tests/test_scale.py::test_sketch_profile_error_bounds instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+        F.percentile_approx("value", 0.95, 10_000).alias("approx_p95"),
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnosis: top-10 user_ids by event count with their
     corpus share — the check that decides whether a join key needs
@@ -213,6 +231,7 @@ QUERIES5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_corr_subquery": q_corr_scalar_subquery,
     "table_profile": q_table_profile,
     "heavy_hitters": q_heavy_hitters,
+    "sketch_profile": q_sketch_profile,
 }
 
 ORACLES5: dict[str, str] = {
