@@ -455,3 +455,35 @@ def test_sketch_profile_error_bounds(spark, sf_dir):
         assert rel_err <= 0.05, (k, got[k].approx_users, exact[k].n_users)
         assert exact[k].p45 <= got[k].approx_p50 <= exact[k].p55, k
         assert exact[k].p90 <= got[k].approx_p95 <= exact[k].p99, k
+
+
+def test_winnow_guarantee_randomized(spark):
+    """Winnowing's core guarantee, fuzzed: for ANY pair of docs
+    sharing a token run of length >= w + k - 1, the fingerprint sets
+    intersect (Schleimer et al. 2003, Thm 1). 20 random cases with
+    disjoint per-pair vocabularies and random planted positions, one
+    DataFrame, k=3/w=4."""
+    from wq_data_pipeline_spark.operators.text import winnow_fingerprints
+
+    rng = np.random.default_rng(7)
+    k, w = 3, 4
+    run_len = w + k - 1
+    rows = []
+    for case in range(20):
+        vocab = [f"c{case}t{i}" for i in range(40)]
+        shared = [f"c{case}s{i}" for i in range(run_len)]
+        def doc(seed):
+            body = list(rng.choice(vocab, size=rng.integers(5, 30)))
+            pos = rng.integers(0, len(body) + 1)
+            return " ".join(body[:pos] + shared + body[pos:])
+        rows.append((case * 2, doc(0)))
+        rows.append((case * 2 + 1, doc(1)))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    fp = {r.doc_id: set(r.fingerprints) for r in
+          winnow_fingerprints(docs, "text", "doc_id", k=k, w=w).collect()}
+    for case in range(20):
+        a, b = fp[case * 2], fp[case * 2 + 1]
+        assert a & b, f"case {case}: shared {run_len}-token run lost"
+    # disjoint vocabularies across cases -> no cross-case collisions
+    for case in range(19):
+        assert not (fp[case * 2] & fp[(case + 1) * 2])
