@@ -487,3 +487,16 @@ def test_winnow_guarantee_randomized(spark):
     # disjoint vocabularies across cases -> no cross-case collisions
     for case in range(19):
         assert not (fp[case * 2] & fp[(case + 1) * 2])
+
+
+def test_retrieval_plans(spark, sf_dir):
+    """BM25 top-n must plan as TakeOrderedAndProject (distributed
+    partial top-k), never a single-partition global rank window or a
+    cartesian join."""
+    from wq_data_pipeline_spark.plans.queries_ext import q_bm25_search, q_tfidf_terms
+
+    p = _plan(q_bm25_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    p2 = _plan(q_tfidf_terms(spark, sf_dir))
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2

@@ -80,8 +80,10 @@ def bm25_search(
     the ranking is bit-deterministic across engines and partitionings.
     Output: (id, score, rank).
     """
-    n = df.count()
-    avgdl = df.select(F.avg(F.size(tokens(text)))).first()[0]
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size(tokens(text))).alias("avgdl")
+    ).first()
+    n, avgdl = stats["n"], stats["avgdl"]
     tf = term_frequencies(df, text, id_col).filter(F.col("term").isin(*query_terms))
     # window count over the filtered rows still equals docs-per-term:
     # (id, term) rows are distinct and the filter keeps whole terms
