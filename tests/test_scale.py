@@ -491,12 +491,47 @@ def test_winnow_guarantee_randomized(spark):
 
 def test_retrieval_plans(spark, sf_dir):
     """BM25 top-n must plan as TakeOrderedAndProject (distributed
-    partial top-k), never a single-partition global rank window or a
-    cartesian join."""
+    partial top-k), never a single-partition global rank window or an
+    unbounded cartesian join. A BroadcastNestedLoopJoin is allowed
+    ONLY as the broadcast 1-row corpus-stats cross-join (the lazy
+    scalar pattern); its build side is a global aggregate, so the
+    loop body runs once per probe row."""
     from wq_data_pipeline_spark.plans.queries_ext import q_bm25_search, q_tfidf_terms
 
     p = _plan(q_bm25_search(spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # every nested-loop join must be the broadcast scalar-stats join
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
     p2 = _plan(q_tfidf_terms(spark, sf_dir))
-    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
+    assert "CartesianProduct" not in p2
+    assert p2.count("BroadcastNestedLoopJoin") <= 1, p2
+
+
+def test_retrieval_builds_with_zero_jobs(spark, sf_dir):
+    """Constructing tfidf/bm25 queries must run NO driver jobs — the
+    corpus scalars (N, avgdl) are lazy 1-row aggs inside the plan, not
+    eager count()/first() actions (VERDICT r3 nit #1)."""
+    from wq_data_pipeline_spark.plans.queries_ext import q_bm25_search, q_tfidf_terms
+
+    from wq_data_pipeline_spark.operators.retrieval import bm25_search, tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma delta")], "doc_id int, text string"
+    )
+    sc = spark.sparkContext
+    group = "retrieval-build-probe"
+    sc.setJobGroup(group, "assert no jobs during query construction")
+    try:
+        tfidf_top_terms(docs, k=3)
+        bm25_search(docs, ("beta", "gamma"))
+        ids = sc.statusTracker().getJobIdsForGroup(group)
+        assert ids == [], f"operator construction ran driver jobs: {ids}"
+        # the catalog entries add only parquet schema discovery (reads,
+        # not corpus scans) — allow those two read jobs, nothing more
+        q_tfidf_terms(spark, sf_dir)
+        q_bm25_search(spark, sf_dir)
+        ids = sc.statusTracker().getJobIdsForGroup(group)
+        assert len(ids) <= 2, f"catalog construction ran corpus jobs: {ids}"
+    finally:
+        sc.setJobGroup("", "")

@@ -6,10 +6,12 @@ eval-leak probes and corpus exploration.
 Scale shape: everything reduces to one explode of tokens followed by
 hash aggregations / windows keyed on (doc, term) or term — map-side
 combinable, no driver loops, no UDFs. Corpus-level scalars (N,
-average doc length) are collected once at plan time (two tiny agg
-jobs) and baked in as literals, the same trick the k-means trainer
-uses — at 100 TB these are metadata-cheap aggregations, not data
-movement.
+average doc length) are a 1-row aggregate broadcast-cross-joined into
+the plan (SURVEY §7.0 two-pass-scalar pattern), so building a query
+runs ZERO driver jobs — the scalars are computed inside the same lazy
+plan when (and only when) the query executes. At 100 TB that matters
+twice: no eager full scan for a query that may never run, and the
+scalar agg is map-side-combinable metadata, not data movement.
 
 Cross-engine determinism: tf/df/dl are exact integers; idf applies
 ln() to bit-identical doubles (last-ulp libm differences are absorbed
@@ -36,11 +38,21 @@ def term_frequencies(
     return tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
 
 
-def bm25_idf(n_docs: int, df_count: Column) -> Column:
+def bm25_idf(n_docs: Column | int, df_count: Column) -> Column:
     """BM25 idf: ln((N - df + 0.5)/(df + 0.5) + 1) — always positive,
-    standard smoothing."""
-    return F.log(
-        (F.lit(float(n_docs)) - df_count + 0.5) / (df_count + 0.5) + 1.0
+    standard smoothing. ``n_docs`` may be a literal int or a Column
+    (the lazy corpus-stats form)."""
+    n = n_docs if isinstance(n_docs, Column) else F.lit(float(n_docs))
+    return F.log((n - df_count + 0.5) / (df_count + 0.5) + 1.0)
+
+
+def corpus_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """1-row frame (_n, _avgdl): corpus size and average token count.
+    Broadcast-cross-join this into per-term plans so the scalars stay
+    inside one lazy plan (no plan-time driver actions)."""
+    return df.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg(F.size(tokens(text))).alias("_avgdl"),
     )
 
 
@@ -51,11 +63,15 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-doc top-k terms by tf·idf (BM25-smoothed idf), ties broken
-    by term ascending. Output: (id, term, tf, score, rank)."""
-    n = df.count()
-    tf = term_frequencies(df, text, id_col)
+    by term ascending. Output: (id, term, tf, score, rank). Builds
+    with zero driver jobs: N rides in via a broadcast 1-row agg."""
+    tf = term_frequencies(df, text, id_col).crossJoin(
+        F.broadcast(corpus_stats(df, text).select("_n"))
+    )
     dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
-    scored = tf.withColumn("score", F.round(F.col("tf") * bm25_idf(n, dfreq), 6))
+    scored = tf.withColumn(
+        "score", F.round(F.col("tf") * bm25_idf(F.col("_n"), dfreq), 6)
+    )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -78,19 +94,29 @@ def bm25_search(
     Per-term contributions are quantized to integer micros before the
     per-doc sum (exact BIGINT accumulation — no float-order ties), so
     the ranking is bit-deterministic across engines and partitionings.
-    Output: (id, score, rank).
+    Output: (id, score, rank). Builds with zero driver jobs — N and
+    avgdl ride in via a broadcast 1-row agg; an empty corpus therefore
+    just yields an empty result instead of a plan-time TypeError.
     """
-    stats = df.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.size(tokens(text))).alias("avgdl")
-    ).first()
-    n, avgdl = stats["n"], stats["avgdl"]
-    tf = term_frequencies(df, text, id_col).filter(F.col("term").isin(*query_terms))
+    if not query_terms:
+        # empty query: no term can match — lazy empty frame, same schema
+        return (
+            df.select(F.col(id_col))
+            .limit(0)
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rank", F.lit(1))
+        )
+    tf = (
+        term_frequencies(df, text, id_col)
+        .filter(F.col("term").isin(*query_terms))
+        .crossJoin(F.broadcast(corpus_stats(df, text)))
+    )
     # window count over the filtered rows still equals docs-per-term:
     # (id, term) rows are distinct and the filter keeps whole terms
     dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
-    per_term = bm25_idf(n, dfreq) * (
+    per_term = bm25_idf(F.col("_n"), dfreq) * (
         (F.col("tf") * (k1 + 1.0))
-        / (F.col("tf") + k1 * (1.0 - b + (b * F.col("dl")) / F.lit(float(avgdl))))
+        / (F.col("tf") + k1 * (1.0 - b + (b * F.col("dl")) / F.col("_avgdl")))
     )
     micro = F.round(per_term * 1_000_000.0).cast("long")
     doc_scores = (
