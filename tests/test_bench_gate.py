@@ -19,7 +19,14 @@ import time
 
 import pytest
 
-BUDGET_S = 10.0
+# Absolute floor of the cap on fast hardware. On slow/shared machines
+# the cap scales with a measured per-run floor instead (a cold JVM or
+# noisy neighbor must not flake a healthy query): budget =
+# max(BUDGET_MIN_S, BUDGET_PROBE_MULT × wall of a trivial scan+sink).
+# A genuinely quadratic plan (the r2 winnow failure was 61.5 s at
+# sf0.01) blows past either form.
+BUDGET_MIN_S = 10.0
+BUDGET_PROBE_MULT = 15.0
 
 
 def _names():
@@ -28,15 +35,25 @@ def _names():
     return sorted(entry.queries())
 
 
+@pytest.fixture(scope="module")
+def budget_s(spark, sf_dir):
+    t0 = time.perf_counter()
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    probe = time.perf_counter() - t0
+    return max(BUDGET_MIN_S, BUDGET_PROBE_MULT * probe)
+
+
 @pytest.mark.parametrize("name", _names())
-def test_query_within_budget(spark, sf_dir, name):
+def test_query_within_budget(spark, sf_dir, name, budget_s):
     import __spark_entry__ as entry
 
     fn = entry.queries()[name]
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - t0
-    assert elapsed <= BUDGET_S, (
-        f"{name} took {elapsed:.1f}s at sf0.01 (budget {BUDGET_S}s) — "
+    assert elapsed <= budget_s, (
+        f"{name} took {elapsed:.1f}s at sf0.01 (budget {budget_s:.1f}s) — "
         "quadratic plan? fix before it reaches the driver bench"
     )

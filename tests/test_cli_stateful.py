@@ -40,7 +40,7 @@ def test_cli_end_to_end(tmp_path):
     assert any(f.endswith(".csv") for f in os.listdir(out / "events"))
 
 
-def test_streaming_flat_runs_across_batches(spark, tmp_path):
+def test_streaming_flat_runs_across_batches(spark, tmp_path, drain_stateful):
     """A flat run split across two micro-batches must be stitched by
     the state and emitted once it breaks."""
     from wq_data_pipeline_spark.streaming.stateful import streaming_flat_runs
@@ -65,11 +65,9 @@ def test_streaming_flat_runs_across_batches(spark, tmp_path):
         .start()
     )
     # applyInPandasWithState queries do not self-terminate under
-    # availableNow; poll the sink and stop explicitly (see
-    # test_streaming._drain_stateful).
-    from tests.test_streaming import _drain_stateful
-
-    _drain_stateful(spark, q, "flatruns", target_rows=1)
+    # availableNow; poll the sink and stop explicitly (conftest
+    # drain_stateful fixture).
+    drain_stateful(q, "flatruns", target_rows=1)
     rows = spark.sql("select * from flatruns").collect()
     assert len(rows) == 1, rows
     r = rows[0]

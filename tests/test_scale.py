@@ -223,6 +223,25 @@ def test_kmeans_descends_and_ivf_recall(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low with trained centroids"
 
 
+def test_kmeans_broadcast_assign_matches_literal_form(spark, sf_dir):
+    """Above the literal_centroids_max threshold kmeans_centroids must
+    switch to the broadcast-join argmax assignment and still produce
+    IDENTICAL centroids (same dot arithmetic, same lowest-id tie
+    rule) — the plan-size guard for production k×dim (VERDICT r3 nit
+    #2)."""
+    from wq_data_pipeline_spark.operators.similarity import kmeans_centroids
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(400)
+    lit_form = kmeans_centroids(emb, k=6, iters=2)
+    bc_form = kmeans_centroids(emb, k=6, iters=2, literal_centroids_max=0)
+    a = {r.centroid_id: list(r.embedding) for r in lit_form.collect()}
+    b = {r.centroid_id: list(r.embedding) for r in bc_form.collect()}
+    assert a.keys() == b.keys()
+    for cid in a:
+        assert a[cid] == pytest.approx(b[cid], abs=1e-12), f"centroid {cid} diverged"
+
+
 def test_chunk_documents_invariants(spark, sf_dir):
     """Chunking: full coverage with exact overlap, partial tail kept,
     every chunk after the first contributes new tokens, and the plan
@@ -420,6 +439,13 @@ def test_round3_operators_empty_and_edge_inputs(spark):
     )
     # no query term present -> empty ranking, no crash
     assert bm25_search(docs, ("nonexistent",)).count() == 0
+    # empty corpus -> lazy empty result (avgdl is NULL inside the
+    # plan, never a plan-time TypeError)
+    assert bm25_search(empty, ("alpha",)).count() == 0
+    # empty query-term set -> lazy empty frame with the same schema
+    eq = bm25_search(docs, ())
+    assert eq.count() == 0
+    assert eq.columns == ["doc_id", "score", "rank"]
     # graph with zero edges -> every node is its own cluster
     no_edges = spark.createDataFrame([], "id_a int, id_b int")
     cc = connected_components(docs.select("doc_id"), no_edges, "doc_id", "id_a", "id_b")

@@ -319,25 +319,7 @@ def test_stream_interval_join(spark, tmp_path):
     assert all(r.r_ts <= r.ts <= r.r_ts + pd.Timedelta(minutes=30) for r in rows)
 
 
-def _drain_stateful(spark, q, table: str, target_rows: int, timeout: float = 150.0):
-    """Wait until the memory sink holds ``target_rows`` rows (or the
-    query dies on its own), then stop the query."""
-    import time
-
-    deadline = time.time() + timeout
-    while time.time() < deadline and q.isActive:
-        try:
-            if spark.sql(f"select count(*) from {table}").first()[0] >= target_rows:
-                break
-        except Exception:
-            pass
-        time.sleep(0.5)
-    if q.isActive:
-        q.stop()
-    q.awaitTermination(30)
-
-
-def test_streaming_robust_z_across_batches(spark, tmp_path):
+def test_streaming_robust_z_across_batches(spark, tmp_path, drain_stateful):
     """Stateful streaming robust-z: the spike in the SECOND micro-batch
     is scored against the buffer accumulated in the FIRST (state
     carries across batches); baseline rows are not flagged."""
@@ -375,7 +357,7 @@ def test_streaming_robust_z_across_batches(spark, tmp_path):
     # availableNow (the state-timeout loop keeps the query active), so
     # awaitTermination would burn its whole timeout; poll the sink for
     # the expected row count and stop explicitly.
-    _drain_stateful(spark, q, "zstream", target_rows=70)
+    drain_stateful(q, "zstream", target_rows=70)
     rows = spark.sql("select * from zstream order by ts_ms").collect()
     assert len(rows) == 70
     spikes = [r for r in rows if r.is_spike]

@@ -158,6 +158,14 @@ def minhash_lsh_candidates(
     (band, key) partitioning the join shuffles on — no extra
     aggregate/semi-join legs. ``None`` disables.
 
+    PRECONDITION of the default guard: run :func:`exact_dedup`
+    upstream. A group of more than ``max_df`` byte-identical docs
+    shares every band key, so the guard drops ALL its pairs and the
+    group stays singletons in downstream clustering — exact dedup
+    collapses such groups first, which is also the only shape of the
+    pipeline that is cost-sane at corpus scale. Pass ``max_df=None``
+    if candidates must be exhaustive on an un-exact-deduped corpus.
+
     Defaults (32 hashes, 4 rows/band -> 8 bands) target high recall
     at real near-dup thresholds: P(candidate) = 1-(1-J^4)^8, ~0.985
     at J=0.8 and ~0.9998 at J=0.9 (the s-curve knee sits near 0.72).
@@ -314,8 +322,10 @@ def connected_components(
         new_lab = f.localCheckpoint()  # eager: materialize + cut lineage
         lab = new_lab.drop("_chg")
         # skip the fixpoint action while convergence is certain to be
-        # incomplete (first rounds cover only distance 2*steps_per_round)
-        if r + 1 >= skip_check_rounds:
+        # incomplete: rounds 0..skip_check_rounds-1 cover only distance
+        # (r+1)*steps_per_round, so the first check fires at
+        # r == skip_check_rounds
+        if r >= skip_check_rounds:
             if new_lab.filter("_chg").limit(1).count() == 0:
                 break
     # untouched nodes are their own clusters

@@ -184,6 +184,7 @@ def kmeans_centroids(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    literal_centroids_max: int = 65536,
 ) -> DataFrame:
     """Lloyd k-means trainer for IVF coarse centroids.
 
@@ -204,6 +205,17 @@ def kmeans_centroids(
     MLlib does); plans stay flat, no checkpoint needed. Empty
     clusters keep their previous centroid. The corpus projection is
     localCheckpoint'ed once so no round re-reads the source.
+
+    The literal form only pays while the plan stays small: at
+    production IVF scale (k≈4096, dim≈1024 → 4M literals per round)
+    the PLAN becomes the bottleneck. Above ``literal_centroids_max``
+    k×dim cells the assignment auto-switches to a broadcast-join
+    argmax (crossJoin(broadcast(centroids)) + max_by) — one extra
+    per-round shuffle on ``id_col``, but the plan stays O(1). Same
+    arithmetic (dot with L2-normalized centroids) and the same
+    lowest-centroid-id tie rule, so both modes produce identical
+    centroids. This mirrors ``connected_components``'
+    broadcast_edges_max size switch.
 
     Returns a (centroid_id, ``vec_col``) DataFrame ready for
     :func:`ivf_topk`.
@@ -230,22 +242,53 @@ def kmeans_centroids(
             f"centroid_id INT, {vec_col} ARRAY<DOUBLE>",
         )
 
+    dim = len(cents[0]) if cents else 0
+    use_literals = k * dim <= literal_centroids_max
+
     for _ in range(iters):
         normed = []
         for v in cents:
             n = math.sqrt(sum(x * x for x in v))
             normed.append([x / n if n > 0 else 0.0 for x in v])
-        cent_arr = F.array(*[F.array(*[F.lit(x) for x in v]) for v in normed])
-        sims = F.transform(
-            cent_arr,
-            lambda c: F.aggregate(
-                F.zip_with(F.col(vec_col), c, lambda x, h: x * h),
+        if use_literals:
+            cent_arr = F.array(*[F.array(*[F.lit(x) for x in v]) for v in normed])
+            sims = F.transform(
+                cent_arr,
+                lambda c: F.aggregate(
+                    F.zip_with(F.col(vec_col), c, lambda x, h: x * h),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+            )
+            best = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+            assigned = base.select(best.alias("_cid"), F.col(vec_col))
+        else:
+            # broadcast-join argmax: same dot-with-normalized-centroid
+            # arithmetic, ties to the lowest centroid id via max_by on
+            # (sim, -cid); keeps the plan size independent of k×dim
+            ncent = cent_df(normed).select(
+                F.col("centroid_id").alias("_cid"), F.col(vec_col).alias("_cv")
+            )
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), F.col("_cv"), lambda x, h: x * h),
                 F.lit(0.0),
                 lambda a, x: a + x,
-            ),
-        )
-        best = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-        assigned = base.select(best.alias("_cid"), F.col(vec_col))
+            )
+            assigned = (
+                base.crossJoin(F.broadcast(ncent))
+                .withColumn("_cs", dot)
+                .groupBy(id_col)
+                .agg(
+                    F.max_by(
+                        F.struct(F.col("_cid"), F.col(vec_col)),
+                        F.struct(F.col("_cs"), -F.col("_cid")),
+                    ).alias("_b")
+                )
+                .select(
+                    F.col("_b._cid").alias("_cid"),
+                    F.col(f"_b.{vec_col}").alias(vec_col),
+                )
+            )
         means = (
             assigned.select("_cid", F.posexplode(vec_col).alias("_pos", "_x"))
             .groupBy("_cid", "_pos")
