@@ -606,6 +606,7 @@ from wq_data_pipeline_spark.plans.queries_qc2 import ORACLES2, QUERIES2  # noqa:
 from wq_data_pipeline_spark.plans.queries_ext import ORACLES3, QUERIES3  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_qc3 import ORACLES4, QUERIES4  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_rel import ORACLES5, QUERIES5  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_stream import ORACLES6, QUERIES6  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -659,56 +660,84 @@ QUERIES.update(QUERIES4)
 ORACLES.update(ORACLES4)
 QUERIES.update(QUERIES5)
 ORACLES.update(ORACLES5)
+QUERIES.update(QUERIES6)
+ORACLES.update(ORACLES6)
 
 # The driver's correctness gate checks only the FIRST 50 registry
-# entries. Order so every SURVEY-§2 / LLM-pipeline operator's backing
-# query sits inside that window; the tail holds the no-oracle entries
-# (rows-only check — no hash signal) and extras whose capability is
-# demonstrated by an explicit in-window proxy:
-#   a6_quant_step        -> folded into a6_diff_quantiles
-#   text_token_stats     -> folded into text_quality
-#   fingerprint_dedup    -> folded into exact_dedup (per-doc form)
-#   jaccard_pairs        -> folded into minhash_lsh_pairs (verify leg)
-#   w15_band_support     -> folded into w12_bands (support/band_ok)
-#   p2_time_slice        -> folded into p16_pivot (BETWEEN slice)
-#   rel_* / tpch_q1/q5/q6 -> same scan/agg/join machinery as tpch_q3,
-#                           asof_join, j3_range_join
-#   chunk_documents      -> narrow-explode invariants pytest-pinned
-# All tail entries remain covered by the local pytest oracle mirror.
-_TAIL = [
+# entries, so the window must ROTATE across rounds until every entry
+# has at least one driver-green row (VERDICT r3 order #1). Round-4
+# head, in priority order:
+#   1. the 16 entries never driver-checked in r1–r3 (bm25/tfidf/
+#      doc_filter/chunk/embed_kmeans/rel_*/profiling/p2/w15),
+#   2. the 10 entries checked exactly once (r1-only: a6_quant_step,
+#      embed_lsh_ann, multimodal_decode, tpch_q1/q5/q6,
+#      wrtds_residuals; r3-only: p16_pivot, pii_scan,
+#      stratified_sample),
+#   3. the 4 new r4 entries (streaming batch mirrors + wrtds q-kernel),
+#   4. 20 veterans — first the six whose only red rows were in r1
+#      (sessionize, sliding/hypertable rollups, a2, qc_accepted,
+#      props_json), then the flagship heavy chains.
+# The tail holds only 2×+-green veterans; every tail entry remains
+# covered by the local sf0.01 pytest oracle mirror (test_oracle.py).
+_DRIVER_WINDOW = [
+    # -- never driver-checked (16)
+    "bm25_search",
+    "tfidf_terms",
+    "doc_filter",
+    "chunk_documents",
+    "embed_kmeans_ivf",
+    "heavy_hitters",
+    "table_profile",
+    "sketch_profile",
+    "p2_time_slice",
+    "w15_band_support",
+    "rel_anti_join",
+    "rel_corr_subquery",
+    "rel_distinct_agg",
+    "rel_rollup",
+    "rel_semi_join",
+    "rel_union_having",
+    # -- checked once (10)
+    "a6_quant_step",
+    "embed_lsh_ann",
+    "multimodal_decode",
     "tpch_q1",
     "tpch_q5",
     "tpch_q6",
-    "a6_quant_step",
-    "text_token_stats",
-    "fingerprint_dedup",
-    "jaccard_pairs",
-    "w15_band_support",
-    "p2_time_slice",
-    "rel_distinct_agg",
-    "rel_union_having",
-    "rel_corr_subquery",
-    "rel_anti_join",
-    "rel_semi_join",
-    "rel_rollup",
-    "table_profile",
-    "heavy_hitters",
-    "sketch_profile",
-    "embed_lsh_ann",
-    "embed_kmeans_ivf",
-    # keep the checked window at exactly 50: doc_filter's component
-    # signals (quality ratios, repetition shares) are already
-    # driver-checked via text_quality + repetition_stats; tfidf/bm25
-    # share the explode->agg token machinery checked by text_quality
-    # and unigram_logprob
-    "doc_filter",
-    "tfidf_terms",
-    "bm25_search",
-    "chunk_documents",
-    "multimodal_decode",
     "wrtds_residuals",
+    "p16_pivot",
+    "pii_scan",
+    "stratified_sample",
+    # -- new in r4 (4)
+    "stream_tumbling_rollup",
+    "stream_session_rollup",
+    "stream_interval_join",
+    "wrtds_residuals_q",
+    # -- veterans: r1-red/now-green first (6), then flagship chains (14)
+    "sessionize",
+    "sliding_rollup",
+    "hypertable_rollup",
+    "a2_sentinels",
+    "qc_accepted",
+    "props_json",
+    "dedup_clusters",
+    "minhash_lsh_pairs",
+    "winnow_fingerprints",
+    "winnow_matches",
+    "embed_near_dup",
+    "sentem_flags",
+    "w12_bands",
+    "a1_dup_median",
+    "w8_robust_z",
+    "exact_dedup",
+    "decontaminate",
+    "unigram_logprob",
+    "lang_id",
+    "asof_join",
 ]
+assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
+assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))
 QUERIES = {
-    **{k: v for k, v in QUERIES.items() if k not in _TAIL},
-    **{k: QUERIES[k] for k in _TAIL if k in QUERIES},
+    **{k: QUERIES[k] for k in _DRIVER_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in _DRIVER_WINDOW},
 }
