@@ -232,3 +232,146 @@ def test_rolling_median_pandas_matches_window(spark):
         assert a["ma"].isna().equals(b["ma"].isna()), f"minp mask differs at w={w}"
         np.testing.assert_allclose(a["ma"], b["ma"], rtol=1e-12, atol=1e-12, equal_nan=True)
         np.testing.assert_allclose(a["sd"], b["sd"], rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def _ref_fallback_masks(s: pd.Series, lo: float, hi: float) -> dict[str, pd.Series]:
+    """Pandas reimplementation of the reference's COMPLETE no-SaQC
+    fallback suite (apply_saqc_suite else-branch,
+    scripts/ufz_water_qc_pipeline.py:566-577) at the reference's
+    parameters converted at 15-min step: range, missing,
+    constants/plateau('2h' flat-run interval mask incl. first row
+    after the run, :392-407), variance('6h'=24pts, 1e-12, :409-413),
+    zscore('24h'=96pts, 4.0, :415-422), jumps(5.0, :424-428),
+    isolated('3h' gap, '30min'=2pts group, :430-453); unilof == the
+    zscore mask (:455-457)."""
+    masks = {}
+    masks["range"] = ((s < lo) | (s > hi)).fillna(False)
+    masks["missing"] = s.isna()
+    # plateau/constants: flat runs >= 2h, mask start..end (end = first
+    # row after the run)
+    vals = s.to_numpy()
+    eq = np.zeros(len(s), dtype=bool)
+    eq[1:] = (
+        np.isfinite(vals[1:]) & np.isfinite(vals[:-1])
+        & (np.abs(vals[1:] - vals[:-1]) <= 0.0)
+    )
+    flat = np.zeros(len(s), dtype=bool)
+    i = 0
+    while i < len(eq):
+        if eq[i]:
+            j = i
+            while j + 1 < len(eq) and eq[j + 1]:
+                j += 1
+            endi = j + 1 if j + 1 < len(s) else j
+            hours = (s.index[endi] - s.index[i]).total_seconds() / 3600
+            if hours >= 2.0:
+                flat[i : endi + 1] = True
+            i = j + 1
+        else:
+            i += 1
+    masks["plateau"] = pd.Series(flat, index=s.index)
+    k6, k24 = 24, 96
+    masks["variance"] = (
+        s.rolling(k6, min_periods=max(3, k6 // 3), center=True).var() <= 1e-12
+    ).fillna(False)
+    med = s.rolling(k24, min_periods=max(5, k24 // 3), center=True).median()
+    mad = (s - med).abs().rolling(k24, min_periods=max(5, k24 // 3), center=True).median()
+    z = 0.6745 * (s - med) / mad.replace(0, np.nan)
+    masks["zscore"] = (z.abs() >= 4.0).fillna(False)
+    masks["jumps"] = (s.diff().abs() >= 5.0).fillna(False)
+    # isolated: finite row-groups <= 2 points with > 3h index gap on
+    # BOTH sides
+    finite = np.isfinite(vals)
+    t = s.index.view("int64")
+    big_gap = np.concatenate(([False], np.diff(t) > int(3 * 3600 * 1e9)))
+    iso = np.zeros(len(s), dtype=bool)
+    i = 0
+    while i < len(finite):
+        if finite[i]:
+            j = i
+            while j + 1 < len(finite) and finite[j + 1]:
+                j += 1
+            left_big = i > 0 and big_gap[i]
+            right_big = (j + 1 < len(big_gap)) and big_gap[j + 1]
+            if (j - i + 1) <= 2 and left_big and right_big:
+                iso[i : j + 1] = True
+            i = j + 1
+        else:
+            i += 1
+    masks["isolated"] = pd.Series(iso, index=s.index)
+    return masks
+
+
+def test_full_suite_flag_stage_matches_pandas_reference(spark):
+    """flag_stage(full_suite=True) must reproduce the reference's
+    complete 9-detector fallback OR (0/255 codes) row-for-row on a
+    fixture that exercises every detector.
+
+    The gap-null threshold is raised to 6h: under the default 2h any
+    index gap large enough for the isolated detector (>3h) has already
+    nulled the group's first row, so isolated can never fire — true of
+    the reference's own composition (gap-null at :673-675 precedes
+    apply_saqc_suite at :687) and verified here by using 4h gaps that
+    null nothing at the 6h setting."""
+    from wq_data_pipeline_spark.plans.qc_pipeline import (
+        QCConfig,
+        clean_stage,
+        flag_stage,
+    )
+
+    rng = np.random.default_rng(77)
+    n = 2000
+    ts = pd.date_range("2024-01-01", periods=n, freq="15min")
+    v = rng.normal(12, 2, n)
+    v[300:340] = 3.3       # flat run -> plateau/constants + variance
+    v[800] = 50.0          # spike -> zscore + jumps + range(hi=40)
+    v[150:152] = -99.0     # inactive sentinel (2 hits) -> range(lo=0)
+    # isolated: the reference's RLE runs over ROW order, so the group
+    # needs NaN-valued neighbor rows that sit >3h away in time — NaN
+    # sentinels at 1184/1217 with 4h of rows carved between them and
+    # the finite 2-point group (1200, 1201); 4h < the 6h gap-null so
+    # the group itself survives cleaning
+    v[1184] = np.nan
+    v[1217] = np.nan
+    pdf = pd.DataFrame({"station": "s", "variable": "x", "ts": ts, "value": v})
+    drop = (
+        list(range(1185, 1200)) + list(range(1202, 1217))
+        + list(range(1600, 1632))  # 8h gap -> gap-null -> missing
+    )
+    pdf = pdf.drop(index=drop).reset_index(drop=True)
+
+    cfg = QCConfig(
+        range_map={"x": (0.0, 40.0)}, full_suite=True, max_gap_seconds=6 * 3600.0
+    )
+    cleaned = clean_stage(spark.createDataFrame(pdf), cfg)
+    got = (
+        flag_stage(cleaned, cfg)
+        .orderBy("ts")
+        .select("ts", "saqc_flag")
+        .toPandas()
+    )
+
+    # pandas clean at the 6h gap threshold (reference :673-675 with
+    # max_gap='6h'); sentinel/dup handling as _pandas_reference_clean
+    s = pdf.set_index("ts")["value"].astype(float)
+    for sent in (-9.0, -99.0, -999.0, -9999.0):
+        cnt = int((s == sent).sum())
+        if cnt >= 5 or cnt / len(s) >= 0.001:
+            s = s.mask(s == sent, np.nan)
+    s = s.groupby(level=0).median()
+    s[s.index.to_series().diff() > pd.Timedelta(hours=6)] = np.nan
+    masks = _ref_fallback_masks(s, 0.0, 40.0)
+    combined = np.zeros(len(s), dtype=bool)
+    for m in masks.values():
+        combined |= m.to_numpy()
+    exp = np.where(combined, 255, 0)
+
+    assert len(got) == len(exp)
+    mismatch = got["saqc_flag"].to_numpy() != exp
+    assert not mismatch.any(), (
+        f"{mismatch.sum()} rows differ; first at "
+        f"{got['ts'][mismatch.argmax()]}"
+    )
+    # every planted artefact must have fired its detector
+    for name in ("range", "missing", "plateau", "variance", "zscore", "jumps", "isolated"):
+        assert masks[name].any(), f"fixture never triggers {name}"

@@ -49,6 +49,21 @@ class QCConfig:
     # __sm_masked/__sm_flagged/__sm_flagreason to the wide output
     # (scripts/ufz_water_qc_pipeline.py:740-744)
     apply_sentem: bool = True
+    # full_suite=True runs the reference's COMPLETE no-SaQC fallback
+    # detector set (apply_saqc_suite else-branch,
+    # scripts/ufz_water_qc_pipeline.py:566-577) with the reference's
+    # exact parameters: range + missing + constants('2h') +
+    # plateau('2h') + variance('6h', 1e-12) + zscore('24h', 4.0) +
+    # jumps(5.0) + isolated('3h', '30min') + unilof(= zscore, so
+    # OR-idempotent). The parameters below are the reference durations
+    # converted at its 15-min default step (_to_points, :144-147).
+    # full_suite=False keeps the r1-r3 lean set (z + missing + range
+    # [+ jumps]) that the oracled catalog queries pin.
+    full_suite: bool = False
+    var_window_points: int = 24  # '6h' at 15-min step
+    var_tol: float = 1e-12
+    isolated_group_points: int = 2  # '30min' at 15-min step
+    isolated_gap_seconds: float = 3 * 3600.0  # '3h'
     # 'pandas': skiplist rolling median (~38x faster at w=96) via
     # applyInPandas — needs executor/driver memory sized for Arrow
     # group batches (a 1 GB local driver OOMs around 1M rows);
@@ -86,11 +101,58 @@ def flag_stage(cleaned: DataFrame, cfg: QCConfig) -> DataFrame:
                 F.col("variable") == var, D.flag_range("value", lo, hi)
             ).otherwise(range_expr)
         flags.append(range_expr)
-    if cfg.jump_thresh is not None:
-        flags.append(D.flag_jumps("value", cfg.jump_thresh, KEYS, "ts"))
+    jump_thresh = cfg.jump_thresh
+    if cfg.full_suite and jump_thresh is None:
+        jump_thresh = 5.0  # reference flagJumps default (:565)
+    if jump_thresh is not None:
+        flags.append(D.flag_jumps("value", jump_thresh, KEYS, "ts"))
+    if cfg.full_suite:
+        # constants + plateau ('2h'): both reduce to the flat-run
+        # interval mask (_fallback_flag_constants delegates to
+        # _fallback_flag_plateau, :405-407). The reference marks
+        # start <= ts <= end where end is the first row AFTER the run
+        # (_mask_from_runs, :392-397) — a broadcast range join against
+        # the (small) run table reproduces that inclusively. Runs of a
+        # series are disjoint with end_i < start_j, so the left join
+        # cannot duplicate rows.
+        runs = D.detect_flat_runs(
+            d, "value", KEYS, "ts", cfg.flat_atol, cfg.flat_min_hours
+        ).select(
+            *[F.col(k).alias(f"_r_{k}") for k in KEYS],
+            F.col("start").alias("_rs"),
+            F.col("end").alias("_re"),
+            F.lit(True).alias("_in_flat"),
+        )
+        cond = (
+            (F.col(KEYS[0]) == F.col(f"_r_{KEYS[0]}"))
+            & (F.col(KEYS[1]) == F.col(f"_r_{KEYS[1]}"))
+            & F.col("ts").between(F.col("_rs"), F.col("_re"))
+        )
+        d = d.join(F.broadcast(runs), cond, "left").drop(
+            *[f"_r_{k}" for k in KEYS], "_rs", "_re"
+        )
+        flags.append(F.coalesce(F.col("_in_flat"), F.lit(False)))
+        # variance ('6h', 1e-12)
+        flags.append(
+            D.flag_variance("value", cfg.var_window_points, KEYS, "ts", cfg.var_tol)
+        )
+        # isolated ('3h' gap both sides, '30min' group)
+        d = D.detect_isolated_groups(
+            d,
+            "value",
+            KEYS,
+            "ts",
+            cfg.isolated_group_points,
+            cfg.isolated_gap_seconds,
+            out="_isolated_flag",
+        )
+        flags.append(F.col("_isolated_flag"))
+        # unilof: the reference fallback delegates to zscore('24h', 4.0)
+        # (:455-457) == the f_z flag already in ``flags`` — OR-idempotent.
     combined = D.merge_flags(*flags)
     d = d.withColumn("saqc_flag", D.flags_to_code(combined))
     d = d.withColumn("accepted", F.when(combined, None).otherwise(F.col("value")))
+    d = d.drop("_in_flat", "_isolated_flag")
     return d.withColumnRenamed("value", "clean")
 
 
