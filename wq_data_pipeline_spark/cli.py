@@ -30,6 +30,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timestamp-col", default="timestamp")
     p.add_argument("--wrtds-q-col", default=None)
     p.add_argument(
+        "--full-suite",
+        action="store_true",
+        help="run the reference's complete 9-detector fallback flag "
+        "suite (constants/plateau/variance/zscore/jumps/isolated/"
+        "uniLOF at the reference's parameters) instead of the lean "
+        "range+missing+robust-z set",
+    )
+    p.add_argument(
         "--figs",
         action="store_true",
         help="emit the per-variable figure set (S7; reference figs/ dir) "
@@ -79,7 +87,8 @@ def main(argv: list[str] | None = None) -> None:
         station_literal=args.station or "",
     )
     cfg = QCConfig(
-        range_map={v: (float(lo), float(hi)) for v, lo, hi in args.range}
+        range_map={v: (float(lo), float(hi)) for v, lo, hi in args.range},
+        full_suite=args.full_suite,
     )
     out = run_qc_pipeline(readings, cfg)
     if args.wrtds_q_col and args.wrtds_q_col in wide.columns:

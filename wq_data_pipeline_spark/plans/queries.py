@@ -708,11 +708,12 @@ _DRIVER_WINDOW = [
     "p16_pivot",
     "pii_scan",
     "stratified_sample",
-    # -- new in r4 (4)
+    # -- new in r4 (5)
     "stream_tumbling_rollup",
     "stream_session_rollup",
     "stream_interval_join",
     "wrtds_residuals_q",
+    "qc_full_suite",
     # -- veterans: r1-red/now-green first (6), then flagship chains (14)
     "sessionize",
     "sliding_rollup",
@@ -733,7 +734,6 @@ _DRIVER_WINDOW = [
     "decontaminate",
     "unigram_logprob",
     "lang_id",
-    "asof_join",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))
