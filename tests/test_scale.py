@@ -561,3 +561,27 @@ def test_retrieval_builds_with_zero_jobs(spark, sf_dir):
         assert len(ids) <= 2, f"catalog construction ran corpus jobs: {ids}"
     finally:
         sc.setJobGroup("", "")
+
+
+def test_streaming_mirror_plans(spark, sf_dir):
+    """The streaming batch mirrors must keep scale-correct shapes:
+    the interval join is an EQUI hash join on the key with the time
+    range as a residual (never a nested-loop/cartesian), and the
+    session rollup is ONE hash exchange with map-side partial
+    aggregation."""
+    from wq_data_pipeline_spark.plans.queries_stream import (
+        q_stream_interval_join,
+        q_stream_session_rollup,
+        q_stream_tumbling_rollup,
+    )
+
+    pj = _plan(q_stream_interval_join(spark, sf_dir))
+    assert "HashJoin" in pj or "SortMergeJoin" in pj, pj
+    assert "CartesianProduct" not in pj and "BroadcastNestedLoopJoin" not in pj, pj
+
+    ps = _plan(q_stream_session_rollup(spark, sf_dir))
+    assert ps.count("Exchange hashpartitioning") == 1, ps
+    assert "partial_count" in ps, "session rollup lost map-side combine:\n" + ps
+
+    pt = _plan(q_stream_tumbling_rollup(spark, sf_dir))
+    assert "partial_count" in pt, "tumbling rollup lost map-side combine:\n" + pt
