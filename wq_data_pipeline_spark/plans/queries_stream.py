@@ -216,7 +216,10 @@ def q_qc_full_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     d = C.resolve_duplicates(ev, key, "ts", "value")
     d = d.withColumn("value", F.when(F.col("value") <= 200.0, F.col("value")))
-    d = D.flag_robust_z(d, "value", 25, 3.5, key, "ts", out="f_z")
+    # pandas skiplist rolling-median engine: bit-equal to the JVM
+    # window form (test_robust_z_pandas_engine_matches_window) and
+    # ~this query's only non-O(w) cost at sf0.1
+    d = D.flag_robust_z(d, "value", 25, 3.5, key, "ts", out="f_z", engine="pandas")
     d = d.withColumn("f_range", D.flag_range("value", 1.0, 180.0))
     d = d.withColumn("f_missing", D.flag_missing("value"))
     d = d.withColumn("f_jump", D.flag_jumps("value", 100.0, key, "ts"))
