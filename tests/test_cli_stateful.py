@@ -100,3 +100,39 @@ def test_cli_tz_localize(spark, tmp_path):
     wide = localize_naive_timestamps(wide, "timestamp", args.tz)
     rows = wide.filter(wide.timestamp.isNotNull()).collect()
     assert len(rows) == 1 and rows[0].v == 3.0
+
+
+def test_sentem_cli_end_to_end(tmp_path):
+    """EP3 standalone CLI (reference scripts/sentemqc.py __main__):
+    wide CSV in -> reference-named QC export columns out."""
+    rng = np.random.default_rng(11)
+    n = 1200
+    ts = pd.date_range("2024-01-01", periods=n, freq="15min")
+    o2 = rng.normal(9, 0.4, n).clip(0.1)
+    o2[300] = 35.0  # far outside every band -> flagged
+    pd.DataFrame({"timestamp": ts, "o2": o2}).to_csv(tmp_path / "s.csv", index=False)
+    out = tmp_path / "out"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "wq_data_pipeline_spark.sentem_cli",
+            "--csv", str(tmp_path / "s.csv"),
+            "--out", str(out),
+            "--var", "o2", "400",
+            "--calibration", "o2", "0.05",
+        ],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    csvs = [f for f in os.listdir(out / "sentemqc_wide") if f.endswith(".csv")]
+    assert len(csvs) == 1
+    df = pd.read_csv(out / "sentemqc_wide" / csvs[0])
+    # reference export naming (scripts/sentemqc.py:159-164)
+    for suf in ("flag_global", "is_flagged", "flag_reason",
+                "qcband_top", "qcband_bottom", "masked"):
+        assert f"o2__{suf}" in df.columns, df.columns.tolist()
+    assert "o2" in df.columns and len(df) == n
+    assert set(df["o2__flag_global"].unique()) <= {100, 200}
+    assert (df["o2__flag_global"] == 200).any(), "planted outlier never flagged"
