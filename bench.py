@@ -37,11 +37,22 @@ def main() -> None:
     queries = entry_mod.queries()
 
     # JVM/codegen warmup so the alphabetically-first query doesn't
-    # absorb session start-up in its number
+    # absorb session start-up in its number: exercise the scan, a
+    # shuffle + exact-median agg, a window, and the noop sink once
+    from pyspark.sql import Window, functions as F
+
     from wq_data_pipeline_spark.sources.testdata import load_table
 
-    load_table(spark, sf_dir, "events").count()
+    ev = load_table(spark, sf_dir, "events")
     load_table(spark, sf_dir, "lineitem").count()
+    (
+        ev.groupBy("event_type")
+        .agg(F.median("value").alias("m"), F.count(F.lit(1)).alias("n"))
+        .withColumn("r", F.row_number().over(Window.orderBy("event_type")))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -185,6 +185,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     literal_centroids_max: int = 65536,
+    shift_tol: float = 0.0,
 ) -> DataFrame:
     """Lloyd k-means trainer for IVF coarse centroids.
 
@@ -305,7 +306,16 @@ def kmeans_centroids(
         new_cents = list(cents)  # empty clusters keep previous centroid
         for r in means:
             new_cents[r["_cid"]] = list(r["_mv"])
+        # convergence early-stop: the driver holds both rounds' centroids
+        # anyway, so the max coordinate shift is free — at shift <=
+        # shift_tol further rounds are pure job-scheduling cost
+        shift = max(
+            (abs(a - b) for v0, v1 in zip(cents, new_cents) for a, b in zip(v0, v1)),
+            default=0.0,
+        )
         cents = new_cents
+        if shift <= shift_tol:
+            break
     return cent_df(cents).select("centroid_id", vec_col)
 
 
