@@ -607,6 +607,7 @@ from wq_data_pipeline_spark.plans.queries_ext import ORACLES3, QUERIES3  # noqa:
 from wq_data_pipeline_spark.plans.queries_qc3 import ORACLES4, QUERIES4  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_rel import ORACLES5, QUERIES5  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_stream import ORACLES6, QUERIES6  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_corpus import ORACLES7, QUERIES7  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -662,6 +663,8 @@ QUERIES.update(QUERIES5)
 ORACLES.update(ORACLES5)
 QUERIES.update(QUERIES6)
 ORACLES.update(ORACLES6)
+QUERIES.update(QUERIES7)
+ORACLES.update(ORACLES7)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window must ROTATE across rounds until every entry
@@ -708,12 +711,14 @@ _DRIVER_WINDOW = [
     "p16_pivot",
     "pii_scan",
     "stratified_sample",
-    # -- new in r4 (5)
+    # -- new in r4 (7)
     "stream_tumbling_rollup",
     "stream_session_rollup",
     "stream_interval_join",
     "wrtds_residuals_q",
     "qc_full_suite",
+    "corpus_rollup",
+    "source_mixture",
     # -- veterans: r1-red/now-green first (6), then flagship chains (14)
     "sessionize",
     "sliding_rollup",
@@ -732,8 +737,6 @@ _DRIVER_WINDOW = [
     "w8_robust_z",
     "exact_dedup",
     "decontaminate",
-    "unigram_logprob",
-    "lang_id",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

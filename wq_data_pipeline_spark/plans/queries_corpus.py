@@ -1,0 +1,93 @@
+"""Corpus-composition entries (r4): the data-mixing arithmetic a
+training-data pipeline runs over a crawled corpus before sampling —
+per-(source, lang) rollups and temperature-scaled source weights
+(the mT5/PaLM mixing rule: p_i ∝ n_i^alpha with alpha < 1 to up-weight
+low-resource slices; Xue et al. 2021 §3.2).
+
+Scale shape: both entries are one hash aggregation over the documents
+scan (map-side combinable) plus, for the mixture, a broadcast 1-row
+agg cross-join for the normalizer — the same lazy two-pass-scalar
+pattern as BM25's corpus stats (SURVEY §7.0). Exact-integer sums
+everywhere; the only libm call (pow) is rounded to 6 decimals, which
+absorbs last-ulp differences between engines (same precedent as the
+idf ln()).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from wq_data_pipeline_spark.operators.text import tokens
+from wq_data_pipeline_spark.sources.testdata import load_table
+
+_MIX_ALPHA = 0.3
+_MIX_TARGET = 100_000
+
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus composition: doc count, exact char
+    and whitespace-token sums, mean tokens/doc. The inventory a
+    mixing/sampling stage reads before deciding per-slice quotas."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.sum(F.size(tokens("text"))).alias("toks_sum"),
+        F.round(
+            F.sum(F.size(tokens("text"))).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_toks"),
+    )
+
+
+SQL_CORPUS_ROLLUP = """
+WITH w AS (
+  SELECT source, lang, n_chars,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS ntok
+  FROM documents
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       CAST(sum(ntok) AS BIGINT) AS toks_sum,
+       round(CAST(sum(ntok) AS DOUBLE) / count(*), 6) AS avg_toks
+FROM w GROUP BY source, lang"""
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights: w_i =
+    n_i^alpha / sum_j n_j^alpha at alpha=0.3, plus the integer
+    document quota for a 100k-doc epoch. The normalizer rides in as a
+    broadcast 1-row agg (zero plan-time driver jobs)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = counts.withColumn("_p", F.pow(F.col("n_docs"), F.lit(_MIX_ALPHA)))
+    norm = powed.agg(F.sum("_p").alias("_z"))
+    out = powed.crossJoin(F.broadcast(norm))
+    weight = F.round(F.col("_p") / F.col("_z"), 6)
+    return out.select(
+        "source",
+        "n_docs",
+        weight.alias("weight"),
+        F.round(weight * _MIX_TARGET).cast("long").alias("quota_docs"),
+    )
+
+
+SQL_SOURCE_MIXTURE = f"""
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+p AS (SELECT source, n_docs, pow(n_docs, {_MIX_ALPHA}) AS pw FROM c)
+SELECT source, n_docs,
+       round(pw / (SELECT sum(pw) FROM p), 6) AS weight,
+       CAST(round(round(pw / (SELECT sum(pw) FROM p), 6) * {_MIX_TARGET}) AS BIGINT) AS quota_docs
+FROM p"""
+
+
+QUERIES7: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_rollup": q_corpus_rollup,
+    "source_mixture": q_source_mixture,
+}
+
+ORACLES7: dict[str, str] = {
+    "corpus_rollup": SQL_CORPUS_ROLLUP,
+    "source_mixture": SQL_SOURCE_MIXTURE,
+}
