@@ -585,3 +585,27 @@ def test_streaming_mirror_plans(spark, sf_dir):
 
     pt = _plan(q_stream_tumbling_rollup(spark, sf_dir))
     assert "partial_count" in pt, "tumbling rollup lost map-side combine:\n" + pt
+
+
+def test_distributed_prefix_sum_exact_and_scalable(spark):
+    """Two-level prefix sum == single-partition window cumsum exactly,
+    and its plan contains NO empty-partitionBy window (the
+    single-partition scaling hazard it exists to avoid)."""
+    from wq_data_pipeline_spark.operators.scale import distributed_prefix_sum
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({"k": np.arange(10_000), "v": rng.integers(0, 900, 10_000)})
+    df = spark.createDataFrame(pdf).withColumn("v", F.col("v").cast("long"))
+    got = distributed_prefix_sum(df, "k", "v", out="ps", num_partitions=16)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    exp = df.withColumn("ps", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    a = {r.k: r.ps for r in got.collect()}
+    b = {r.k: r.ps for r in exp.collect()}
+    assert a == b
+    plan = _plan(got)
+    # every Window node must carry a partition spec (the reference
+    # windows are partitioned by _pid); an unpartitioned global-order
+    # window would read "Window [..], [k ASC ...]" with no partition list
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_pid" in line, "unpartitioned window leaked in:\n" + plan

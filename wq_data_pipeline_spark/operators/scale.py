@@ -133,3 +133,69 @@ def bucketed_window_apply(
     expanded = own.unionByName(fwd).unionByName(bwd).drop("_rn", "_cnt")
     result = window_fn(expanded, [*keys, "_bucket"])
     return result.filter(F.col("_home")).drop("_home", "_bucket")
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE global prefix sum of ``value_col`` in ``order_col``
+    order — without ever moving all rows into one partition.
+
+    A naive ``Window.orderBy(order_col)`` cumsum has an empty
+    partitionBy, which Spark executes as a SINGLE-partition window
+    (the WindowExec warning) — a non-starter at 100 TB. This is the
+    textbook two-level scan instead:
+
+    1. range-repartition on ``order_col`` (partition i holds keys
+       strictly below partition i+1 — the range partitioner's
+       contract, same machinery as a global sort);
+    2. per-partition cumsum via a window PARTITIONED by the Spark
+       partition id (bounded partitions, parallel);
+    3. one tiny aggregate of per-partition totals (#partitions rows)
+       cumsum'd on the driver and broadcast-joined back as each
+       partition's base offset.
+
+    The result is independent of the partitioning: offsets derive
+    from the actual per-partition sums in range order. Output = input
+    columns + ``out`` (sum of all values strictly before the row).
+    ``order_col`` must be unique (it is the total order).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint pins the range partitioning: the per-partition
+    # totals action and the final join must see the SAME boundaries
+    # (repartitionByRange re-samples per action otherwise). On a real
+    # cluster swap for reliable-store checkpoint(), as in
+    # connected_components.
+    d = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_local", F.coalesce(F.sum(value_col).over(w_in), F.lit(0)))
+    # per-partition totals: tiny (n rows) — cumsum on the driver
+    totals = sorted(
+        (r["_pid"], r["_t"])
+        for r in d.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
+    )
+    base, acc = {}, 0
+    for pid, t in totals:
+        base[pid] = acc
+        acc += t or 0
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(
+        [(pid, b) for pid, b in base.items()], "_pid INT, _base BIGINT"
+    )
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_base") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_base")
+    )

@@ -711,7 +711,7 @@ _DRIVER_WINDOW = [
     "p16_pivot",
     "pii_scan",
     "stratified_sample",
-    # -- new in r4 (7)
+    # -- new in r4 (8)
     "stream_tumbling_rollup",
     "stream_session_rollup",
     "stream_interval_join",
@@ -719,6 +719,7 @@ _DRIVER_WINDOW = [
     "qc_full_suite",
     "corpus_rollup",
     "source_mixture",
+    "sequence_pack",
     # -- veterans: r1-red/now-green first (6), then flagship chains (14)
     "sessionize",
     "sliding_rollup",
@@ -735,7 +736,6 @@ _DRIVER_WINDOW = [
     "w12_bands",
     "a1_dup_median",
     "w8_robust_z",
-    "exact_dedup",
     "decontaminate",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50

@@ -82,12 +82,67 @@ SELECT source, n_docs,
 FROM p"""
 
 
+_PACK_SEQ_LEN = 512
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): documents are
+    concatenated in doc_id order and split every 512 tokens; each doc
+    reports its global token offset and the first/last training
+    sequence it lands in. The global cumsum runs through
+    ``distributed_prefix_sum`` — a two-level scan (range partition →
+    per-partition window → broadcast base offsets), NOT the
+    single-partition ``Window.orderBy`` cumsum that can't scale. All
+    integer arithmetic; the oracle replays the same math with a plain
+    window cumsum (fine at sf0.01, the thing the operator exists to
+    avoid at 100 TB)."""
+    from wq_data_pipeline_spark.operators.scale import distributed_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("ntok")
+    )
+    d = distributed_prefix_sum(d, "doc_id", "ntok", out="start_offset")
+    # integer division (div), not floor(double/..): offsets are exact
+    # BIGINTs and stay exact past 2^53 where double floor would not
+    first = F.expr(f"start_offset div {_PACK_SEQ_LEN}")
+    last = F.expr(f"(start_offset + ntok - 1) div {_PACK_SEQ_LEN}")
+    return d.select(
+        "doc_id",
+        "ntok",
+        "start_offset",
+        first.alias("first_seq"),
+        last.alias("last_seq"),
+        (last - first).alias("n_boundaries_crossed"),
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS ntok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ntok,
+         CAST(COALESCE(sum(ntok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM w
+)
+SELECT doc_id, ntok, start_offset,
+       start_offset // {_PACK_SEQ_LEN} AS first_seq,
+       (start_offset + ntok - 1) // {_PACK_SEQ_LEN} AS last_seq,
+       (start_offset + ntok - 1) // {_PACK_SEQ_LEN}
+            - start_offset // {_PACK_SEQ_LEN} AS n_boundaries_crossed
+FROM c"""
+
+
 QUERIES7: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_rollup": q_corpus_rollup,
     "source_mixture": q_source_mixture,
+    "sequence_pack": q_sequence_pack,
 }
 
 ORACLES7: dict[str, str] = {
     "corpus_rollup": SQL_CORPUS_ROLLUP,
     "source_mixture": SQL_SOURCE_MIXTURE,
+    "sequence_pack": SQL_SEQUENCE_PACK,
 }
