@@ -609,3 +609,32 @@ def test_distributed_prefix_sum_exact_and_scalable(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "_pid" in line, "unpartitioned window leaked in:\n" + plan
+
+
+def test_pack_assignments_invariants(spark, sf_dir):
+    """Packing map invariants: each doc's spans sum to its token count
+    and tile it contiguously from 0; every sequence except the last
+    holds exactly 512 tokens."""
+    from wq_data_pipeline_spark.plans.queries_corpus import (
+        _PACK_SEQ_LEN,
+        q_pack_assignments,
+    )
+
+    df = q_pack_assignments(spark, sf_dir).cache()
+    rows = df.orderBy("doc_id", "seq_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, spans in by_doc.items():
+        assert spans[0].tok_from == 0, doc
+        for a, b in zip(spans, spans[1:]):
+            assert a.tok_to == b.tok_from, f"gap inside doc {doc}"
+        assert all(s.n_toks == s.tok_to - s.tok_from for s in spans)
+    seq_tot = {r.seq_id: 0 for r in rows}
+    for r in rows:
+        seq_tot[r.seq_id] += r.n_toks
+    last_seq = max(seq_tot)
+    for sid, tot in seq_tot.items():
+        if sid != last_seq:
+            assert tot == _PACK_SEQ_LEN, (sid, tot)
+    df.unpersist()

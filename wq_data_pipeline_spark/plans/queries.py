@@ -711,7 +711,7 @@ _DRIVER_WINDOW = [
     "p16_pivot",
     "pii_scan",
     "stratified_sample",
-    # -- new in r4 (8)
+    # -- new in r4 (9)
     "stream_tumbling_rollup",
     "stream_session_rollup",
     "stream_interval_join",
@@ -720,6 +720,7 @@ _DRIVER_WINDOW = [
     "corpus_rollup",
     "source_mixture",
     "sequence_pack",
+    "pack_assignments",
     # -- veterans: r1-red/now-green first (6), then flagship chains (14)
     "sessionize",
     "sliding_rollup",
@@ -736,7 +737,6 @@ _DRIVER_WINDOW = [
     "w12_bands",
     "a1_dup_median",
     "w8_robust_z",
-    "decontaminate",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

@@ -135,14 +135,76 @@ SELECT doc_id, ntok, start_offset,
 FROM c"""
 
 
+def q_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packing map: one row per (training sequence, doc)
+    span — which doc-local token range [tok_from, tok_to) fills each
+    512-token sequence. This is the table a data loader actually
+    consumes. The explode over a doc's sequence range is a narrow op
+    with bounded fan-out (ntok/512 + 1 rows per doc); the heavy part
+    remains the same two-level prefix sum as sequence_pack."""
+    from wq_data_pipeline_spark.operators.scale import distributed_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("ntok")
+    )
+    d = distributed_prefix_sum(d, "doc_id", "ntok", out="start_offset")
+    first = F.expr(f"start_offset div {_PACK_SEQ_LEN}")
+    last = F.expr(f"(start_offset + ntok - 1) div {_PACK_SEQ_LEN}")
+    spans = d.filter(F.col("ntok") > 0).select(
+        "doc_id",
+        "ntok",
+        "start_offset",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("start_offset"), F.col("seq_id") * _PACK_SEQ_LEN)
+    hi = F.least(
+        F.col("start_offset") + F.col("ntok"),
+        (F.col("seq_id") + 1) * _PACK_SEQ_LEN,
+    )
+    return spans.select(
+        "seq_id",
+        "doc_id",
+        (lo - F.col("start_offset")).alias("tok_from"),
+        (hi - F.col("start_offset")).alias("tok_to"),
+        (hi - lo).alias("n_toks"),
+    )
+
+
+SQL_PACK_ASSIGNMENTS = f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS ntok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ntok,
+         CAST(COALESCE(sum(ntok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM w
+),
+s AS (
+  SELECT doc_id, ntok, start_offset,
+         unnest(range(start_offset // {_PACK_SEQ_LEN},
+                      (start_offset + ntok - 1) // {_PACK_SEQ_LEN} + 1)) AS seq_id
+  FROM c WHERE ntok > 0
+)
+SELECT seq_id, doc_id,
+       greatest(start_offset, seq_id * {_PACK_SEQ_LEN}) - start_offset AS tok_from,
+       least(start_offset + ntok, (seq_id + 1) * {_PACK_SEQ_LEN}) - start_offset AS tok_to,
+       least(start_offset + ntok, (seq_id + 1) * {_PACK_SEQ_LEN})
+         - greatest(start_offset, seq_id * {_PACK_SEQ_LEN}) AS n_toks
+FROM s"""
+
+
 QUERIES7: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_rollup": q_corpus_rollup,
     "source_mixture": q_source_mixture,
     "sequence_pack": q_sequence_pack,
+    "pack_assignments": q_pack_assignments,
 }
 
 ORACLES7: dict[str, str] = {
     "corpus_rollup": SQL_CORPUS_ROLLUP,
     "source_mixture": SQL_SOURCE_MIXTURE,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "pack_assignments": SQL_PACK_ASSIGNMENTS,
 }
