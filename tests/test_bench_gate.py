@@ -35,14 +35,28 @@ def _names():
     return sorted(entry.queries())
 
 
+# Hard ceiling on the scaled cap: the r2 winnow quadratic ran 61.5 s
+# at sf0.01 — the budget must never stretch past a value that would
+# re-admit that magnitude of regression, however slow the machine.
+BUDGET_MAX_S = 40.0
+
+
 @pytest.fixture(scope="module")
 def budget_s(spark, sf_dir):
+    # warm up first (JVM/codegen/session start-up), THEN time the
+    # probe — this module is often the first pytest collects, and a
+    # cold first action would inflate the cap by the very warmup cost
+    # the gate must not absorb
+    for _ in range(2):
+        spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
+            "overwrite"
+        ).save()
     t0 = time.perf_counter()
     spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
     probe = time.perf_counter() - t0
-    return max(BUDGET_MIN_S, BUDGET_PROBE_MULT * probe)
+    return min(BUDGET_MAX_S, max(BUDGET_MIN_S, BUDGET_PROBE_MULT * probe))
 
 
 @pytest.mark.parametrize("name", _names())

@@ -32,7 +32,8 @@ VARIABLES = [
 ]
 
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(GOLDEN_TABLES), reason="reference golden files not present"
+    not (os.path.isdir(GOLDEN_TABLES) and os.path.isfile(GOLDEN_PARQUET)),
+    reason="reference golden files not present",
 )
 
 

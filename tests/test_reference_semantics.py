@@ -325,7 +325,11 @@ def test_full_suite_flag_stage_matches_pandas_reference(spark):
     v = rng.normal(12, 2, n)
     v[300:340] = 3.3       # flat run -> plateau/constants + variance
     v[800] = 50.0          # spike -> zscore + jumps + range(hi=40)
-    v[150:152] = -99.0     # inactive sentinel (2 hits) -> range(lo=0)
+    # ONE -99.0 hit: 1 < 5 hits AND 1/1938 = 0.05% < 0.1%, so the
+    # sentinel stays INACTIVE and the value survives cleaning to
+    # exercise range-low (two hits would be 0.103% — active, masked
+    # to NaN, and the lo comparison would have no coverage)
+    v[150] = -99.0
     # isolated: the reference's RLE runs over ROW order, so the group
     # needs NaN-valued neighbor rows that sit >3h away in time — NaN
     # sentinels at 1184/1217 with 4h of rows carved between them and
@@ -375,3 +379,6 @@ def test_full_suite_flag_stage_matches_pandas_reference(spark):
     # every planted artefact must have fired its detector
     for name in ("range", "missing", "plateau", "variance", "zscore", "jumps", "isolated"):
         assert masks[name].any(), f"fixture never triggers {name}"
+    # ...and range must fire on BOTH bounds (the -99 survivor covers lo)
+    assert bool(masks["range"][s < 0.0].any()), "range-low never exercised"
+    assert bool(masks["range"][s > 40.0].any()), "range-high never exercised"

@@ -225,10 +225,12 @@ def test_kmeans_descends_and_ivf_recall(spark, sf_dir):
 
 def test_kmeans_broadcast_assign_matches_literal_form(spark, sf_dir):
     """Above the literal_centroids_max threshold kmeans_centroids must
-    switch to the broadcast-join argmax assignment and still produce
-    IDENTICAL centroids (same dot arithmetic, same lowest-id tie
-    rule) — the plan-size guard for production k×dim (VERDICT r3 nit
-    #2)."""
+    switch to the broadcast-join argmax assignment and produce the
+    same centroids up to floating-point accumulation noise (the
+    cluster-mean aggregation merges partial double sums in a
+    partitioning-dependent order, so bit-exactness is NOT guaranteed
+    across the two plan shapes) — the plan-size guard for production
+    k×dim (VERDICT r3 nit #2)."""
     from wq_data_pipeline_spark.operators.similarity import kmeans_centroids
     from wq_data_pipeline_spark.sources.testdata import load_table
 
@@ -239,7 +241,9 @@ def test_kmeans_broadcast_assign_matches_literal_form(spark, sf_dir):
     b = {r.centroid_id: list(r.embedding) for r in bc_form.collect()}
     assert a.keys() == b.keys()
     for cid in a:
-        assert a[cid] == pytest.approx(b[cid], abs=1e-12), f"centroid {cid} diverged"
+        assert a[cid] == pytest.approx(b[cid], rel=1e-9, abs=1e-9), (
+            f"centroid {cid} diverged beyond accumulation noise"
+        )
 
 
 def test_chunk_documents_invariants(spark, sf_dir):

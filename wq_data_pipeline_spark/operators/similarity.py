@@ -213,10 +213,15 @@ def kmeans_centroids(
     k×dim cells the assignment auto-switches to a broadcast-join
     argmax (crossJoin(broadcast(centroids)) + max_by) — one extra
     per-round shuffle on ``id_col``, but the plan stays O(1). Same
-    arithmetic (dot with L2-normalized centroids) and the same
-    lowest-centroid-id tie rule, so both modes produce identical
-    centroids. This mirrors ``connected_components``'
-    broadcast_edges_max size switch.
+    per-vector arithmetic (dot with L2-normalized centroids) and the
+    same lowest-centroid-id tie rule; the cluster-mean aggregation,
+    however, merges partial double sums in a partitioning-dependent
+    order, so the two modes agree only to floating-point accumulation
+    noise (a vector exactly equidistant between centroids could in
+    principle flip) — equality is tested at 1e-9 relative, not
+    bit-exact. ``id_col`` must be unique: the broadcast mode's
+    groupBy would silently merge duplicate ids. This mirrors
+    ``connected_components``' broadcast_edges_max size switch.
 
     Returns a (centroid_id, ``vec_col``) DataFrame ready for
     :func:`ivf_topk`.

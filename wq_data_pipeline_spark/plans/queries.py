@@ -676,8 +676,10 @@ ORACLES.update(ORACLES7)
 #      embed_lsh_ann, multimodal_decode, tpch_q1/q5/q6,
 #      wrtds_residuals; r3-only: p16_pivot, pii_scan,
 #      stratified_sample),
-#   3. the 4 new r4 entries (streaming batch mirrors + wrtds q-kernel),
-#   4. 20 veterans — first the six whose only red rows were in r1
+#   3. the 9 new r4 entries (streaming batch mirrors ×3, wrtds
+#      q-kernel, qc_full_suite, corpus_rollup, source_mixture,
+#      sequence_pack, pack_assignments),
+#   4. 15 veterans — first the six whose only red rows were in r1
 #      (sessionize, sliding/hypertable rollups, a2, qc_accepted,
 #      props_json), then the flagship heavy chains.
 # The tail holds only 2×+-green veterans; every tail entry remains

@@ -102,6 +102,9 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokens("text")).cast("long").alias("ntok")
     )
     d = distributed_prefix_sum(d, "doc_id", "ntok", out="start_offset")
+    # zero-token docs contribute nothing and would emit an inverted
+    # [first_seq > last_seq] span — drop them like pack_assignments
+    d = d.filter(F.col("ntok") > 0)
     # integer division (div), not floor(double/..): offsets are exact
     # BIGINTs and stay exact past 2^53 where double floor would not
     first = F.expr(f"start_offset div {_PACK_SEQ_LEN}")
@@ -132,7 +135,7 @@ SELECT doc_id, ntok, start_offset,
        (start_offset + ntok - 1) // {_PACK_SEQ_LEN} AS last_seq,
        (start_offset + ntok - 1) // {_PACK_SEQ_LEN}
             - start_offset // {_PACK_SEQ_LEN} AS n_boundaries_crossed
-FROM c"""
+FROM c WHERE ntok > 0"""
 
 
 def q_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:

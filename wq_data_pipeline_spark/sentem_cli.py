@@ -96,10 +96,14 @@ def main(argv: list[str] | None = None) -> None:
     out_long = run_sentemqc_plan(readings, var_map, start_time=start, end_time=end)
     qc_wide = sentemqc_wide(out_long, [v.variable for v in var_map])
     # reference export: the full base frame with QC columns alongside
-    # (scripts/sentemqc.py:182-184) — join original wide columns back on ts
-    full = wide.withColumnRenamed(args.timestamp_col, "ts").join(
-        qc_wide.drop("station"), on="ts", how="right"
-    )
+    # (scripts/sentemqc.py:182-184) — join original wide columns back
+    # on ts. Duplicate-timestamp input rows are collapsed first: the
+    # long pipeline already emits one row per ts, and an un-deduped
+    # raw side would re-expand the QC rows (the reference dedups in
+    # ensure_time_index; which duplicate survives here is arbitrary —
+    # see the README duplicate-policy divergence note).
+    raw = wide.withColumnRenamed(args.timestamp_col, "ts").dropDuplicates(["ts"])
+    full = raw.join(qc_wide.drop("station"), on="ts", how="right")
     full.orderBy("ts").coalesce(1).write.mode("overwrite").option(
         "header", True
     ).csv(f"{args.out}/sentemqc_wide")
