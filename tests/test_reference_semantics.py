@@ -382,3 +382,128 @@ def test_full_suite_flag_stage_matches_pandas_reference(spark):
     # ...and range must fire on BOTH bounds (the -99 survivor covers lo)
     assert bool(masks["range"][s < 0.0].any()), "range-low never exercised"
     assert bool(masks["range"][s > 40.0].any()), "range-high never exercised"
+
+
+def _ref_quant_step(x, atol=1e-3):
+    """Direct reimplementation of reference quant_step_estimate
+    (scripts/ufz_water_qc_pipeline.py:129-142)."""
+    v = pd.Series(np.asarray(x, dtype=float))
+    d = v.diff().dropna().abs()
+    d = d[(d > 0) & np.isfinite(d)]
+    if d.empty:
+        return np.nan
+    q = np.quantile(d, [0.1, 0.25, 0.5, 0.75, 0.9])
+    cand = [q[0], q[1], q[2]] + [q[2] / i for i in range(2, 10)]
+    cand = [c for c in cand if c > 0]
+    best = np.nan
+    besth = 0
+    for c in cand:
+        h = np.mean(np.isclose((d / c) - np.round(d / c), 0, atol=atol))
+        if h > besth:
+            besth = h
+            best = c
+    return best if besth > 0.7 else np.nan
+
+
+def test_quant_step_matches_reference(spark):
+    """quant_step_estimate must reproduce the reference's full
+    candidate set (q10/q25/q50 + q50 sub-multiples) and first-best
+    tie rule on three regimes: clean quantization, coarse jumps where
+    only a q50/i sub-multiple recovers the fine step, and
+    unquantized noise (rejected)."""
+    from wq_data_pipeline_spark.operators.stats import quant_step_estimate
+
+    rng = np.random.default_rng(3)
+    ts = pd.date_range("2024-01-01", periods=800, freq="15min")
+    series = {
+        # random walk on a strict 0.05 grid with 1-3 quantum steps ->
+        # q10 of the |diff| distribution IS the quantum
+        "grid": np.cumsum(rng.integers(1, 4, 800)) * 0.05,
+        # coarse: most jumps are 2-4 quanta of 0.02 -> the median diff
+        # overshoots the true step; a q50/i candidate must recover it
+        "coarse": np.cumsum(rng.integers(2, 5, 800)) * 0.02,
+        # white noise: no quantization, score must stay <= 0.7 -> NULL
+        "noise": rng.normal(10, 1, 800),
+    }
+    frames = [
+        pd.DataFrame({"station": "s", "variable": name, "ts": ts, "value": v})
+        for name, v in series.items()
+    ]
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    got = {
+        r.variable: (r.quant_step, r.quant_score)
+        for r in quant_step_estimate(df).collect()
+    }
+    for name, v in series.items():
+        expected = _ref_quant_step(v)
+        step = got[name][0]
+        if np.isnan(expected):
+            assert step is None, f"{name}: expected rejection, got {step}"
+        else:
+            assert step == pytest.approx(expected, rel=1e-9), (
+                f"{name}: {step} != reference {expected}"
+            )
+    assert got["noise"][0] is None
+    assert got["grid"][0] is not None and got["coarse"][0] is not None
+
+
+def _ref_binary_switches(v, idx, zero_tol=1e-12):
+    """Direct reimplementation of reference detect_binary_switches +
+    events_from_binary (scripts/ufz_water_qc_pipeline.py:192-205,
+    642-649)."""
+    v = np.asarray(v, dtype=float)
+    z = np.isfinite(v) & (np.abs(v) <= zero_tol)
+    events = []
+    i = 0
+    while i < len(z):
+        if z[i]:
+            j = i
+            while j + 1 < len(z) and z[j + 1]:
+                j += 1
+            a, b = i, j
+            pre, post = max(0, a - 1), min(len(v) - 1, b + 1)
+            preval = v[pre] if np.isfinite(v[pre]) else np.nan
+            postval = v[post] if np.isfinite(v[post]) else np.nan
+            if (
+                np.isfinite(preval)
+                and np.isfinite(postval)
+                and (preval != 0 or postval != 0)
+            ):
+                events.append(
+                    (idx[a], idx[b], idx[pre], idx[post], preval, postval)
+                )
+            i = j + 1
+        else:
+            i += 1
+    return events
+
+
+def test_binary_switches_match_reference(spark):
+    """W4 events vs the reference row-for-row, covering the edge
+    conventions: run at the series start (clamped pre = own endpoint),
+    run at the end, NaN neighbor suppression, and an all-zero
+    neighborhood (no event: pre==post==0)."""
+    from wq_data_pipeline_spark.operators.detectors import detect_binary_switches
+
+    n = 300
+    ts = pd.date_range("2024-02-01", periods=n, freq="15min")
+    v = np.full(n, 3.7)
+    v[:4] = 0.0            # run at series start -> pre clamps to v[0]=0
+    v[50:55] = 0.0         # interior run, nonzero neighbors
+    v[100:103] = 0.0
+    v[99] = np.nan         # NaN pre-neighbor -> suppressed
+    v[200:204] = 0.0
+    v[204] = np.nan        # NaN post-neighbor -> suppressed
+    v[n - 3:] = 0.0        # run at series end -> post clamps to v[-1]=0
+    pdf = pd.DataFrame({"station": "s", "variable": "x", "ts": ts, "value": v})
+    got = (
+        detect_binary_switches(spark.createDataFrame(pdf))
+        .orderBy("start")
+        .collect()
+    )
+    exp = _ref_binary_switches(v, ts)
+    assert len(got) == len(exp), (len(got), len(exp))
+    for g, e in zip(got, exp):
+        assert pd.Timestamp(g.start) == e[0] and pd.Timestamp(g.end) == e[1]
+        assert pd.Timestamp(g.pre) == e[2] and pd.Timestamp(g.post) == e[3]
+        assert g.pre_val == pytest.approx(e[4]) and g.post_val == pytest.approx(e[5])

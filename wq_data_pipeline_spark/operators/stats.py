@@ -159,12 +159,20 @@ def quant_step_estimate(
     atol: float = 1e-3,
     accept: float = 0.7,
 ) -> DataFrame:
-    """Quantization-step estimate (A6): score each candidate quantile
-    step by the share of positive diffs that are integer multiples of
-    it (|d/c − round(d/c)| < atol); accept the best if score > 0.7.
+    """Quantization-step estimate (A6), reference-exact candidate set
+    (quant_step_estimate, scripts/ufz_water_qc_pipeline.py:134-141):
+    candidates are [q10, q25, q50, q50/2 .. q50/9] of the positive
+    |diff| distribution — the sub-multiples recover a fine step when
+    most observed jumps span several quanta. Each candidate is scored
+    by the share of diffs that are integer multiples of it
+    (np.isclose semantics: |d/c − round(d/c)| <= atol); the FIRST
+    candidate attaining the best score wins (the reference's
+    strictly-greater scan order), accepted only if score > 0.7.
 
-    One extra pass over the diffs with <= 5 conditional averages —
-    no driver loop, no recompute of the base table.
+    One extra pass over the diffs with 11 conditional averages — no
+    driver loop, no recompute of the base table. A series with no
+    positive diffs is absent from the output (the reference returns
+    NaN for it).
     """
     keys = list(keys)
     d = with_diff(df, value, keys, ts, out="_d")
@@ -172,22 +180,28 @@ def quant_step_estimate(
         *keys, F.abs(F.col("_d")).alias("absdiff")
     )
     q = pos.groupBy(*keys).agg(
-        *[
-            F.percentile(F.col("absdiff"), F.lit(p)).alias(f"_c{i}")
-            for i, p in enumerate((0.1, 0.25, 0.5, 0.75, 0.9))
-        ]
+        F.percentile(F.col("absdiff"), F.lit(0.1)).alias("_q10"),
+        F.percentile(F.col("absdiff"), F.lit(0.25)).alias("_q25"),
+        F.percentile(F.col("absdiff"), F.lit(0.5)).alias("_q50"),
     )
+    cands = [F.col("_q10"), F.col("_q25"), F.col("_q50")] + [
+        F.col("_q50") / i for i in range(2, 10)
+    ]
+    q = q.select(
+        *keys, *[c.alias(f"_c{i}") for i, c in enumerate(cands)]
+    )
+    n_cand = len(cands)
     joined = pos.join(F.broadcast(q), on=keys, how="inner")
     score_cols = []
-    for i in range(5):
+    for i in range(n_cand):
         c = F.col(f"_c{i}")
         ratio = F.col("absdiff") / c
-        hit = F.when(c > 0, (F.abs(ratio - F.round(ratio)) < atol).cast("double"))
+        hit = F.when(c > 0, (F.abs(ratio - F.round(ratio)) <= atol).cast("double"))
         score_cols.append(F.avg(hit).alias(f"score{i}"))
-    scores = joined.groupBy(*keys, *[f"_c{i}" for i in range(5)]).agg(*score_cols)
-    best = F.greatest(*[F.col(f"score{i}") for i in range(5)])
+    scores = joined.groupBy(*keys, *[f"_c{i}" for i in range(n_cand)]).agg(*score_cols)
+    best = F.greatest(*[F.col(f"score{i}") for i in range(n_cand)])
     step = F.lit(None).cast("double")
-    for i in range(4, -1, -1):
+    for i in range(n_cand - 1, -1, -1):
         step = F.when(F.col(f"score{i}") == best, F.col(f"_c{i}")).otherwise(step)
     return scores.select(
         *keys,
