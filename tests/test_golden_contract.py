@@ -114,9 +114,13 @@ def test_seasonal_csv_headers(qc_outputs):
     golden_all = _first_line(f"{GOLDEN_TABLES}/Erkenruh_Einruhr__seasonal_all.csv")
     assert ",".join(seasonal_all_report(out.seasonal).columns) == golden_all
     rows = per_var.collect()
-    # Jan-Mar span -> DJF and MAM rows, reference season order preserved
-    assert [r.season for r in rows] == ["DJF", "MAM"]
+    # the reference emits ALL FOUR season rows in order, zero-filled
+    # where the season has no data (Jan-Mar span -> JJA/SON zeros)
+    assert [r.season for r in rows] == ["DJF", "MAM", "JJA", "SON"]
     assert all(0.0 <= r.coverage_pct <= 100.0 + 1e-9 for r in rows)
+    by = {r.season: r for r in rows}
+    assert by["DJF"].coverage_pct > 0 and by["MAM"].coverage_pct > 0
+    assert by["JJA"].coverage_pct == 0.0 and by["SON"].coverage_pct == 0.0
 
 
 def test_meta_csv_header_and_step_format(qc_outputs):

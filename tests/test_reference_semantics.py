@@ -507,3 +507,108 @@ def test_binary_switches_match_reference(spark):
         assert pd.Timestamp(g.start) == e[0] and pd.Timestamp(g.end) == e[1]
         assert pd.Timestamp(g.pre) == e[2] and pd.Timestamp(g.post) == e[3]
         assert g.pre_val == pytest.approx(e[4]) and g.post_val == pytest.approx(e[5])
+
+
+def _ref_flat_slopes(v, idx, min_hours=2.0, win=25, abs_slope=0.0):
+    """Direct reimplementation of reference detect_flat_slopes over
+    rolling_lin_slope (scripts/ufz_water_qc_pipeline.py:105-123,
+    223-236)."""
+    v = np.asarray(v, dtype=float)
+    t = (idx.view("int64").astype(float) - idx.view("int64").astype(float).min()) / 1e9
+    n = v.size
+    minp = max(5, win // 3)
+    h = win // 2
+    slope = np.full(n, np.nan)
+    for i in range(n):
+        a, b = max(0, i - h), min(n, i + h + 1)
+        seg, ts_seg = v[a:b], t[a:b]
+        m = np.isfinite(seg)
+        if m.sum() >= minp:
+            X = np.vstack([ts_seg[m], np.ones(m.sum())]).T
+            slope[i] = np.linalg.lstsq(X, seg[m], rcond=None)[0][0]
+    eq = np.isfinite(slope) & (np.abs(slope) <= abs_slope)
+    runs = []
+    i = 0
+    while i < n:
+        if eq[i]:
+            j = i
+            while j + 1 < n and eq[j + 1]:
+                j += 1
+            endi = j + 1 if j + 1 < n else j
+            hours = (idx[endi] - idx[i]).total_seconds() / 3600
+            if hours >= min_hours:
+                runs.append((idx[i], idx[endi], hours))
+            i = j + 1
+        else:
+            i += 1
+    return runs
+
+
+def test_flat_slopes_match_reference(spark):
+    """W6 events row-for-row vs the reference numpy reimplementation:
+    constant plateaus (slope ~1e-17, far inside the 1e-10 threshold)
+    between clearly-sloped ramps (~1e-3 s^-1, far outside) — slopes
+    from the closed-form window algebra and numpy lstsq agree on
+    which rows are flat, and the run boundaries use the
+    first-row-after-run end convention."""
+    from wq_data_pipeline_spark.operators.detectors import detect_flat_slopes
+
+    n = 600
+    ts = pd.date_range("2024-03-01", periods=n, freq="15min")
+    v = np.linspace(0.0, 600.0, n).copy()  # ramp: slope ~1.1e-3 / s
+    v[100:150] = v[100]   # 12.25h plateau
+    v[300:330] = v[300]   # 7h plateau
+    v[400:408] = v[400]   # short plateau: slope window still sees ramp
+    v[120] = np.nan       # a null inside a plateau
+    pdf = pd.DataFrame({"station": "s", "variable": "x", "ts": ts, "value": v})
+    got = (
+        detect_flat_slopes(
+            spark.createDataFrame(pdf), "value", KEYS, "ts",
+            window_points=25, abs_slope=1e-10, min_hours=2.0,
+        )
+        .orderBy("start")
+        .collect()
+    )
+    exp = _ref_flat_slopes(v, ts, min_hours=2.0, win=25, abs_slope=1e-10)
+    assert len(got) == len(exp) > 0, (len(got), len(exp))
+    for g, e in zip(got, exp):
+        assert pd.Timestamp(g.start) == e[0] and pd.Timestamp(g.end) == e[1]
+        assert abs(g.hours - e[2]) < 1e-9
+
+
+def test_seasonal_stats_match_reference_on_irregular_cadence(spark):
+    """A7 coverage vs the reference's INTEGER expected-point rule
+    (expected = max(1, round(span/step + 1)),
+    scripts/ufz_water_qc_pipeline.py:265-275): on an irregular cadence
+    the rounded denominator differs from the continuous span/step + 1
+    the pre-r4 engine used — this pins the reference semantics."""
+    from wq_data_pipeline_spark.operators.stats import seasonal_stats
+
+    rng = np.random.default_rng(17)
+    # irregular: 15-min base grid with jitter and dropped rows, spanning DJF+MAM
+    base = pd.date_range("2024-01-10", periods=4000, freq="15min")
+    keep = rng.random(4000) > 0.3
+    ts = base[keep] + pd.to_timedelta(rng.integers(0, 300, keep.sum()), unit="s")
+    v = rng.normal(5, 1, len(ts))
+    v[::17] = np.nan
+    pdf = pd.DataFrame({"station": "s", "variable": "x", "ts": ts, "value": v})
+    got = {
+        r.season: r
+        for r in seasonal_stats(
+            spark.createDataFrame(pdf), KEYS, "ts", "value", step_seconds=900.0
+        ).collect()
+    }
+
+    step = pd.Timedelta(seconds=900)
+    df = pdf.set_index("ts")
+    season_of = lambda t: {12: "DJF", 1: "DJF", 2: "DJF", 3: "MAM", 4: "MAM",
+                           5: "MAM", 6: "JJA", 7: "JJA", 8: "JJA"}.get(t.month, "SON")
+    df["season"] = [season_of(t) for t in df.index]
+    for s in sorted(set(df["season"])):
+        sub = df[df["season"] == s]
+        dur = (sub.index[-1] - sub.index[0]).total_seconds() + step.total_seconds()
+        exp_pts = max(1, int(round(dur / step.total_seconds())))
+        n, nnan = len(sub), int(sub["value"].isna().sum())
+        cov = 100.0 * (n - nnan) / max(1, exp_pts)
+        assert got[s].coverage_pct == pytest.approx(round(cov, 4), abs=1e-9), s
+        assert got[s].nan_pct == pytest.approx(round(100.0 * nnan / n, 4), abs=1e-9), s

@@ -25,10 +25,14 @@ def seasonal_stats(
     """Per-season coverage/nan summary (A7; reference seasonal_stats,
     scripts/ufz_water_qc_pipeline.py:277-290).
 
-    coverage_pct = non-null count / expected points in the season span
-    (span/step + 1, from min..max observed ts within the season —
-    expected_points_per_season, :265-275); nan_pct = null share of
-    observed rows.
+    coverage_pct follows the reference's INTEGER expected-point count
+    (expected_points_per_season, :265-275): dur = season span + one
+    step, expected = max(1, round(dur/step)) = max(1, round(span/step
+    + 1)), then 100·non-null/expected. The continuous span/step + 1
+    form (pre-r4) diverges from the reference whenever the cadence is
+    irregular — round() changes the denominator. Rounding of exact .5
+    halves differs (Python banker's vs SQL half-up); measure-zero at
+    µs timestamp resolution. nan_pct = null share of observed rows.
     """
     keys = list(keys)
     season = season_expr(ts).alias("season")
@@ -42,9 +46,14 @@ def seasonal_stats(
         )
         .withColumn(
             "expected_points",
-            (F.unix_micros("_max_ts") - F.unix_micros("_min_ts"))
-            / F.lit(step_seconds * 1e6)
-            + F.lit(1.0),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.round(
+                    (F.unix_micros("_max_ts") - F.unix_micros("_min_ts"))
+                    / F.lit(step_seconds * 1e6)
+                    + F.lit(1.0)
+                ).cast("long"),
+            ),
         )
         .select(
             *keys,

@@ -354,7 +354,7 @@ SELECT event_type,
             WHEN month(ts) IN (6, 7, 8) THEN 'JJA'
             ELSE 'SON' END AS season,
        count(*) AS n_rows,
-       round(count(value) / ((epoch_us(max(ts)) - epoch_us(min(ts))) / (900.0 * 1e6) + 1.0) * 100.0, 4) AS coverage_pct,
+       round(count(value) / greatest(1, CAST(round((epoch_us(max(ts)) - epoch_us(min(ts))) / (900.0 * 1e6) + 1.0) AS BIGINT)) * 100.0, 4) AS coverage_pct,
        round((count(*) - count(value)) / count(*) * 100.0, 4) AS nan_pct
 FROM clean GROUP BY 1, 2"""
 

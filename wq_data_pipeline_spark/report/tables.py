@@ -85,22 +85,48 @@ def _season_sorted(d: DataFrame):
     return d.orderBy(order)
 
 
+def _all_seasons(d: DataFrame, extra_keys: list[str]) -> DataFrame:
+    """Left-join the stats onto the full DJF/MAM/JJA/SON grid per key
+    combination, zero-filling absent seasons — the reference iterates
+    season_order() and emits all four rows even for seasons with no
+    data (seasonal_stats, scripts/ufz_water_qc_pipeline.py:283-290)."""
+    spark = d.sparkSession
+    seasons = spark.createDataFrame([(s,) for s in _SEASON_ORDER], "season STRING")
+    grid = (
+        d.select(*extra_keys).distinct().crossJoin(seasons)
+        if extra_keys
+        else seasons
+    )
+    joined = grid.join(d, on=[*extra_keys, "season"], how="left")
+    numeric = [c for c in SEASONAL_HEADER if c != "season"]
+    return joined.select(
+        *extra_keys,
+        "season",
+        *[F.coalesce(F.col(c), F.lit(0.0 if "pct" in c else 0)).alias(c) for c in numeric],
+    )
+
+
 def seasonal_report(seasonal: DataFrame, variable: str | None = None) -> DataFrame:
-    """Golden ``__seasonal_summary.csv`` frame (DJF/MAM/JJA/SON rows)."""
+    """Golden ``__seasonal_summary.csv`` frame — always all four
+    DJF/MAM/JJA/SON rows in reference order, zero-filled where the
+    season has no data."""
     d = seasonal
     if variable is not None:
         d = d.filter(F.col("variable") == variable)
-    return _season_sorted(d.select(*_ordered_cols(d, SEASONAL_HEADER)))
+    d = d.select(*_ordered_cols(d, SEASONAL_HEADER))
+    return _season_sorted(_all_seasons(d, []))
 
 
 def seasonal_all_report(seasonal: DataFrame) -> DataFrame:
     """Golden ``__seasonal_all.csv``: seasonal summary + trailing
-    ``col``, variables concatenated."""
+    ``col``, variables concatenated, four season rows per variable."""
     d = seasonal.withColumn("col", F.col("variable"))
+    d = d.select("col", *_ordered_cols(d, SEASONAL_HEADER))
+    full = _all_seasons(d, ["col"])
     order = F.array_position(
         F.array(*[F.lit(s) for s in _SEASON_ORDER]), F.col("season")
     )
-    return d.select(*_ordered_cols(d, SEASONAL_HEADER), "col").orderBy("col", order)
+    return full.select(*SEASONAL_HEADER, "col").orderBy("col", order)
 
 
 def _timedelta_str(seconds: F.Column) -> F.Column:
