@@ -612,3 +612,52 @@ def test_seasonal_stats_match_reference_on_irregular_cadence(spark):
         cov = 100.0 * (n - nnan) / max(1, exp_pts)
         assert got[s].coverage_pct == pytest.approx(round(cov, 4), abs=1e-9), s
         assert got[s].nan_pct == pytest.approx(round(100.0 * nnan / n, 4), abs=1e-9), s
+
+
+def test_decimal_stats_match_reference(spark):
+    """A4 (fractional-part histogram + chi-square) and A5 (dominant
+    2-decimal mode) vs direct reference reimplementations
+    (scripts/ufz_water_qc_pipeline.py:125-127, 239-258), including
+    NEGATIVE values where dec_frac's modf%1.0 wraps to [0,1). NaN
+    inputs are excluded up front on both sides: the reference's A5
+    rounds NaN then casts to int (platform-dependent garbage values) —
+    a sanitized divergence, documented here."""
+    from wq_data_pipeline_spark.operators.stats import (
+        chi_square_uniform,
+        decimal_histogram,
+        dominant_decimals,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    ts = pd.date_range("2024-01-01", periods=n, freq="15min")
+    # two-decimal grid with a planted dominant .25 fraction + negatives
+    v = np.round(rng.normal(0, 30, n), 2)
+    v[: n // 2] = np.floor(v[: n // 2]) + 0.25  # 50% share of .25
+    pdf = pd.DataFrame({"station": "s", "variable": "x", "ts": ts, "value": v})
+    df = spark.createDataFrame(pdf)
+
+    # reference dec_frac + histogram + chisq fallback
+    f = np.modf(v)[0] % 1.0
+    h, _ = np.histogram(f, bins=np.linspace(0, 1, 11))
+    e = np.full_like(h, h.mean(), dtype=float)
+    ref_cs = float(np.sum((h - e) ** 2 / (e + 1e-9)))
+
+    got_bins = {
+        r.bin: r.bin_count for r in decimal_histogram(df, KEYS, "value").collect()
+    }
+    for b in range(10):
+        assert got_bins.get(b, 0) == int(h[b]), (b, got_bins.get(b, 0), h[b])
+    cs = chi_square_uniform([got_bins.get(b, 0) for b in range(10)])
+    assert cs == pytest.approx(ref_cs, rel=1e-6)
+
+    # reference find_long_unique_double_decimals
+    fc = np.round(f * 100).astype(int)
+    vals, cts = np.unique(fc, return_counts=True)
+    j = int(np.argmax(cts))
+    ref_dom, ref_frac = int(vals[j]), float(cts[j] / fc.size)
+
+    got = dominant_decimals(df, KEYS, "value").collect()[0]
+    assert got.mode_cents == ref_dom
+    assert got.mode_frac == pytest.approx(round(ref_frac, 4), abs=1e-9)
+    assert bool(got.dominant) == (ref_frac >= 0.6)

@@ -79,14 +79,28 @@ def decimal_histogram(
     decimal_uniformity, scripts/ufz_water_qc_pipeline.py:239-248).
     The chi-square against uniform runs driver-side on the collected
     bins via :func:`chi_square_uniform`.
+
+    Binning replicates np.histogram over np.linspace(0,1,nbins+1)
+    EDGES rather than floor(frac·nbins): linspace edges carry 1-ulp
+    artifacts (0.6000000000000001, ...) so a fraction of exactly 0.6
+    lands in bin 5 under the reference but bin 6 under the floor form
+    — pinned by test_decimal_stats_match_reference.
     """
     keys = list(keys)
-    binc = F.least(
-        F.floor(frac_part(value) * nbins).cast("int"), F.lit(nbins - 1)
-    ).alias("bin")
+    edges = [i / nbins * 1.0 for i in range(nbins + 1)]
+    try:  # reference-exact edges when numpy is present (always in tests)
+        import numpy as np
+
+        edges = [float(e) for e in np.linspace(0.0, 1.0, nbins + 1)]
+    except ImportError:
+        pass
+    f = frac_part(value)
+    binc = F.lit(nbins - 1)
+    for i in range(nbins - 1, 0, -1):
+        binc = F.when(f < F.lit(edges[i]), F.lit(i - 1)).otherwise(binc)
     return (
         df.filter(F.col(value).isNotNull())
-        .groupBy(*keys, binc)
+        .groupBy(*keys, binc.cast("int").alias("bin"))
         .agg(F.count(F.lit(1)).alias("bin_count"))
     )
 

@@ -230,10 +230,24 @@ def q_a4_decimal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.decimal_histogram(d, KEY, "value", nbins=10)
 
 
-SQL_A4 = f"""{ORACLE_CLEAN}
-SELECT event_type, least(CAST(floor((value - floor(value)) * 10) AS INT), 9) AS bin,
-       count(*) AS bin_count
-FROM clean WHERE value IS NOT NULL GROUP BY 1, 2"""
+# np.linspace(0,1,11) edge values, verbatim — the reference bins with
+# np.histogram over these (1-ulp artifacts at 0.3/0.6/0.7 included),
+# so the oracle must compare against the same edges, not floor(f*10)
+_A4_EDGES = [
+    0.0, 0.1, 0.2, 0.30000000000000004, 0.4, 0.5,
+    0.6000000000000001, 0.7000000000000001, 0.8, 0.9, 1.0,
+]
+_A4_BIN_SQL = "CASE " + " ".join(
+    f"WHEN f < {_A4_EDGES[i]!r} THEN {i - 1}" for i in range(1, 10)
+) + " ELSE 9 END"
+
+SQL_A4 = f"""{ORACLE_CLEAN},
+fr AS (
+  SELECT event_type, (value - floor(value)) % 1.0 AS f
+  FROM clean WHERE value IS NOT NULL
+)
+SELECT event_type, {_A4_BIN_SQL} AS bin, count(*) AS bin_count
+FROM fr GROUP BY 1, 2"""
 
 
 def q_a5_mode_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
