@@ -642,3 +642,37 @@ def test_pack_assignments_invariants(spark, sf_dir):
         if sid != last_seq:
             assert tot == _PACK_SEQ_LEN, (sid, tot)
     df.unpersist()
+
+
+def test_line_dedup_semantics(spark):
+    """C4 line dedup: global duplicates kept only at first (doc_id,
+    pos); short lines exempt everywhere; in-doc repeats collapse too;
+    reassembly preserves original line order."""
+    from wq_data_pipeline_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha unique first line\nshort\nBOILERPLATE SHARED LINE"),
+            (1, "BOILERPLATE SHARED LINE\nbeta unique second line\nshort"),
+            (2, "repeated inside one doc\nrepeated inside one doc\nshort"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, "text", "doc_id", min_chars=12).collect()
+    }
+    # doc 0 holds the first occurrence of the boilerplate -> all kept
+    assert out[0]["n_dropped"] == 0
+    assert out[0]["text_dedup"] == (
+        "alpha unique first line\nshort\nBOILERPLATE SHARED LINE"
+    )
+    # doc 1 loses the boilerplate copy but keeps the exempt short line
+    assert out[1]["n_dropped"] == 1
+    assert out[1]["text_dedup"] == "beta unique second line\nshort"
+    # in-doc repeat: second copy dropped, order preserved
+    assert out[2]["n_kept"] == 2
+    assert out[2]["text_dedup"] == "repeated inside one doc\nshort"
+    # counts are consistent
+    for r in out.values():
+        assert r["n_lines"] == r["n_kept"] + r["n_dropped"] == 3

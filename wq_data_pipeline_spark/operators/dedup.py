@@ -357,3 +357,62 @@ def jaccard_pairs(
         "id_b",
         (inter.cast("double") / union.cast("double")).alias("jaccard"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 12,
+) -> DataFrame:
+    """C4-style line-level corpus dedup (Raffel et al. 2020 §2.2):
+    any line occurring more than once across the corpus is kept only
+    at its first occurrence (lowest (doc_id, pos)); every other copy
+    is dropped and documents are reassembled without it. Lines whose
+    trimmed length is < ``min_chars`` are exempt (always kept in
+    place) so structural shorties ("", "---", list bullets) don't
+    collapse across unrelated documents.
+
+    Returns one row per input document:
+    (id, n_lines, n_kept, n_dropped, text_dedup).
+
+    Scale shape (100 TB): the keeper per distinct line is a
+    hash-groupBy min — map-side combinable, so a boilerplate line
+    occurring 10^8 times reduces to one partial per task before the
+    shuffle (no window over the hot key). The join back on the line
+    hash is a plain shuffle join (AQE skew-split applies). Document
+    reassembly is a collect_list bounded by lines-per-doc. The keeper
+    order key packs (doc_id, pos) into one BIGINT (valid while
+    pos < 2^20 and doc_id < 2^43); with hashed 64-bit doc ids use a
+    struct-min instead — same plan shape.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text), "\n", -1)).alias("pos", "line"),
+    )
+    c = lines.select(
+        id_col,
+        "pos",
+        "line",
+        (F.length(F.trim(F.col("line"))) >= min_chars).alias("dd"),
+        F.md5("line").alias("h"),
+        (F.col(id_col).cast("long") * F.lit(1048576).cast("long") + F.col("pos"))
+        .alias("packed"),
+    )
+    k = c.filter(F.col("dd")).groupBy("h").agg(F.min("packed").alias("kp"))
+    j = c.join(k, "h", "left")
+    keep = (~F.col("dd")) | (F.col("packed") == F.col("kp"))
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(keep.cast("long"))).alias("n_dropped"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "line")))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text_dedup"),
+    )

@@ -690,9 +690,9 @@ ORACLES.update(ORACLES7)
 #      embed_lsh_ann, multimodal_decode, tpch_q1/q5/q6,
 #      wrtds_residuals; r3-only: p16_pivot, pii_scan,
 #      stratified_sample),
-#   3. the 9 new r4 entries (streaming batch mirrors ×3, wrtds
+#   3. the new r4 entries (streaming batch mirrors ×3, wrtds
 #      q-kernel, qc_full_suite, corpus_rollup, source_mixture,
-#      sequence_pack, pack_assignments),
+#      sequence_pack, pack_assignments, line_dedup),
 #   4. 15 veterans — first the six whose only red rows were in r1
 #      (sessionize, sliding/hypertable rollups, a2, qc_accepted,
 #      props_json), then the flagship heavy chains.
@@ -752,7 +752,7 @@ _DRIVER_WINDOW = [
     "sentem_flags",
     "w12_bands",
     "a1_dup_median",
-    "w8_robust_z",
+    "line_dedup",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

@@ -198,11 +198,65 @@ SELECT seq_id, doc_id,
 FROM s"""
 
 
+_LD_MIN_CHARS = 12
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level corpus dedup: per-document kept/dropped
+    line counts plus an md5 of the reassembled text (hash-exact
+    evidence the reconstruction itself matches, without shipping the
+    full corpus through the compare)."""
+    from wq_data_pipeline_spark.operators.dedup import line_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    out = line_dedup(d, text="text", id_col="doc_id", min_chars=_LD_MIN_CHARS)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "n_dropped",
+        F.md5("text_dedup").alias("text_md5"),
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(generate_series(1, len(ls))) AS p, ls FROM l
+),
+x AS (
+  SELECT doc_id, p - 1 AS pos, ls[p] AS line FROM e
+),
+c AS (
+  SELECT doc_id, pos, line,
+         len(trim(line)) >= {_LD_MIN_CHARS} AS dd,
+         md5(line) AS h,
+         doc_id * 1048576 + pos AS packed
+  FROM x
+),
+k AS (
+  SELECT h, min(packed) AS kp FROM c WHERE dd GROUP BY h
+),
+j AS (
+  SELECT c.*, (NOT dd) OR (packed = kp) AS keep
+  FROM c LEFT JOIN k USING (h)
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '')) AS text_md5
+FROM j GROUP BY doc_id"""
+
+
 QUERIES7: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_rollup": q_corpus_rollup,
     "source_mixture": q_source_mixture,
     "sequence_pack": q_sequence_pack,
     "pack_assignments": q_pack_assignments,
+    "line_dedup": q_line_dedup,
 }
 
 ORACLES7: dict[str, str] = {
@@ -210,4 +264,5 @@ ORACLES7: dict[str, str] = {
     "source_mixture": SQL_SOURCE_MIXTURE,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "pack_assignments": SQL_PACK_ASSIGNMENTS,
+    "line_dedup": SQL_LINE_DEDUP,
 }
