@@ -676,3 +676,34 @@ def test_line_dedup_semantics(spark):
     # counts are consistent
     for r in out.values():
         assert r["n_lines"] == r["n_kept"] + r["n_dropped"] == 3
+
+
+def test_semdedup_semantics(spark):
+    """SemDeDup greedy rule: identical vectors collapse to the lowest
+    id; orthogonal vectors survive; the first member of any cluster
+    is never flagged."""
+    from pyspark.sql import functions as F
+
+    from wq_data_pipeline_spark.operators.similarity import semdedup
+
+    vecs = [
+        (0, [10, 0, 0, 0]),
+        (1, [10, 0, 0, 0]),   # exact dup of 0
+        (2, [0, 10, 0, 0]),   # orthogonal
+        (3, [9, 1, 0, 0]),    # cos to 0 = 9/sqrt(82) ~ 0.9939
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "q"]).select(
+        "vec_id", F.transform("q", lambda x: x.cast("long")).alias("q")
+    )
+    cent = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("q").alias("cq")
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(emb, cent, tau=0.97).collect()
+    }
+    assert not out[0]["is_dup"] and out[0]["n_dup_earlier"] == 0
+    assert out[1]["is_dup"] and out[1]["max_sim_earlier"] == 1.0
+    assert not out[2]["is_dup"]  # orthogonal to everything
+    assert out[3]["is_dup"] and out[3]["n_dup_earlier"] == 2  # vs 0 and 1
+    assert all(r["cluster_id"] == 0 for r in out.values())

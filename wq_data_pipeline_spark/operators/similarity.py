@@ -467,3 +467,85 @@ def lsh_bucketed_topk(
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantized_cosine(a: str | Column, b: str | Column) -> Column:
+    """Cosine over integer-quantized vectors (array<long>): the dot
+    product and both norms are EXACT integer folds, converted to
+    double only for the final sqrt/divide — bit-identical across
+    engines, which is what makes similarity thresholds oracle-exact
+    (same precedent as the IVF / near-dup catalog entries)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    zero = F.lit(0).cast("long")
+    d = F.aggregate(F.zip_with(ca, cb, lambda x, y: x * y), zero, lambda s, x: s + x)
+    n1 = F.aggregate(F.transform(ca, lambda x: x * x), zero, lambda s, x: s + x)
+    n2 = F.aggregate(F.transform(cb, lambda x: x * x), zero, lambda s, x: s + x)
+    return d.cast("double") / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "q",
+    cid_col: str = "centroid_id",
+    cvec_col: str = "cq",
+    tau: float = 0.97,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space coarsely, then inside each cluster mark as
+    semantic duplicates every vector whose cosine similarity to an
+    EARLIER (lower-id) cluster member is >= tau. The min-id greedy
+    rule replaces the paper's keep-farthest-from-centroid tie-break
+    with a deterministic, engine-portable one.
+
+    ``emb`` holds (id_col, vec_col) with integer-quantized vectors;
+    ``centroids`` holds (cid_col, cvec_col) — either a deterministic
+    stride sample or trained k-means means (quantized).
+
+    Returns one row per vector:
+    (id, cluster_id, is_dup, n_dup_earlier, max_sim_earlier).
+
+    Scale shape (100 TB): centroid assignment is a broadcast
+    crossJoin (k centroids ship to every task; no shuffle of the
+    corpus) followed by a per-vector row_number — the window
+    partitions on the vector id, so it is skew-free. The only wide
+    op on corpus-sized data is the within-cluster self-join, which
+    shuffles on cluster id; pair work is sum over clusters of
+    |c|^2, the quantity SemDeDup controls by choosing k ~ n/target
+    cluster size (AQE skew-split handles stragglers). No connected
+    components needed: the earlier-id rule is a single join + agg.
+    """
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cs", quantized_cosine(vec_col, cvec_col)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc(cid_col))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, F.col(cid_col).alias("cluster_id"))
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_qa"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_qb"), "cluster_id"
+    )
+    sims = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_id_b") < F.col("_id_a"))
+        .withColumn("_sim", quantized_cosine("_qa", "_qb"))
+        .filter(F.col("_sim") >= F.lit(tau))
+    )
+    dup = sims.groupBy(F.col("_id_a").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_dup_earlier"),
+        F.round(F.max("_sim"), 6).alias("max_sim_earlier"),
+    )
+    return assigned.join(dup, id_col, "left").select(
+        id_col,
+        "cluster_id",
+        F.col("n_dup_earlier").isNotNull().alias("is_dup"),
+        F.coalesce("n_dup_earlier", F.lit(0).cast("long")).alias("n_dup_earlier"),
+        "max_sim_earlier",
+    )

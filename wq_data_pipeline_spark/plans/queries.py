@@ -751,7 +751,7 @@ _DRIVER_WINDOW = [
     "embed_near_dup",
     "sentem_flags",
     "w12_bands",
-    "a1_dup_median",
+    "semdedup",
     "line_dedup",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50

@@ -251,12 +251,78 @@ SELECT doc_id,
 FROM j GROUP BY doc_id"""
 
 
+_SD_TAU = 0.44  # stress threshold for the synthetic embeddings (real
+# corpora use ~0.97); at 0.44 the sf0.01/sf0.1 tables yield 9/42 dups
+_SD_STRIDE = 64
+_SD_Q = 10_000_000
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-cluster the embeddings
+    (deterministic stride-64 centroids so the oracle can replay the
+    assignment), then inside each cluster flag every vector whose
+    quantized-integer cosine to an earlier (lower-id) member is
+    >= tau. One row per vector with (cluster_id, is_dup,
+    n_dup_earlier, max_sim_earlier)."""
+    from wq_data_pipeline_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * _SD_Q).cast("long")
+        ).alias("q"),
+    )
+    cent = emb.filter(F.col("vec_id") % _SD_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("q").alias("cq")
+    )
+    return semdedup(emb, cent, id_col="vec_id", vec_col="q", tau=_SD_TAU)
+
+
+SQL_SEMDEDUP = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_SD_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS centroid_id, q AS cq FROM q WHERE vec_id % {_SD_STRIDE} = 0),
+scored AS (
+  SELECT a.vec_id, a.q, c.centroid_id,
+         CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * c.cq[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(c.cq, x -> x * x)) AS DOUBLE))) AS cs
+  FROM q a CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, q, centroid_id AS cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+sims AS (
+  SELECT a.vec_id,
+         CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(b.q, x -> x * x)) AS DOUBLE))) AS sim
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+),
+dup AS (
+  SELECT vec_id, count(*) AS n_dup_earlier, round(max(sim), 6) AS max_sim_earlier
+  FROM sims WHERE sim >= {_SD_TAU} GROUP BY vec_id
+)
+SELECT a.vec_id, a.cluster_id,
+       d.vec_id IS NOT NULL AS is_dup,
+       CAST(coalesce(d.n_dup_earlier, 0) AS BIGINT) AS n_dup_earlier,
+       d.max_sim_earlier
+FROM assigned a LEFT JOIN dup d USING (vec_id)"""
+
+
 QUERIES7: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_rollup": q_corpus_rollup,
     "source_mixture": q_source_mixture,
     "sequence_pack": q_sequence_pack,
     "pack_assignments": q_pack_assignments,
     "line_dedup": q_line_dedup,
+    "semdedup": q_semdedup,
 }
 
 ORACLES7: dict[str, str] = {
@@ -265,4 +331,5 @@ ORACLES7: dict[str, str] = {
     "sequence_pack": SQL_SEQUENCE_PACK,
     "pack_assignments": SQL_PACK_ASSIGNMENTS,
     "line_dedup": SQL_LINE_DEDUP,
+    "semdedup": SQL_SEMDEDUP,
 }
