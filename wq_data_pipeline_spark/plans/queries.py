@@ -739,8 +739,8 @@ _DRIVER_WINDOW = [
     "pack_assignments",
     # -- veterans: r1-red/now-green first (6), then flagship chains (14)
     "sessionize",
-    "sliding_rollup",
-    "hypertable_rollup",
+    "ccnet_buckets",
+    "dsir_weights",
     "a2_sentinels",
     "qc_accepted",
     "props_json",

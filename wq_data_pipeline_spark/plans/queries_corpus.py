@@ -316,6 +316,168 @@ SELECT a.vec_id, a.cluster_id,
 FROM assigned a LEFT JOIN dup d USING (vec_id)"""
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality buckets (Wenzek et al. 2020 §4.3):
+    rank each document inside its language by unigram-LM mean
+    surprisal and cut into head/middle/tail terciles. Reuses the
+    integer-micro surprisal convention of ``unigram_logprob`` (exact
+    BIGINT sums -> order-free doubles), so the ntile ordering is
+    bit-identical across engines; ties broken by doc_id.
+
+    Scale shape: corpus freq table is broadcast-sized vocabulary; the
+    per-lang ntile partitions on lang — at 100 TB swap the global
+    ntile for approx-quantile cutpoints per lang (same output
+    contract), as exact ranking of 10^10 docs per language is the one
+    part that doesn't scale; documented, deliberate at test SF."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    lp = F.round(
+        -F.log2(F.col("c").cast("double") / F.col("total").cast("double")) * 1e6
+    ).cast("long")
+    scored = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum(lp).cast("double") / F.count(F.lit(1))).alias(
+            "mean_surprisal_micro"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("mean_surprisal_micro"), F.asc("doc_id")
+    )
+    bucket = F.ntile(3).over(w)
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "mean_surprisal_micro",
+        bucket.alias("bucket"),
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket_label"),
+    )
+
+
+SQL_CCNET_BUCKETS = """
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+t AS (SELECT doc_id, lang, unnest(toks) AS tok FROM w),
+f AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM f),
+term AS (
+  SELECT t.doc_id, t.lang,
+         CAST(round(-log2(CAST(f.c AS DOUBLE) / CAST(tot.total AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+  FROM t JOIN f USING (tok) CROSS JOIN tot
+),
+m AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lp) AS DOUBLE) / count(*) AS mean_surprisal_micro
+  FROM term GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_tokens, mean_surprisal_micro,
+       ntile(3) OVER (PARTITION BY lang ORDER BY mean_surprisal_micro ASC, doc_id ASC) AS bucket,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY mean_surprisal_micro ASC, doc_id ASC)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_label
+FROM m"""
+
+
+_DSIR_B = 1024  # hashed feature buckets
+_DSIR_TARGET = "src0"  # the "target distribution" source slice
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    hash word bigrams into 1024 buckets, estimate the target
+    (source='src0') and raw feature distributions with add-1
+    smoothing, and score every document by the sum of per-feature
+    log importance ratios log2(p_b / q_b). Per-bucket ratios are
+    micro-quantized BIGINTs, so per-doc sums are order-free exact.
+
+    Scale shape: the bucket table is 1024 rows (broadcast); totals
+    ride in as a broadcast 1-row agg (zero plan-time driver jobs);
+    the only corpus-sized shuffles are the two feature-count
+    hash-aggs and the final per-doc sum — all map-side combinable."""
+    from wq_data_pipeline_spark.operators.text import gram_hash, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id", "source", F.explode(word_shingles("text", 2)).alias("g")
+    ).select(
+        "doc_id", "source", F.pmod(gram_hash(F.col("g")), F.lit(_DSIR_B)).alias("b")
+    )
+    ca = feats.groupBy("b").agg(F.count(F.lit(1)).alias("ca"))
+    ct = (
+        feats.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    bt = ca.join(ct, "b", "left").select(
+        "b", "ca", F.coalesce("ct", F.lit(0).cast("long")).alias("ct")
+    )
+    tot = bt.agg(F.sum("ca").alias("ta"), F.sum("ct").alias("tt"))
+    lr = F.round(
+        (
+            F.log2(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("tt") + _DSIR_B).cast("double")
+            )
+            - F.log2(
+                (F.col("ca") + 1).cast("double")
+                / (F.col("ta") + _DSIR_B).cast("double")
+            )
+        )
+        * 1e6
+    ).cast("long")
+    lrtab = bt.crossJoin(F.broadcast(tot)).select("b", lr.alias("lr"))
+    return (
+        feats.join(F.broadcast(lrtab), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr").cast("long").alias("sum_logratio_micro"),
+        )
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM w WHERE len(toks) >= 2
+),
+f AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {_DSIR_B} AS b
+  FROM g
+),
+ca_ AS (SELECT b, count(*) AS ca FROM f GROUP BY b),
+ct_ AS (SELECT b, count(*) AS ct FROM f WHERE source = '{_DSIR_TARGET}' GROUP BY b),
+bt AS (SELECT ca_.b, ca, coalesce(ct, 0) AS ct FROM ca_ LEFT JOIN ct_ USING (b)),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(ct) AS BIGINT) AS tt FROM bt),
+lr AS (
+  SELECT b,
+         CAST(round((log2(CAST(ct + 1 AS DOUBLE) / CAST(tt + {_DSIR_B} AS DOUBLE))
+                   - log2(CAST(ca + 1 AS DOUBLE) / CAST(ta + {_DSIR_B} AS DOUBLE))) * 1e6) AS BIGINT) AS lr
+  FROM bt CROSS JOIN tot
+)
+SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(lr) AS BIGINT) AS sum_logratio_micro
+FROM f JOIN lr USING (b) GROUP BY doc_id, source"""
+
+
 QUERIES7: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_rollup": q_corpus_rollup,
     "source_mixture": q_source_mixture,
@@ -323,6 +485,8 @@ QUERIES7: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_assignments": q_pack_assignments,
     "line_dedup": q_line_dedup,
     "semdedup": q_semdedup,
+    "ccnet_buckets": q_ccnet_buckets,
+    "dsir_weights": q_dsir_weights,
 }
 
 ORACLES7: dict[str, str] = {
@@ -332,4 +496,6 @@ ORACLES7: dict[str, str] = {
     "pack_assignments": SQL_PACK_ASSIGNMENTS,
     "line_dedup": SQL_LINE_DEDUP,
     "semdedup": SQL_SEMDEDUP,
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
 }
