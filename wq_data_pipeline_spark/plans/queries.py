@@ -622,6 +622,7 @@ from wq_data_pipeline_spark.plans.queries_qc3 import ORACLES4, QUERIES4  # noqa:
 from wq_data_pipeline_spark.plans.queries_rel import ORACLES5, QUERIES5  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_stream import ORACLES6, QUERIES6  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_corpus import ORACLES7, QUERIES7  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_scale import ORACLES8, QUERIES8  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -679,6 +680,8 @@ QUERIES.update(QUERIES6)
 ORACLES.update(ORACLES6)
 QUERIES.update(QUERIES7)
 ORACLES.update(ORACLES7)
+QUERIES.update(QUERIES8)
+ORACLES.update(ORACLES8)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window must ROTATE across rounds until every entry
@@ -737,17 +740,20 @@ _DRIVER_WINDOW = [
     "source_mixture",
     "sequence_pack",
     "pack_assignments",
-    # -- veterans: r1-red/now-green first (6), then flagship chains (14)
+    # -- veterans: r1-red/now-green first (6), then the late-r4 batch
+    #    (salted/dup_spans/pq/event_dedup — never driver-checked) and
+    #    flagship chains; dedup_clusters/minhash_lsh_pairs/winnow_*
+    #    rotated OUT (driver-green in r3, still pytest-mirrored)
     "sessionize",
     "ccnet_buckets",
     "dsir_weights",
     "a2_sentinels",
     "qc_accepted",
     "props_json",
-    "dedup_clusters",
-    "minhash_lsh_pairs",
-    "winnow_fingerprints",
-    "winnow_matches",
+    "salted_user_stats",
+    "dup_spans",
+    "pq_encode",
+    "event_dedup_window",
     "embed_near_dup",
     "sentem_flags",
     "w12_bands",

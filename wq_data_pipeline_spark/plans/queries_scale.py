@@ -1,0 +1,313 @@
+"""Scale-machinery entries (r4, late batch): operators whose point is
+the 100-TB execution shape, made driver-visible with DuckDB oracles.
+
+* ``salted_user_stats`` — the aggregation-side skew treatment
+  (``operators/scale.py:salted_agg``): two-phase groupBy where one hot
+  key is spread over 16 deterministic salts in phase 1, so no single
+  reducer owns a hot key's whole row stream. AQE skew handling covers
+  sort-merge joins only; this is the agg equivalent. Oracle = plain
+  GROUP BY (the two-phase form must be value-identical).
+* ``dup_spans`` — exact-substring duplicate spans (the token-level
+  dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+  Language Models Better", arXiv:2107.06499, approximated at n-gram
+  granularity instead of suffix arrays): hash every word 8-gram, keep
+  grams shared by >= 2 docs, and merge overlapping duplicated
+  positions per doc into maximal spans (gaps-and-islands).
+* ``pq_encode`` — product-quantization codes (Jégou et al. 2011):
+  split the 64-dim embedding into 4 sub-vectors and assign each to
+  the nearest of 16 deterministic codebook centroids. PQ is the
+  memory path real billion-vector ANN runs on (codes are 4 bytes vs
+  256 for the raw vector); distances are quantized-integer exact so
+  the oracle hash can't flake on floats.
+* ``event_dedup_window`` — batch mirror of the streaming
+  watermark-dedup (`streaming/stream_qc.py:stream_dedup_exact`):
+  keep the first event per (user_id, event_type, 10-min tumbling
+  window), deterministic tie-break on (ts, event_id).
+
+Scale shapes: salted_user_stats is two map-side-combinable hash aggs
+(phase 2 touches n_salts rows/key); dup_spans is one corpus-sized
+hash agg + one hash join on the gram hash + a per-doc window (each
+gram hashed once — the same no-rescan discipline as the winnowing
+rewrite); pq_encode broadcasts a 64-row codebook (16 centroids × 4
+subspaces) against the vector scan — no shuffle at all on the big
+side until the final per-vector agg, which AQE coalesces;
+event_dedup_window is one window over (user, type, window) — the
+partition count scales with key cardinality, not data volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from wq_data_pipeline_spark.operators.text import gram_hash, tokens, shingles_from_tokens
+from wq_data_pipeline_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------- salted agg
+
+_N_SALTS = 16
+
+
+def q_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event stats via the two-phase salted aggregation.
+    Values aggregated in integer cents (exact BIGINT sums); the
+    derived mean is rounded to 6 decimals outside the salted core."""
+    from wq_data_pipeline_spark.operators.scale import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        [
+            ("event_id", "count", "n_events"),
+            ("cents", "sum", "sum_cents"),
+            ("cents", "min", "min_cents"),
+            ("cents", "max", "max_cents"),
+        ],
+        n_salts=_N_SALTS,
+        salt_source="event_id",
+    )
+    return out.withColumn(
+        "avg_cents",
+        F.round(F.col("sum_cents").cast("double") / F.col("n_events"), 6),
+    )
+
+
+SQL_SALTED_USER_STATS = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, count(event_id) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       min(cents) AS min_cents, max(cents) AS max_cents,
+       round(CAST(sum(cents) AS DOUBLE) / count(event_id), 6) AS avg_cents
+FROM e GROUP BY user_id"""
+
+
+# ----------------------------------------------------------------- dup spans
+
+_SPAN_N = 8  # token n-gram width; two docs sharing >= 8 consecutive tokens hit
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans: positions whose word 8-gram
+    occurs in >= 2 documents, merged into maximal per-doc token spans.
+    Gram sharing counted with an exact distinct (swap to HLL++
+    approx_count_distinct at 100 TB — documented trade, the join shape
+    is unchanged). Covered intervals [pos, pos+7] merge when the next
+    duplicated position starts within 8 tokens of the previous."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.posexplode(shingles_from_tokens(tokens("text"), _SPAN_N)).alias("pos", "g"),
+    ).select("doc_id", "pos", gram_hash(F.col("g")).alias("h"))
+    dup = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    hits = g.join(dup, "h").select("doc_id", "pos", "nd")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > _SPAN_N, 1).otherwise(0)
+    isl = hits.withColumn("island", F.sum(brk).over(w))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(_SPAN_N - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(_SPAN_N)).alias("span_len"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.max("nd").alias("max_docs_sharing"),
+        )
+        .drop("island")
+    )
+
+
+SQL_DUP_SPANS = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {_SPAN_N - 1}), ' ')), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {_SPAN_N - 1})) AS i
+        FROM w WHERE len(toks) >= {_SPAN_N})
+),
+dup AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h
+  HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT doc_id, pos, nd FROM g JOIN dup USING (h)),
+brk AS (
+  SELECT doc_id, pos, nd,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_N}
+              THEN 1 ELSE 0 END AS b
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos, nd,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM brk
+)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + {_SPAN_N - 1} AS span_end,
+       max(pos) - min(pos) + {_SPAN_N} AS span_len,
+       count(*) AS n_dup_grams,
+       max(nd) AS max_docs_sharing
+FROM isl GROUP BY doc_id, island"""
+
+
+# ----------------------------------------------------------------- PQ encode
+
+_PQ_M = 4  # subspaces
+_PQ_DSUB = 16  # dims per subspace (4 x 16 = the 64-dim embedding)
+_PQ_K = 16  # centroids per subspace codebook
+_PQ_Q = 10_000_000  # float -> BIGINT quantization (same scale as LSH ANN)
+
+
+def _pq_quantized(vec: str) -> F.Column:
+    return F.transform(
+        F.col(vec), lambda x: F.round(x.cast("double") * _PQ_Q).cast("long")
+    )
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes over the embeddings table. The
+    codebook is deterministic (the 16 lowest vec_ids act as trained
+    centroids — swap in k-means centroids in production; the encode
+    shape is identical). Each vector becomes 4 small codes plus the
+    exact quantized-integer reconstruction error."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    q = raw.select("vec_id", _pq_quantized("embedding").alias("q"))
+    sub = q.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("q", s * _PQ_DSUB + 1, _PQ_DSUB).alias("sub"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("c"), "s", F.col("sub").alias("csub")
+    )
+    dist = F.aggregate(
+        F.zip_with("sub", "csub", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = sub.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "c", dist.alias("d")
+    )
+    best = (
+        scored.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "c")).alias("m"))
+        .select("vec_id", "s", F.col("m.c").alias("code"), F.col("m.d").alias("err"))
+    )
+    return best.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("code"))).alias(f"code_{s}")
+            for s in range(_PQ_M)
+        ],
+        F.sum("err").alias("err_sum"),
+    )
+
+
+SQL_PQ_ENCODE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, s, list_slice(q, s * {_PQ_DSUB} + 1, s * {_PQ_DSUB} + {_PQ_DSUB}) AS sub
+  FROM q CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) ss
+),
+cb AS (SELECT vec_id AS c, s, sub AS csub FROM sub WHERE vec_id < {_PQ_K}),
+d AS (
+  SELECT a.vec_id, a.s, cb.c,
+         CAST(list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+              i -> (a.sub[i] - cb.csub[i]) * (a.sub[i] - cb.csub[i]))) AS BIGINT) AS dist
+  FROM sub a JOIN cb ON a.s = cb.s
+),
+best AS (
+  SELECT vec_id, s, c, dist,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+  FROM d
+)
+SELECT vec_id,
+       max(CASE WHEN s = 0 THEN c END) AS code_0,
+       max(CASE WHEN s = 1 THEN c END) AS code_1,
+       max(CASE WHEN s = 2 THEN c END) AS code_2,
+       max(CASE WHEN s = 3 THEN c END) AS code_3,
+       CAST(sum(dist) AS BIGINT) AS err_sum
+FROM best WHERE rn = 1 GROUP BY vec_id"""
+
+
+# -------------------------------------------------- watermark-dedup (batch)
+
+_DEDUP_WIN_US = 600_000_000  # 10 minutes
+
+
+def q_event_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user_id, event_type, 10-min tumbling
+    window) — the batch semantics of streaming
+    ``dropDuplicatesWithinWatermark``; tie-break (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    r = ev.withColumn("w", F.window("ts", "10 minutes")).withColumn(
+        "win_start_us", F.unix_micros(F.col("w.start"))
+    )
+    part = Window.partitionBy("user_id", "event_type", "win_start_us")
+    r = r.withColumn(
+        "rn", F.row_number().over(part.orderBy("ts", "event_id"))
+    ).withColumn("n_in_window", F.count(F.lit(1)).over(part))
+    return r.filter(F.col("rn") == 1).select(
+        "event_id", "user_id", "event_type", "win_start_us", "n_in_window"
+    )
+
+
+SQL_EVENT_DEDUP_WINDOW = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+),
+r AS (
+  SELECT event_id, user_id, event_type,
+         (us // {_DEDUP_WIN_US}) * {_DEDUP_WIN_US} AS win_start_us,
+         row_number() OVER (PARTITION BY user_id, event_type, us // {_DEDUP_WIN_US}
+                            ORDER BY us, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type, us // {_DEDUP_WIN_US}) AS n_in_window
+  FROM e
+)
+SELECT event_id, user_id, event_type, win_start_us, n_in_window
+FROM r WHERE rn = 1"""
+
+
+QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "salted_user_stats": q_salted_user_stats,
+    "dup_spans": q_dup_spans,
+    "pq_encode": q_pq_encode,
+    "event_dedup_window": q_event_dedup_window,
+}
+
+ORACLES8: dict[str, str] = {
+    "salted_user_stats": SQL_SALTED_USER_STATS,
+    "dup_spans": SQL_DUP_SPANS,
+    "pq_encode": SQL_PQ_ENCODE,
+    "event_dedup_window": SQL_EVENT_DEDUP_WINDOW,
+}
