@@ -1,0 +1,174 @@
+"""Invariant and plan tests for the late-r4 scale entries
+(queries_scale.py): planted-duplicate spans, PQ code sanity + plan
+shape, windowed-dedup tie-break."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _write_documents(spark, path, rows):
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_dup_spans_finds_planted_run(spark, tmp_path):
+    """Two docs share one 12-token sentence inside unique filler; the
+    operator must report exactly one span per doc, covering exactly
+    the planted 12 tokens (merged from the 5 duplicated 8-grams)."""
+    from wq_data_pipeline_spark.plans.queries_scale import q_dup_spans
+
+    planted = " ".join(f"shared{i}" for i in range(12))
+    fill_a = " ".join(f"au{i}" for i in range(10))
+    fill_b = " ".join(f"bu{i}" for i in range(7))
+    docs = [
+        f"{fill_a} {planted} atail0 atail1",  # planted at token 10
+        f"{fill_b} {planted}",  # planted at token 7
+        " ".join(f"cu{i}" for i in range(30)),  # no dup at all
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = {r.doc_id: r for r in q_dup_spans(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].span_start == 10 and out[0].span_len == 12
+    assert out[1].span_start == 7 and out[1].span_len == 12
+    for r in out.values():
+        assert r.n_dup_grams == 5  # 12 - 8 + 1
+        assert r.max_docs_sharing == 2
+        assert r.span_end == r.span_start + r.span_len - 1
+
+
+def test_dup_spans_merges_adjacent_runs(spark, tmp_path):
+    """Two shared runs separated by < 8 unique tokens in one doc merge
+    into one span; separated by >= 9 they stay two spans."""
+    from wq_data_pipeline_spark.plans.queries_scale import q_dup_spans
+
+    run1 = " ".join(f"p{i}" for i in range(8))
+    run2 = " ".join(f"q{i}" for i in range(8))
+    gap_small = " ".join(f"ga{i}" for i in range(3))
+    gap_big = " ".join(f"gb{i}" for i in range(20))
+    docs = [
+        f"{run1} {gap_small} {run2}",  # gap 3 -> grams 8 apart? start2 = 11; 11-0 > 8 -> actually split
+        f"{run1} {gap_big} {run2}",  # far apart -> two spans
+        f"{run1} zz1 zz2 {run2}",  # other doc holding both runs
+    ]
+    _write_documents(spark, tmp_path, docs)
+    rows = q_dup_spans(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: runs separated by 20 unique tokens -> exactly two spans
+    assert len(by_doc[1]) == 2
+    spans1 = sorted((r.span_start, r.span_end) for r in by_doc[1])
+    assert spans1[0] == (0, 7) and spans1[1] == (28, 35)
+    # every reported span in every doc is exactly one planted run wide
+    for r in by_doc[1]:
+        assert r.span_len == 8 and r.n_dup_grams == 1
+
+
+def test_pq_encode_plan_and_codebook_selfmatch(spark, sf_dir):
+    """PQ plan: codebook broadcast, no cartesian product. Codebook
+    vectors (vec_id < 16) must encode to themselves with zero error;
+    all codes lie in [0, 16)."""
+    from wq_data_pipeline_spark.plans.queries_scale import q_pq_encode
+
+    df = q_pq_encode(spark, sf_dir)
+    p = _plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p, p
+    rows = df.collect()
+    assert len(rows) >= 16
+    for r in rows:
+        for s in range(4):
+            assert 0 <= r[f"code_{s}"] < 16
+        if r.vec_id < 16:
+            assert r.err_sum == 0
+            assert [r.code_0, r.code_1, r.code_2, r.code_3] == [r.vec_id] * 4
+
+
+def test_pq_search_shape_and_recall(spark, sf_dir):
+    """ADC search: no cartesian, LUT broadcast, ranks dense 1..10 per
+    query, self excluded; and the PQ top-1 neighbor's TRUE L2 distance
+    is within the top quartile of true distances (coarse-codebook
+    sanity — 16 centroids/subspace can't promise more)."""
+    from wq_data_pipeline_spark.plans.queries_scale import (
+        q_pq_search,
+        _pq_subvectors,
+    )
+
+    df = q_pq_search(spark, sf_dir)
+    p = _plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastExchange" in p, p
+    rows = df.collect()
+    byq = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        byq.setdefault(r.query_id, []).append(r)
+    for qid, rs in byq.items():
+        assert sorted(x.rank for x in rs) == list(range(1, 11))
+        # adc_dist non-decreasing in rank
+        rs = sorted(rs, key=lambda x: x.rank)
+        assert all(a.adc_dist <= b.adc_dist for a, b in zip(rs, rs[1:]))
+
+    # recall sanity on one query: true squared-L2 of the ADC top-1
+    # lands in the best quartile of all true distances for that query
+    sub = _pq_subvectors(spark, sf_dir).collect()
+    import collections
+
+    vecs = collections.defaultdict(dict)
+    for r in sub:
+        vecs[r.vec_id][r.s] = r.sub
+    qid = min(byq)
+    top1 = min(byq[qid], key=lambda x: x.rank).neighbor_id
+
+    def true_d2(a, b):
+        return sum(
+            (x - y) * (x - y)
+            for s in range(4)
+            for x, y in zip(vecs[a][s], vecs[b][s])
+        )
+
+    dists = sorted(true_d2(qid, v) for v in vecs if v != qid)
+    assert true_d2(qid, top1) <= dists[len(dists) // 4]
+
+
+def test_event_dedup_window_tiebreak(spark, tmp_path):
+    """Same (user, type, window, ts) twice -> the smaller event_id is
+    kept; a later event in the same window is dropped but counted."""
+    from wq_data_pipeline_spark.plans.queries_scale import q_event_dedup_window
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 1, 0)
+    rows = [
+        (7, t0, 1, "click", 1.0),
+        (3, t0, 1, "click", 2.0),  # same ts -> wins on smaller id
+        (9, t0 + datetime.timedelta(minutes=5), 1, "click", 3.0),  # same window
+        (11, t0 + datetime.timedelta(minutes=20), 1, "click", 4.0),  # next window
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = sorted(
+        q_event_dedup_window(spark, str(tmp_path)).collect(),
+        key=lambda r: r.win_start_us,
+    )
+    assert [r.event_id for r in out] == [3, 11]
+    assert out[0].n_in_window == 3 and out[1].n_in_window == 1
+
+
+def test_salted_user_stats_no_single_reducer_key(spark, sf_dir):
+    """The salted entry's plan must contain TWO hash aggregations over
+    the exchange (partial on (key, salt), final on key) — i.e. the
+    salt column reaches the first shuffle."""
+    from wq_data_pipeline_spark.plans.queries_scale import q_salted_user_stats
+
+    p = _plan(q_salted_user_stats(spark, sf_dir))
+    assert "_salt" in p, p

@@ -754,7 +754,7 @@ _DRIVER_WINDOW = [
     "dup_spans",
     "pq_encode",
     "event_dedup_window",
-    "embed_near_dup",
+    "pq_search",
     "sentem_flags",
     "w12_bands",
     "semdedup",

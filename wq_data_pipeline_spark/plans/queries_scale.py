@@ -180,15 +180,12 @@ def _pq_quantized(vec: str) -> F.Column:
     )
 
 
-def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization codes over the embeddings table. The
-    codebook is deterministic (the 16 lowest vec_ids act as trained
-    centroids — swap in k-means centroids in production; the encode
-    shape is identical). Each vector becomes 4 small codes plus the
-    exact quantized-integer reconstruction error."""
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, s, sub): each embedding quantized to BIGINT and split
+    into _PQ_M subspace slices."""
     raw = load_table(spark, sf_dir, "embeddings")
     q = raw.select("vec_id", _pq_quantized("embedding").alias("q"))
-    sub = q.select(
+    return q.select(
         "vec_id",
         F.explode(
             F.array(
@@ -202,22 +199,49 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
-    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+
+
+def _pq_codebook(sub: DataFrame) -> DataFrame:
+    """(c, s, csub): the deterministic 16-centroid-per-subspace
+    codebook (lowest vec_ids as trained centroids)."""
+    return sub.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("c"), "s", F.col("sub").alias("csub")
     )
-    dist = F.aggregate(
-        F.zip_with("sub", "csub", lambda a, b: (a - b) * (a - b)),
+
+
+def _pq_dist(a: str = "sub", b: str = "csub") -> F.Column:
+    """Exact BIGINT squared-L2 between two quantized sub-vectors.
+    Built lazily: higher-order Columns need an active session, and the
+    catalog module is imported before the driver creates one."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def _pq_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, s, code, err): nearest codebook centroid per subspace,
+    deterministic tie-break on the lower centroid id."""
+    sub = _pq_subvectors(spark, sf_dir)
+    cb = _pq_codebook(sub)
     scored = sub.join(F.broadcast(cb), "s").select(
-        "vec_id", "s", "c", dist.alias("d")
+        "vec_id", "s", "c", _pq_dist().alias("d")
     )
-    best = (
+    return (
         scored.groupBy("vec_id", "s")
         .agg(F.min(F.struct("d", "c")).alias("m"))
         .select("vec_id", "s", F.col("m.c").alias("code"), F.col("m.d").alias("err"))
     )
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes over the embeddings table. The
+    codebook is deterministic (the 16 lowest vec_ids act as trained
+    centroids — swap in k-means centroids in production; the encode
+    shape is identical). Each vector becomes 4 small codes plus the
+    exact quantized-integer reconstruction error."""
+    best = _pq_best(spark, sf_dir)
     return best.groupBy("vec_id").agg(
         *[
             F.max(F.when(F.col("s") == s, F.col("code"))).alias(f"code_{s}")
@@ -256,6 +280,92 @@ SELECT vec_id,
        max(CASE WHEN s = 3 THEN c END) AS code_3,
        CAST(sum(dist) AS BIGINT) AS err_sum
 FROM best WHERE rn = 1 GROUP BY vec_id"""
+
+
+_PQ_TOPK = 10
+_PQ_QUERY_MOD = 100  # query set: vec_id % 100 == 0 (same as LSH ANN)
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k search (ADC, Jégou et al. 2011
+    §IV): each query builds a 4×16 lookup table of exact
+    quantized-integer distances from its sub-vectors to every codebook
+    centroid; every database vector is then scored by FOUR table
+    lookups on its codes — never touching the raw 64-dim vector.
+
+    Scale shape: the LUT is queries × 64 rows (broadcast); the
+    corpus-side work is one broadcast join on (s, code) over the
+    4-rows-per-vector code stream plus one hash agg — the raw vector
+    array never shuffles. At 1B vectors the shuffled payload is 4
+    BIGINTs/vector vs 64 floats: that ratio is the reason PQ exists."""
+    best = _pq_best(spark, sf_dir).select("vec_id", "s", "code")
+    sub = _pq_subvectors(spark, sf_dir)
+    cb = _pq_codebook(sub)
+    qs = sub.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("sub").alias("qsub")
+    )
+    lut = qs.join(cb, "s").select(
+        "query_id",
+        "s",
+        "c",
+        _pq_dist("qsub", "csub").alias("d"),
+    )
+    scored = best.join(
+        F.broadcast(lut), (best.s == lut.s) & (best.code == lut.c)
+    ).select("vec_id", "query_id", "d")
+    adc = (
+        scored.groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist", "rank")
+    )
+
+
+SQL_PQ_SEARCH = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, s, list_slice(q, s * {_PQ_DSUB} + 1, s * {_PQ_DSUB} + {_PQ_DSUB}) AS sub
+  FROM q CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) ss
+),
+cb AS (SELECT vec_id AS c, s, sub AS csub FROM sub WHERE vec_id < {_PQ_K}),
+d AS (
+  SELECT a.vec_id, a.s, cb.c,
+         CAST(list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+              i -> (a.sub[i] - cb.csub[i]) * (a.sub[i] - cb.csub[i]))) AS BIGINT) AS dist
+  FROM sub a JOIN cb ON a.s = cb.s
+),
+codes AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT qs.vec_id AS query_id, qs.s, cb.c,
+         CAST(list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+              i -> (qs.sub[i] - cb.csub[i]) * (qs.sub[i] - cb.csub[i]))) AS BIGINT) AS d
+  FROM (SELECT * FROM sub WHERE vec_id % {_PQ_QUERY_MOD} = 0) qs
+  JOIN cb ON qs.s = cb.s
+),
+adc AS (
+  SELECT l.query_id, c2.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM codes c2 JOIN lut l ON c2.s = l.s AND c2.code = l.c
+  GROUP BY l.query_id, c2.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+  FROM adc WHERE vec_id <> query_id
+) WHERE rank <= {_PQ_TOPK}"""
 
 
 # -------------------------------------------------- watermark-dedup (batch)
@@ -302,6 +412,7 @@ QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_user_stats": q_salted_user_stats,
     "dup_spans": q_dup_spans,
     "pq_encode": q_pq_encode,
+    "pq_search": q_pq_search,
     "event_dedup_window": q_event_dedup_window,
 }
 
@@ -309,5 +420,6 @@ ORACLES8: dict[str, str] = {
     "salted_user_stats": SQL_SALTED_USER_STATS,
     "dup_spans": SQL_DUP_SPANS,
     "pq_encode": SQL_PQ_ENCODE,
+    "pq_search": SQL_PQ_SEARCH,
     "event_dedup_window": SQL_EVENT_DEDUP_WINDOW,
 }
