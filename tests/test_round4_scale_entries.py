@@ -94,6 +94,31 @@ def test_pq_encode_plan_and_codebook_selfmatch(spark, sf_dir):
             assert [r.code_0, r.code_1, r.code_2, r.code_3] == [r.vec_id] * 4
 
 
+def test_dup_span_removal_keeps_lowest_doc(spark, tmp_path):
+    """The keeper (lowest doc_id sharing the span's first gram) keeps
+    its text verbatim; the other doc loses exactly the planted run and
+    its md5 equals the hand-built cleaned text."""
+    import hashlib
+
+    from wq_data_pipeline_spark.plans.queries_scale import q_dup_span_removal
+
+    planted = " ".join(f"shared{i}" for i in range(10))
+    fill_a = " ".join(f"au{i}" for i in range(5))
+    fill_b = " ".join(f"bu{i}" for i in range(5))
+    docs = [
+        f"{fill_a} {planted}",
+        f"{fill_b} {planted} btail",
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = {r.doc_id: r for r in q_dup_span_removal(spark, str(tmp_path)).collect()}
+    assert out[0].n_removed == 0
+    assert out[0].text_md5 == hashlib.md5(docs[0].encode()).hexdigest()
+    assert out[1].n_removed == 10
+    cleaned1 = f"{fill_b} btail"
+    assert out[1].text_md5 == hashlib.md5(cleaned1.encode()).hexdigest()
+    assert out[1].n_tokens == 16  # original token count, pre-removal
+
+
 def test_pq_search_shape_and_recall(spark, sf_dir):
     """ADC search: no cartesian, LUT broadcast, ranks dense 1..10 per
     query, self excluded; and the PQ top-1 neighbor's TRUE L2 distance

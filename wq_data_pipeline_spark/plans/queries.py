@@ -755,7 +755,7 @@ _DRIVER_WINDOW = [
     "pq_encode",
     "event_dedup_window",
     "pq_search",
-    "sentem_flags",
+    "dup_span_removal",
     "w12_bands",
     "semdedup",
     "line_dedup",

@@ -42,6 +42,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from wq_data_pipeline_spark.operators.text import gram_hash, tokens, shingles_from_tokens
+from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
 from wq_data_pipeline_spark.sources.testdata import load_table
 
 # ---------------------------------------------------------------- salted agg
@@ -102,7 +103,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct at 100 TB — documented trade, the join shape
     is unchanged). Covered intervals [pos, pos+7] merge when the next
     duplicated position starts within 8 tokens of the previous."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)  # md5-heavy explode: spread the 1-file scan
     g = d.select(
         "doc_id",
         F.posexplode(shingles_from_tokens(tokens("text"), _SPAN_N)).alias("pos", "g"),
@@ -164,6 +165,121 @@ SELECT doc_id, min(pos) AS span_start,
        count(*) AS n_dup_grams,
        max(nd) AS max_docs_sharing
 FROM isl GROUP BY doc_id, island"""
+
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rewrite for exact-substring dedup: every duplicated span
+    is removed from all docs EXCEPT the lowest doc_id among the docs
+    sharing the span's first 8-gram (the deterministic "keep one
+    occurrence" rule of Lee et al. 2022). Emits per-doc token counts
+    and an md5 of the reassembled cleaned text — hash-exact evidence
+    the reconstruction matches without shipping the corpus through the
+    compare (same trick as line_dedup).
+
+    Scale shape: the detect chain is dup_spans'; the rewrite adds one
+    per-doc equi-join (doc_id, range residual) between the token
+    stream and that doc's few removed spans, then one hash agg with an
+    in-group sort bounded by document length."""
+    d = _docs_parallel(spark, sf_dir)  # md5-heavy explode: spread the 1-file scan
+    toks = d.select("doc_id", F.posexplode(tokens("text")).alias("tpos", "tok"))
+    g = d.select(
+        "doc_id",
+        F.posexplode(shingles_from_tokens(tokens("text"), _SPAN_N)).alias("pos", "g"),
+    ).select("doc_id", "pos", gram_hash(F.col("g")).alias("h"))
+    dup = (
+        g.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("nd") >= 2)
+    )
+    hits = g.join(dup, "h").select("doc_id", "pos", "keeper_doc")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > _SPAN_N, 1).otherwise(0)
+    isl = hits.withColumn("island", F.sum(brk).over(w))
+    spans = (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s0"),
+            (F.max("pos") + F.lit(_SPAN_N - 1)).alias("s1"),
+            F.min(F.struct("pos", "keeper_doc")).alias("fk"),
+        )
+        .select("doc_id", "s0", "s1", F.col("fk.keeper_doc").alias("keeper_doc"))
+    )
+    removed = spans.filter(F.col("doc_id") != F.col("keeper_doc")).select(
+        F.col("doc_id").alias("r_doc"), "s0", "s1"
+    )
+    j = toks.join(
+        removed,
+        (toks.doc_id == removed.r_doc)
+        & toks.tpos.between(removed.s0, removed.s1),
+        "left",
+    )
+    keep = F.col("s0").isNull()
+    kept_struct = F.when(keep, F.struct("tpos", "tok"))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((~keep).cast("long")).alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x.tok
+                ),
+            )
+        ).alias("text_md5"),
+    )
+
+
+SQL_DUP_SPAN_REMOVAL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+t AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS tpos, toks[i] AS tok
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        FROM w WHERE len(toks) >= 1)
+),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {_SPAN_N - 1}), ' ')), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {_SPAN_N - 1})) AS i
+        FROM w WHERE len(toks) >= {_SPAN_N})
+),
+dup AS (
+  SELECT h, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper_doc
+  FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT g.doc_id, g.pos, dup.keeper_doc FROM g JOIN dup USING (h)),
+brk AS (
+  SELECT doc_id, pos, keeper_doc,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_N}
+              THEN 1 ELSE 0 END AS b
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos, keeper_doc,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s0, max(pos) + {_SPAN_N - 1} AS s1,
+         arg_min(keeper_doc, pos) AS keeper_doc
+  FROM isl GROUP BY doc_id, island
+),
+rm AS (SELECT doc_id AS r_doc, s0, s1 FROM spans WHERE doc_id <> keeper_doc),
+m AS (
+  SELECT t.doc_id, t.tpos, t.tok, (rm.s0 IS NULL) AS keep
+  FROM t LEFT JOIN rm ON t.doc_id = rm.r_doc AND t.tpos BETWEEN rm.s0 AND rm.s1
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(tok, ' ' ORDER BY tpos) FILTER (WHERE keep), '')) AS text_md5
+FROM m GROUP BY doc_id"""
 
 
 # ----------------------------------------------------------------- PQ encode
@@ -411,6 +527,7 @@ FROM r WHERE rn = 1"""
 QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_user_stats": q_salted_user_stats,
     "dup_spans": q_dup_spans,
+    "dup_span_removal": q_dup_span_removal,
     "pq_encode": q_pq_encode,
     "pq_search": q_pq_search,
     "event_dedup_window": q_event_dedup_window,
@@ -419,6 +536,7 @@ QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES8: dict[str, str] = {
     "salted_user_stats": SQL_SALTED_USER_STATS,
     "dup_spans": SQL_DUP_SPANS,
+    "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
     "pq_encode": SQL_PQ_ENCODE,
     "pq_search": SQL_PQ_SEARCH,
     "event_dedup_window": SQL_EVENT_DEDUP_WINDOW,
