@@ -166,6 +166,40 @@ def test_pq_search_shape_and_recall(spark, sf_dir):
     assert true_d2(qid, top1) <= dists[len(dists) // 4]
 
 
+def test_ivf_pq_search_probes_and_ranks(spark, sf_dir):
+    """IVF-PQ: every neighbor's bucket is one of its query's nprobe
+    probed buckets; ranks are dense from 1; self excluded; and the
+    candidate set is a strict subset of pq_search's full scan (the
+    point of the coarse index)."""
+    from wq_data_pipeline_spark.plans.queries_scale import (
+        _IVF_NPROBE,
+        q_ivf_pq_search,
+        q_pq_search,
+    )
+
+    rows = q_ivf_pq_search(spark, sf_dir).collect()
+    byq = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        byq.setdefault(r.query_id, []).append(r)
+    for qid, rs in byq.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len({x.coarse_id for x in rs}) <= _IVF_NPROBE
+    # probing must not IMPROVE on the full ADC scan: for a shared
+    # (query, neighbor) pair both paths compute the same adc_dist
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in q_pq_search(spark, sf_dir).collect()
+    }
+    shared = [
+        r for r in rows if (r.query_id, r.neighbor_id) in full
+    ]
+    assert shared, "IVF-PQ top-k shares no pair with the full scan?"
+    for r in shared:
+        assert r.adc_dist == full[(r.query_id, r.neighbor_id)]
+
+
 def test_event_dedup_window_tiebreak(spark, tmp_path):
     """Same (user, type, window, ts) twice -> the smaller event_id is
     kept; a later event in the same window is dropped but counted."""
@@ -187,6 +221,44 @@ def test_event_dedup_window_tiebreak(spark, tmp_path):
     )
     assert [r.event_id for r in out] == [3, 11]
     assert out[0].n_in_window == 3 and out[1].n_in_window == 1
+
+
+def test_r4_entries_survive_degenerate_inputs(spark, tmp_path):
+    """Edge inputs: an all-short corpus (no doc reaches 8 tokens) and
+    an all-unique corpus must both yield zero spans and a lossless
+    removal pass; the dedup window must handle a single event."""
+    import datetime
+    import hashlib
+
+    from wq_data_pipeline_spark.plans.queries_scale import (
+        q_dup_span_removal,
+        q_dup_spans,
+        q_event_dedup_window,
+    )
+
+    # every doc under the 8-token gram width -> no grams at all
+    _write_documents(spark, tmp_path, ["one two three", "four five", "six"])
+    assert q_dup_spans(spark, str(tmp_path)).count() == 0
+    out = {r.doc_id: r for r in q_dup_span_removal(spark, str(tmp_path)).collect()}
+    assert out[0].n_removed == 0
+    assert out[0].text_md5 == hashlib.md5(b"one two three").hexdigest()
+
+    # all-unique corpus: grams exist, none shared
+    _write_documents(
+        spark,
+        tmp_path,
+        [" ".join(f"u{d}_{i}" for i in range(12)) for d in range(3)],
+    )
+    assert q_dup_spans(spark, str(tmp_path)).count() == 0
+    assert q_dup_span_removal(spark, str(tmp_path)).filter("n_removed > 0").count() == 0
+
+    # one event -> one kept row, n_in_window 1
+    spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 5, "click", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    rows = q_event_dedup_window(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0].n_in_window == 1
 
 
 def test_salted_user_stats_no_single_reducer_key(spark, sf_dir):

@@ -756,7 +756,7 @@ _DRIVER_WINDOW = [
     "event_dedup_window",
     "pq_search",
     "dup_span_removal",
-    "w12_bands",
+    "ivf_pq_search",
     "semdedup",
     "line_dedup",
 ]

@@ -484,6 +484,157 @@ SELECT query_id, vec_id AS neighbor_id, adc_dist, rank FROM (
 ) WHERE rank <= {_PQ_TOPK}"""
 
 
+_IVF_C_LO = 16  # coarse centroids: vec_ids [16, 32) — disjoint from the
+_IVF_C_HI = 32  # PQ codebook ids [0, 16) so the two quantizers differ
+_IVF_NPROBE = 4
+
+
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (Jégou et al. 2011 §V — the billion-vector
+    production stack): the index holds, per vector, ONE coarse bucket
+    id plus 4 PQ codes (the IVFADC layout, non-residual variant; the
+    residual refinement changes the encode, not the plan shape). A
+    query exactly scores the 16 coarse centroids, probes its nprobe=4
+    nearest buckets, and ADC-scores only the vectors in those buckets
+    via its broadcast LUT.
+
+    Scale shape: index build is one broadcast coarse-assign over the
+    vector scan plus one join with the code stream; search touches
+    only probed buckets — candidates shrink by ~nprobe/n_coarse vs
+    pq_search's full scan, and the raw vectors never shuffle."""
+    raw = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    q = raw.select("vec_id", _pq_quantized("embedding").alias("q"))
+    coarse = q.filter(
+        (F.col("vec_id") >= _IVF_C_LO) & (F.col("vec_id") < _IVF_C_HI)
+    ).select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+    d64 = q.crossJoin(F.broadcast(coarse)).select(
+        "vec_id",
+        "cid",
+        F.aggregate(
+            F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    asg = (
+        d64.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("coarse_id"))
+    )
+    codes = _pq_best(spark, sf_dir).select("vec_id", "s", "code")
+    index = codes.join(asg, "vec_id")  # the IVF-PQ index: bucket + codes
+
+    wp = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    probes = (
+        d64.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0)
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("coarse_id"))
+    )
+    sub = _pq_subvectors(spark, sf_dir)
+    cb = _pq_codebook(sub)
+    qs = sub.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("sub").alias("qsub")
+    )
+    lut = qs.join(cb, "s").select(
+        "query_id", "s", "c", _pq_dist("qsub", "csub").alias("d")
+    )
+    cand = index.join(F.broadcast(probes), "coarse_id")
+    scored = cand.join(
+        F.broadcast(lut),
+        (cand.s == lut.s) & (cand.code == lut.c) & (cand.query_id == lut.query_id),
+    ).select(index.vec_id, cand.query_id, "coarse_id", "d")
+    adc = (
+        scored.groupBy("query_id", "vec_id", "coarse_id")
+        .agg(F.sum("d").alias("adc_dist"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "coarse_id",
+            "adc_dist",
+            "rank",
+        )
+    )
+
+
+SQL_IVF_PQ_SEARCH = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, s, list_slice(q, s * {_PQ_DSUB} + 1, s * {_PQ_DSUB} + {_PQ_DSUB}) AS sub
+  FROM q CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) ss
+),
+cb AS (SELECT vec_id AS c, s, sub AS csub FROM sub WHERE vec_id < {_PQ_K}),
+d AS (
+  SELECT a.vec_id, a.s, cb.c,
+         CAST(list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+              i -> (a.sub[i] - cb.csub[i]) * (a.sub[i] - cb.csub[i]))) AS BIGINT) AS dist
+  FROM sub a JOIN cb ON a.s = cb.s
+),
+codes AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+coarse AS (SELECT vec_id AS cid, q AS cq FROM q
+           WHERE vec_id >= {_IVF_C_LO} AND vec_id < {_IVF_C_HI}),
+d64 AS (
+  SELECT a.vec_id, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, {_PQ_M * _PQ_DSUB}),
+              i -> (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i]))) AS BIGINT) AS dist
+  FROM q a CROSS JOIN coarse c
+),
+asg AS (
+  SELECT vec_id, cid AS coarse_id FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d64
+  ) WHERE rn = 1
+),
+idx AS (SELECT codes.vec_id, asg.coarse_id, codes.s, codes.code
+        FROM codes JOIN asg USING (vec_id)),
+probes AS (
+  SELECT vec_id AS query_id, cid AS coarse_id FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d64 WHERE vec_id % {_PQ_QUERY_MOD} = 0
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+lut AS (
+  SELECT qs.vec_id AS query_id, qs.s, cb.c,
+         CAST(list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+              i -> (qs.sub[i] - cb.csub[i]) * (qs.sub[i] - cb.csub[i]))) AS BIGINT) AS d
+  FROM (SELECT * FROM sub WHERE vec_id % {_PQ_QUERY_MOD} = 0) qs
+  JOIN cb ON qs.s = cb.s
+),
+cand AS (
+  SELECT p.query_id, i.vec_id, i.coarse_id, i.s, i.code
+  FROM idx i JOIN probes p ON i.coarse_id = p.coarse_id
+),
+adc AS (
+  SELECT cand.query_id, cand.vec_id, cand.coarse_id,
+         CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM cand JOIN lut l
+    ON cand.s = l.s AND cand.code = l.c AND cand.query_id = l.query_id
+  GROUP BY cand.query_id, cand.vec_id, cand.coarse_id
+)
+SELECT query_id, vec_id AS neighbor_id, coarse_id, adc_dist, rank FROM (
+  SELECT query_id, vec_id, coarse_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+  FROM adc WHERE vec_id <> query_id
+) WHERE rank <= {_PQ_TOPK}"""
+
+
 # -------------------------------------------------- watermark-dedup (batch)
 
 _DEDUP_WIN_US = 600_000_000  # 10 minutes
@@ -530,6 +681,7 @@ QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_removal": q_dup_span_removal,
     "pq_encode": q_pq_encode,
     "pq_search": q_pq_search,
+    "ivf_pq_search": q_ivf_pq_search,
     "event_dedup_window": q_event_dedup_window,
 }
 
@@ -539,5 +691,6 @@ ORACLES8: dict[str, str] = {
     "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
     "pq_encode": SQL_PQ_ENCODE,
     "pq_search": SQL_PQ_SEARCH,
+    "ivf_pq_search": SQL_IVF_PQ_SEARCH,
     "event_dedup_window": SQL_EVENT_DEDUP_WINDOW,
 }
