@@ -749,7 +749,7 @@ _DRIVER_WINDOW = [
     "dsir_weights",
     "a2_sentinels",
     "qc_accepted",
-    "props_json",
+    "bpe_pair_counts",
     "salted_user_stats",
     "dup_spans",
     "pq_encode",

@@ -675,6 +675,68 @@ SELECT event_id, user_id, event_type, win_start_us, n_in_window
 FROM r WHERE rn = 1"""
 
 
+# ------------------------------------------------- BPE pair statistics
+
+_BPE_TOPK = 20
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive: the first BPE merge round
+    (Sennrich et al. 2016) — count adjacent character pairs over the
+    corpus vocabulary, weighted by word frequency, and rank the top
+    merge candidates. Deterministic tie-break on the pair string.
+
+    Scale shape: ONE explode to the (token -> freq) vocab hash agg
+    (map-side combinable; the vocab is orders of magnitude smaller
+    than the corpus), then pairs are generated per DISTINCT word —
+    the per-word char work never touches corpus-sized data again.
+    Top-k lands in a single TakeOrderedAndProject."""
+    d = _docs_parallel(spark, sf_dir)
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.filter(F.length("tok") >= 2).select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BPE_TOPK)
+        .select("pair", "pair_count", "rank")
+    )
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+v AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest(toks) AS tok FROM w) GROUP BY tok
+),
+p AS (
+  SELECT substr(tok, i, 2) AS pair, freq
+  FROM (SELECT tok, freq, unnest(generate_series(1, len(tok) - 1)) AS i
+        FROM v WHERE len(tok) >= 2)
+),
+c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM p GROUP BY pair)
+SELECT pair, pair_count, rank FROM (
+  SELECT pair, pair_count,
+         row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS rank
+  FROM c
+) WHERE rank <= {_BPE_TOPK}"""
+
+
 QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_user_stats": q_salted_user_stats,
     "dup_spans": q_dup_spans,
@@ -682,6 +744,7 @@ QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_encode": q_pq_encode,
     "pq_search": q_pq_search,
     "ivf_pq_search": q_ivf_pq_search,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "event_dedup_window": q_event_dedup_window,
 }
 
@@ -692,5 +755,6 @@ ORACLES8: dict[str, str] = {
     "pq_encode": SQL_PQ_ENCODE,
     "pq_search": SQL_PQ_SEARCH,
     "ivf_pq_search": SQL_IVF_PQ_SEARCH,
+    "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "event_dedup_window": SQL_EVENT_DEDUP_WINDOW,
 }
