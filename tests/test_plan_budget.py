@@ -1,0 +1,61 @@
+"""Plan-shape budgets for flagship catalog queries.
+
+A per-query wall cap (test_bench_gate) catches queries that got SLOW;
+this fence catches plans that got WIDER before they get slow enough to
+trip it — the r4 dsir_weights case (an operator referenced its exploded
+feature stream from 5 branches and re-ran the corpus explode 5×; at
+sf0.01 that still fit the wall cap, at sf0.1 it was 17.7 s).
+
+Budgets are ceilings on the CURRENT measured plan (shuffle exchanges,
+broadcast exchanges, Generate/explode nodes), not aspirations — a new
+Spark version or an edit that adds a shuffle/explode must either beat
+the budget or consciously raise it here with a comment.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# name -> (max shuffle exchanges, max broadcasts, max generates).
+# Measured on Spark 4.1 at sf0.01 (AQE on, shuffle=32); see git log for
+# the recording session. Generates count corpus explodes — the most
+# expensive node class for text operators.
+BUDGETS = {
+    "dup_spans": (3, 1, 2),
+    "dup_span_removal": (4, 2, 3),
+    # dsir: the pre-aggregated form. The naive form measured (E=6, G=5
+    # with 5 FULL-corpus explodes); here the 5 Generates sit behind one
+    # reused per-(doc,source,bucket) agg, so the dominant cost runs
+    # once. Budget pins the agg-first shape via the exchange count.
+    "dsir_weights": (10, 4, 5),
+    "bpe_pair_counts": (3, 0, 2),
+    "pq_search": (3, 3, 4),
+    "ivf_pq_search": (9, 6, 4),
+    "minhash_lsh_pairs": (7, 3, 4),
+    "bm25_search": (5, 1, 1),
+    "tfidf_terms": (4, 1, 1),
+    "exact_dedup": (2, 0, 0),
+    "line_dedup": (2, 1, 2),
+    "semdedup": (6, 3, 0),
+    "event_dedup_window": (1, 0, 0),
+    "salted_user_stats": (2, 0, 0),
+    "sessionize": (1, 0, 0),
+    "w8_robust_z": (2, 0, 0),
+    "qc_accepted": (2, 0, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_plan_within_budget(spark, sf_dir, name):
+    import __spark_entry__ as entry
+
+    df = entry.queries()[name](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = p.count("Exchange") - p.count("ReusedExchange") - p.count("BroadcastExchange")
+    broadcasts = p.count("BroadcastExchange")
+    generates = p.count("Generate")
+    max_s, max_b, max_g = BUDGETS[name]
+    assert p.count("CartesianProduct") == 0, p
+    assert shuffles <= max_s, f"{name}: {shuffles} shuffle exchanges > budget {max_s}\n{p}"
+    assert broadcasts <= max_b, f"{name}: {broadcasts} broadcasts > budget {max_b}\n{p}"
+    assert generates <= max_g, f"{name}: {generates} Generate nodes > budget {max_g}\n{p}"
