@@ -744,11 +744,11 @@ _DRIVER_WINDOW = [
     #    (salted/dup_spans/pq/event_dedup — never driver-checked) and
     #    flagship chains; dedup_clusters/minhash_lsh_pairs/winnow_*
     #    rotated OUT (driver-green in r3, still pytest-mirrored)
-    "sessionize",
+    "dedup_report",
     "ccnet_buckets",
     "dsir_weights",
     "a2_sentinels",
-    "qc_accepted",
+    "vocab_coverage",
     "bpe_pair_counts",
     "salted_user_stats",
     "dup_spans",

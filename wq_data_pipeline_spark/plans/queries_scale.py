@@ -737,6 +737,110 @@ SELECT pair, pair_count, rank FROM (
 ) WHERE rank <= {_BPE_TOPK}"""
 
 
+# ------------------------------------------- corpus dedup / vocab reports
+
+
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication report over word-set fingerprint groups
+    (``text.doc_fingerprint`` — the near-dup key fingerprint_dedup
+    clusters on): one row per observed group SIZE with how many
+    groups/docs it covers, plus each size's share of the corpus — the
+    summary a dedup run prints before anyone commits to deleting
+    data. Two small hash aggs over one scan; the fingerprint group agg
+    is the same shuffle fingerprint_dedup runs, so at 100 TB the
+    report rides the dedup pass for free."""
+    from wq_data_pipeline_spark.operators.text import doc_fingerprint
+
+    d = _docs_parallel(spark, sf_dir)
+    groups = d.groupBy(doc_fingerprint("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    total = groups.agg(F.sum("sz").alias("n_docs_total"))
+    return (
+        groups.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("sz").alias("group_size"),
+            "n_groups",
+            (F.col("sz") * F.col("n_groups")).alias("n_docs"),
+            F.round(
+                (F.col("sz") * F.col("n_groups")).cast("double")
+                / F.col("n_docs_total"),
+                6,
+            ).alias("corpus_share"),
+        )
+    )
+
+
+SQL_DEDUP_REPORT = """
+WITH f AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), ' ')) AS h
+  FROM documents
+),
+g AS (SELECT h, count(*) AS sz FROM f GROUP BY h),
+t AS (SELECT CAST(sum(sz) AS BIGINT) AS n_docs_total FROM g)
+SELECT sz AS group_size, count(*) AS n_groups,
+       CAST(sz * count(*) AS BIGINT) AS n_docs,
+       round(CAST(sz * count(*) AS DOUBLE) / (SELECT n_docs_total FROM t), 6) AS corpus_share
+FROM g GROUP BY sz"""
+
+
+# deliberately smaller than the synthetic corpus's distinct-token count
+# (31) so the coverage rate is a real fraction, not a constant 1.0
+_VOCAB_TOP = 16
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-support report: what fraction of corpus token
+    OCCURRENCES a top-1000 frequency vocabulary covers (the OOV-rate
+    check run before fixing a vocab size). One corpus explode into the
+    vocab hash agg; ranking and both sums re-read that single agg —
+    the corpus is never rescanned."""
+    d = _docs_parallel(spark, sf_dir)
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = vocab.withColumn("rnk", F.row_number().over(w))
+    return ranked.agg(
+        F.sum("freq").alias("n_token_occurrences"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum(F.when(F.col("rnk") <= _VOCAB_TOP, F.col("freq")).otherwise(0)).alias(
+            "covered_occurrences"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("rnk") <= _VOCAB_TOP, F.col("freq")).otherwise(0)
+            ).cast("double")
+            / F.sum("freq"),
+            6,
+        ).alias("coverage_rate"),
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+v AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest(toks) AS tok FROM w) GROUP BY tok
+),
+r AS (
+  SELECT tok, freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk FROM v
+)
+SELECT CAST(sum(freq) AS BIGINT) AS n_token_occurrences,
+       count(*) AS n_distinct_tokens,
+       CAST(sum(CASE WHEN rnk <= {_VOCAB_TOP} THEN freq ELSE 0 END) AS BIGINT) AS covered_occurrences,
+       round(CAST(sum(CASE WHEN rnk <= {_VOCAB_TOP} THEN freq ELSE 0 END) AS DOUBLE) / sum(freq), 6) AS coverage_rate
+FROM r"""
+
+
 QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_user_stats": q_salted_user_stats,
     "dup_spans": q_dup_spans,
@@ -745,6 +849,8 @@ QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_search": q_pq_search,
     "ivf_pq_search": q_ivf_pq_search,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "dedup_report": q_dedup_report,
+    "vocab_coverage": q_vocab_coverage,
     "event_dedup_window": q_event_dedup_window,
 }
 
@@ -756,5 +862,7 @@ ORACLES8: dict[str, str] = {
     "pq_search": SQL_PQ_SEARCH,
     "ivf_pq_search": SQL_IVF_PQ_SEARCH,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
+    "dedup_report": SQL_DEDUP_REPORT,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
     "event_dedup_window": SQL_EVENT_DEDUP_WINDOW,
 }
