@@ -223,6 +223,53 @@ def test_event_dedup_window_tiebreak(spark, tmp_path):
     assert out[0].n_in_window == 3 and out[1].n_in_window == 1
 
 
+def test_dup_spans_guarantee_randomized(spark, tmp_path):
+    """The exact-substring guarantee, fuzzed: for ANY pair of docs
+    sharing a planted run of L >= 8 tokens (random L, random
+    positions, per-doc-unique filler so no accidental cross-doc
+    grams), dup_spans reports exactly one span per doc covering
+    exactly the planted run, and dup_span_removal strips exactly L
+    tokens from the higher doc_id and none from the lower."""
+    import numpy as np
+
+    from wq_data_pipeline_spark.plans.queries_scale import (
+        q_dup_span_removal,
+        q_dup_spans,
+    )
+
+    rng = np.random.default_rng(11)
+    n_cases = 15
+    docs, planted_at, planted_len = [], {}, {}
+    for case in range(n_cases):
+        L = int(rng.integers(8, 15))
+        shared = [f"c{case}s{i}" for i in range(L)]
+        for d in (0, 1):
+            doc_id = case * 2 + d
+            nl = int(rng.integers(0, 26))
+            nr = int(rng.integers(0, 26))
+            left = [f"c{case}d{d}l{i}" for i in range(nl)]
+            right = [f"c{case}d{d}r{i}" for i in range(nr)]
+            docs.append((doc_id, " ".join(left + shared + right)))
+            planted_at[doc_id] = nl
+            planted_len[doc_id] = L
+    docs.sort()
+    _write_documents(spark, tmp_path, [t for _, t in docs])
+    spans = {}
+    for r in q_dup_spans(spark, str(tmp_path)).collect():
+        spans.setdefault(r.doc_id, []).append(r)
+    for doc_id in planted_at:
+        assert len(spans[doc_id]) == 1, f"doc {doc_id}: expected one span"
+        s = spans[doc_id][0]
+        assert s.span_start == planted_at[doc_id], doc_id
+        assert s.span_len == planted_len[doc_id], doc_id
+        assert s.max_docs_sharing == 2, doc_id
+    removal = {r.doc_id: r for r in q_dup_span_removal(spark, str(tmp_path)).collect()}
+    for case in range(n_cases):
+        keeper, loser = case * 2, case * 2 + 1
+        assert removal[keeper].n_removed == 0, case
+        assert removal[loser].n_removed == planted_len[loser], case
+
+
 def test_r4_entries_survive_degenerate_inputs(spark, tmp_path):
     """Edge inputs: an all-short corpus (no doc reaches 8 tokens) and
     an all-unique corpus must both yield zero spans and a lossless
