@@ -794,29 +794,32 @@ _VOCAB_TOP = 16
 
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-support report: what fraction of corpus token
-    OCCURRENCES a top-1000 frequency vocabulary covers (the OOV-rate
+    OCCURRENCES a top-k frequency vocabulary covers (the OOV-rate
     check run before fixing a vocab size). One corpus explode into the
-    vocab hash agg; ranking and both sums re-read that single agg —
-    the corpus is never rescanned."""
+    vocab hash agg; the top-k side is ``orderBy(...).limit(k)`` —
+    TakeOrderedAndProject, a distributed partial top-k — NOT a global
+    rank window, which would funnel a real (multi-million-row) vocab
+    through one partition. Both branches re-read the vocab agg's
+    exchange."""
     d = _docs_parallel(spark, sf_dir)
     vocab = (
         d.select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
-    ranked = vocab.withColumn("rnk", F.row_number().over(w))
-    return ranked.agg(
+    topv = vocab.orderBy(F.desc("freq"), F.asc("tok")).limit(_VOCAB_TOP)
+    cov = topv.agg(F.sum("freq").alias("covered_occurrences"))
+    tot = vocab.agg(
         F.sum("freq").alias("n_token_occurrences"),
         F.count(F.lit(1)).alias("n_distinct_tokens"),
-        F.sum(F.when(F.col("rnk") <= _VOCAB_TOP, F.col("freq")).otherwise(0)).alias(
-            "covered_occurrences"
-        ),
+    )
+    return tot.crossJoin(F.broadcast(cov)).select(
+        "n_token_occurrences",
+        "n_distinct_tokens",
+        "covered_occurrences",
         F.round(
-            F.sum(
-                F.when(F.col("rnk") <= _VOCAB_TOP, F.col("freq")).otherwise(0)
-            ).cast("double")
-            / F.sum("freq"),
+            F.col("covered_occurrences").cast("double")
+            / F.col("n_token_occurrences"),
             6,
         ).alias("coverage_rate"),
     )
