@@ -198,17 +198,23 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnosis: top-10 user_ids by event count with their
     corpus share — the check that decides whether a join key needs
     salting BEFORE the shuffle melts an executor. TakeOrdered top-k,
-    no single-partition rank window."""
+    no single-partition rank window; the corpus total rides in as a
+    broadcast 1-row agg (zero plan-time driver jobs — the lazy-scalar
+    pattern, SURVEY §7.0)."""
     ev = load_table(spark, sf_dir, "events")
-    total = ev.count()
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = counts.agg(F.sum("n_events").cast("double").alias("_tot"))
     top = counts.orderBy(F.desc("n_events"), F.asc("user_id")).limit(10)
     w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "user_id",
-        "n_events",
-        F.round(F.col("n_events") / F.lit(float(total)), 6).alias("share"),
-        "rank",
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("_tot"), 6).alias("share"),
+            "rank",
+        )
     )
 
 

@@ -707,11 +707,13 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair"),
     )
     counts = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
+    # limit FIRST (TakeOrderedAndProject, distributed partial top-k),
+    # then rank only the surviving <= topk rows — house style for
+    # global top-k (heavy_hitters, bm25)
+    top = counts.orderBy(F.desc("pair_count"), F.asc("pair")).limit(_BPE_TOPK)
     w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BPE_TOPK)
-        .select("pair", "pair_count", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "pair", "pair_count", "rank"
     )
 
 
