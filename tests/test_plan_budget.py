@@ -45,6 +45,42 @@ BUDGETS = {
 }
 
 
+# Construction-time job caps: building a catalog query fires only
+# parquet footer/schema reads (1 job per table, <= 6 for the 6-table
+# TPC-H joins) — EXCEPT the documented iterative operators, which run
+# driver-side rounds at build time. A cap breach means either a new
+# eager corpus action (the heavy_hitters count() class of bug) or an
+# iteration-count regression (CC rounds doubling).
+CONSTRUCTION_JOB_CAPS = {
+    "dedup_clusters": 40,  # LSH chain + CC label-propagation rounds
+    "embed_kmeans_ivf": 20,  # Lloyd rounds (centroid-shift early stop)
+    "sequence_pack": 8,  # distributed prefix sum: per-partition bases
+    "pack_assignments": 8,
+}
+DEFAULT_CONSTRUCTION_CAP = 6
+
+
+def test_catalog_construction_job_caps(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    sc = spark.sparkContext
+    q["tpch_q1"](spark, sf_dir)  # warm reader caches once
+    over = {}
+    for name in sorted(q):
+        group = f"construction-probe-{name}"
+        sc.setJobGroup(group, "")
+        try:
+            q[name](spark, sf_dir)
+        finally:
+            sc.setJobGroup("", "")
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        cap = CONSTRUCTION_JOB_CAPS.get(name, DEFAULT_CONSTRUCTION_CAP)
+        if n_jobs > cap:
+            over[name] = (n_jobs, cap)
+    assert not over, f"construction ran more driver jobs than capped: {over}"
+
+
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_plan_within_budget(spark, sf_dir, name):
     import __spark_entry__ as entry
