@@ -42,6 +42,33 @@ BUDGETS = {
     "sessionize": (1, 0, 0),
     "w8_robust_z": (2, 0, 0),
     "qc_accepted": (2, 0, 0),
+    # second batch (recorded at the r4 final state)
+    "ccnet_buckets": (5, 2, 3),
+    "unigram_logprob": (4, 2, 3),
+    "decontaminate": (3, 2, 0),
+    "embed_near_dup": (3, 1, 2),
+    "winnow_fingerprints": (1, 0, 1),
+    "winnow_matches": (5, 1, 4),
+    "sequence_pack": (1, 1, 0),
+    "corpus_rollup": (1, 0, 0),
+    "source_mixture": (3, 1, 0),
+    "chunk_documents": (0, 0, 1),
+    "repetition_stats": (4, 2, 2),
+    "lang_id": (1, 0, 0),
+    "hash_split": (1, 0, 0),
+    "stratified_sample": (1, 0, 0),
+    "text_quality": (0, 0, 0),
+    "simhash": (1, 0, 0),
+    "jaccard_pairs": (0, 3, 1),
+    "embed_lsh_ann": (4, 1, 2),
+    "pq_encode": (2, 1, 2),
+    "heavy_hitters": (3, 1, 0),
+    "vocab_coverage": (5, 1, 2),
+    "dedup_report": (6, 1, 0),
+    "asof_join": (1, 0, 0),
+    "j3_range_join": (4, 1, 0),
+    "sliding_rollup": (1, 0, 0),
+    "hypertable_rollup": (2, 0, 0),
 }
 
 
