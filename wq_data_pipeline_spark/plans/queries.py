@@ -723,9 +723,9 @@ _DRIVER_WINDOW = [
     "a6_quant_step",
     "embed_lsh_ann",
     "multimodal_decode",
-    "tpch_q1",
+    "quality_classifier",
     "tpch_q5",
-    "tpch_q6",
+    "blocklist_filter",
     "wrtds_residuals",
     "p16_pivot",
     "pii_scan",

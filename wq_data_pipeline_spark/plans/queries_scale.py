@@ -846,6 +846,104 @@ SELECT CAST(sum(freq) AS BIGINT) AS n_token_occurrences,
 FROM r"""
 
 
+# ---------------------------------------- classifier + blocklist filters
+
+_QC_B = 256  # hashed feature buckets for the linear quality scorer
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (the fastText-classifier stage of
+    CCNet/DCLM-style pipelines, here a hashed-bag-of-words linear
+    scorer with deterministic md5-derived weights standing in for
+    trained ones — swap the weight table, keep the plan): every token
+    hashes to one of 256 buckets, the doc score is the exact integer
+    sum of per-occurrence bucket weights (milli fixed-point), and the
+    keep decision is score > 0.
+
+    Scale shape: the weight table is 256 rows (broadcast); the only
+    corpus-sized work is one explode + one map-side-combinable hash
+    agg. Classifier inference as a broadcast join — no UDF, no
+    per-row model call."""
+    d = _docs_parallel(spark, sf_dir)
+    feats = d.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).select("doc_id", F.pmod(gram_hash(F.col("tok")), F.lit(_QC_B)).alias("b"))
+    wtab = spark.range(_QC_B).select(
+        F.col("id").alias("b"),
+        (
+            F.pmod(
+                gram_hash(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        ).alias("w_milli"),
+    )
+    return (
+        feats.join(F.broadcast(wtab), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_milli").alias("score_milli"),
+        )
+        .withColumn("keep", F.col("score_milli") > 0)
+    )
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(unnest(toks)), 1, 15)) AS BIGINT) % {_QC_B} AS b
+  FROM w
+),
+wt AS (
+  SELECT b,
+         CAST(('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000 AS w_milli
+  FROM (SELECT unnest(generate_series(0, {_QC_B - 1})) AS b)
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(w_milli) AS BIGINT) AS score_milli,
+       CAST(sum(w_milli) AS BIGINT) > 0 AS keep
+FROM f JOIN wt USING (b) GROUP BY doc_id"""
+
+
+_BLOCKLIST = ("slow", "error", "broken")  # C4 §2.2-style term blocklist
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter: drop any document containing a
+    blocklisted token; report per-doc hit counts. Pure Column algebra
+    over the token array — no explode, no shuffle beyond the scan;
+    the blocklist compiles into the row expression (at a real 100-TB
+    scale with a large list, swap to a broadcast-join on the token
+    stream — the decision column is the same)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_BLOCKLIST)))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        hits.alias("n_blocked"),
+        (hits == 0).alias("keep"),
+    )
+
+
+SQL_BLOCKLIST_FILTER = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_filter(toks, t -> t IN {tuple(_BLOCKLIST)!r})) AS INT) AS n_blocked,
+       len(list_filter(toks, t -> t IN {tuple(_BLOCKLIST)!r})) = 0 AS keep
+FROM w"""
+
+
 QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_user_stats": q_salted_user_stats,
     "dup_spans": q_dup_spans,
@@ -856,6 +954,8 @@ QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "dedup_report": q_dedup_report,
     "vocab_coverage": q_vocab_coverage,
+    "quality_classifier": q_quality_classifier,
+    "blocklist_filter": q_blocklist_filter,
     "event_dedup_window": q_event_dedup_window,
 }
 
@@ -869,5 +969,7 @@ ORACLES8: dict[str, str] = {
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "dedup_report": SQL_DEDUP_REPORT,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "event_dedup_window": SQL_EVENT_DEDUP_WINDOW,
 }
