@@ -724,7 +724,7 @@ _DRIVER_WINDOW = [
     "embed_lsh_ann",
     "multimodal_decode",
     "quality_classifier",
-    "tpch_q5",
+    "curation_funnel",
     "blocklist_filter",
     "wrtds_residuals",
     "p16_pivot",

@@ -944,6 +944,84 @@ SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
 FROM w"""
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation funnel report: how many documents survive
+    each stage of blocklist -> quality classifier -> exact dedup (the
+    one-row summary every training-data pipeline prints per snapshot).
+    Dedup runs AFTER the filters (count of distinct md5 among
+    survivors), matching real pipeline ordering.
+
+    Scale shape: one classifier explode + hash agg, one per-doc join,
+    one global agg — every stage decision is a Column, so adding a
+    stage never adds a scan."""
+    d = _docs_parallel(spark, sf_dir)
+    feats = d.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).select("doc_id", F.pmod(gram_hash(F.col("tok")), F.lit(_QC_B)).alias("b"))
+    wtab = spark.range(_QC_B).select(
+        F.col("id").alias("b"),
+        (
+            F.pmod(
+                gram_hash(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        ).alias("w_milli"),
+    )
+    scores = (
+        feats.join(F.broadcast(wtab), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("w_milli").alias("score_milli"))
+    )
+    toks = tokens("text")
+    flags = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(F.filter(toks, lambda t: t.isin(*_BLOCKLIST))).alias("n_blocked"),
+    ).join(scores, "doc_id", "left")
+    pass_bl = F.col("n_blocked") == 0
+    pass_cl = pass_bl & (F.coalesce(F.col("score_milli"), F.lit(0)) > 0)
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(pass_bl.cast("long")).alias("n_after_blocklist"),
+        F.sum(pass_cl.cast("long")).alias("n_after_classifier"),
+        F.countDistinct(F.when(pass_cl, F.col("h"))).alias("n_after_dedup"),
+    )
+
+
+SQL_CURATION_FUNNEL = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(unnest(toks)), 1, 15)) AS BIGINT) % {_QC_B} AS b
+  FROM w
+),
+wt AS (
+  SELECT b,
+         CAST(('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000 AS w_milli
+  FROM (SELECT unnest(generate_series(0, {_QC_B - 1})) AS b)
+),
+sc AS (
+  SELECT doc_id, CAST(sum(w_milli) AS BIGINT) AS score_milli
+  FROM f JOIN wt USING (b) GROUP BY doc_id
+),
+fl AS (
+  SELECT w.doc_id, md5(w.text) AS h,
+         len(list_filter(w.toks, t -> t IN {tuple(_BLOCKLIST)!r})) AS n_blocked,
+         coalesce(sc.score_milli, 0) AS score_milli
+  FROM w LEFT JOIN sc ON w.doc_id = sc.doc_id
+)
+SELECT count(*) AS n_total,
+       CAST(sum(CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_blocklist,
+       CAST(sum(CASE WHEN n_blocked = 0 AND score_milli > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_classifier,
+       CAST(count(DISTINCT CASE WHEN n_blocked = 0 AND score_milli > 0 THEN h END) AS BIGINT) AS n_after_dedup
+FROM fl"""
+
+
 QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_user_stats": q_salted_user_stats,
     "dup_spans": q_dup_spans,
@@ -956,6 +1034,7 @@ QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "quality_classifier": q_quality_classifier,
     "blocklist_filter": q_blocklist_filter,
+    "curation_funnel": q_curation_funnel,
     "event_dedup_window": q_event_dedup_window,
 }
 
@@ -971,5 +1050,6 @@ ORACLES8: dict[str, str] = {
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
+    "curation_funnel": SQL_CURATION_FUNNEL,
     "event_dedup_window": SQL_EVENT_DEDUP_WINDOW,
 }
