@@ -69,6 +69,9 @@ BUDGETS = {
     "j3_range_join": (4, 1, 0),
     "sliding_rollup": (1, 0, 0),
     "hypertable_rollup": (2, 0, 0),
+    "quality_classifier": (1, 1, 1),
+    "blocklist_filter": (0, 0, 0),
+    "curation_funnel": (4, 1, 1),
 }
 
 
