@@ -71,7 +71,9 @@ BUDGETS = {
     "hypertable_rollup": (2, 0, 0),
     "quality_classifier": (1, 1, 1),
     "blocklist_filter": (0, 0, 0),
-    "curation_funnel": (4, 1, 1),
+    # 2 broadcasts: the wtab hint plus AQE converting the per-doc
+    # score join to broadcast at small SF — both are fine shapes
+    "curation_funnel": (4, 2, 1),
 }
 
 
