@@ -14,6 +14,8 @@ the budget or consciously raise it here with a comment.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 # name -> (max shuffle exchanges, max broadcasts, max generates).
@@ -91,6 +93,25 @@ CONSTRUCTION_JOB_CAPS = {
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 
+# Tree-drawing / codegen-stage prefix before the operator name on a plan
+# line (":  +- *(3) Exchange ..." etc.).
+_OP_PREFIX = re.compile(r"^[\s:+\-*()0-9]*")
+
+
+def _count_op(plan: str, op: str) -> int:
+    """Count plan lines whose operator IS ``op`` (prefix-stripped line
+    starts with the name). Substring counting is wrong on two sides:
+    'BroadcastExchange'/'ReusedExchange' contain 'Exchange', and a
+    ReusedExchange line embeds the full description of the exchange it
+    reuses (', Exchange hashpartitioning(...)'), which is not a new
+    shuffle."""
+    n = 0
+    for line in plan.splitlines():
+        body = _OP_PREFIX.sub("", line)
+        if body == op or body.startswith(op + " ") or body.startswith(op + "("):
+            n += 1
+    return n
+
 
 def test_catalog_construction_job_caps(spark, sf_dir):
     import __spark_entry__ as entry
@@ -119,9 +140,9 @@ def test_plan_within_budget(spark, sf_dir, name):
 
     df = entry.queries()[name](spark, sf_dir)
     p = df._jdf.queryExecution().executedPlan().toString()
-    shuffles = p.count("Exchange") - p.count("ReusedExchange") - p.count("BroadcastExchange")
-    broadcasts = p.count("BroadcastExchange")
-    generates = p.count("Generate")
+    shuffles = _count_op(p, "Exchange")
+    broadcasts = _count_op(p, "BroadcastExchange")
+    generates = _count_op(p, "Generate")
     max_s, max_b, max_g = BUDGETS[name]
     assert p.count("CartesianProduct") == 0, p
     assert shuffles <= max_s, f"{name}: {shuffles} shuffle exchanges > budget {max_s}\n{p}"

@@ -316,3 +316,52 @@ def test_salted_user_stats_no_single_reducer_key(spark, sf_dir):
 
     p = _plan(q_salted_user_stats(spark, sf_dir))
     assert "_salt" in p, p
+
+
+def test_dup_span_removal_merged_islands_documented_overremoval(spark, tmp_path):
+    """Pins the documented keeper-rule deviation (ADVICE r4): when two
+    duplicated runs A and B chain into ONE island in some doc (dup
+    positions <= 8 apart), the island keeper is A's first-gram keeper,
+    so that doc drops its copy of B too — and B's only other holder
+    drops B as well (its keeper is the chained doc). Net: B survives
+    NOWHERE — over-removal, the safe direction. Engine and oracle must
+    agree exactly on this case."""
+    import hashlib
+    import sys
+
+    from wq_data_pipeline_spark.plans.queries_scale import (
+        SQL_DUP_SPAN_REMOVAL,
+        q_dup_span_removal,
+    )
+
+    run_a = [f"aa{i}" for i in range(12)]
+    run_b = [f"bb{i}" for i in range(12)]
+    fill0 = [f"f0u{i}" for i in range(5)]
+    fill2 = [f"f2u{i}" for i in range(5)]
+    docs = [
+        " ".join(fill0 + run_a),          # doc 0: keeper of run A
+        " ".join(run_a + run_b),          # doc 1: A+B chain -> ONE island, keeper 0
+        " ".join(fill2 + run_b),          # doc 2: run B only, B's keeper is doc 1
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = {r.doc_id: r for r in q_dup_span_removal(spark, str(tmp_path)).collect()}
+    # doc 0 keeps A verbatim
+    assert out[0].n_removed == 0
+    assert out[0].text_md5 == hashlib.md5(docs[0].encode()).hexdigest()
+    # doc 1: dup gram positions 0..4 (A) and 12..16 (B); gap 12-4=8 <= 8
+    # merges them -> island [0, 23] covers the WHOLE doc, keeper is A's
+    # (doc 0) -> doc 1 removes all 24 tokens including its copy of B
+    assert out[1].n_removed == 24
+    assert out[1].text_md5 == hashlib.md5(b"").hexdigest()
+    # doc 2: B's first-gram keeper is doc 1 (1 < 2) -> doc 2 removes B.
+    # B now survives in NO document — the documented over-removal.
+    assert out[2].n_removed == 12
+    assert out[2].text_md5 == hashlib.md5(" ".join(fill2).encode()).hexdigest()
+    # the DuckDB oracle implements the identical rule
+    sys.path.insert(0, "/root/repo/tests")
+    from oracle_utils import compare
+
+    ok, info = compare(
+        q_dup_span_removal(spark, str(tmp_path)), SQL_DUP_SPAN_REMOVAL, str(tmp_path)
+    )
+    assert ok, info

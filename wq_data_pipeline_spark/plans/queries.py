@@ -684,81 +684,69 @@ QUERIES.update(QUERIES8)
 ORACLES.update(ORACLES8)
 
 # The driver's correctness gate checks only the FIRST 50 registry
-# entries, so the window must ROTATE across rounds until every entry
-# has at least one driver-green row (VERDICT r3 order #1). Round-4
-# head, in priority order:
-#   1. the 16 entries never driver-checked in r1–r3 (bm25/tfidf/
-#      doc_filter/chunk/embed_kmeans/rel_*/profiling/p2/w15),
-#   2. the 10 entries checked exactly once (r1-only: a6_quant_step,
-#      embed_lsh_ann, multimodal_decode, tpch_q1/q5/q6,
-#      wrtds_residuals; r3-only: p16_pivot, pii_scan,
-#      stratified_sample),
-#   3. the new r4 entries (streaming batch mirrors ×3, wrtds
-#      q-kernel, qc_full_suite, corpus_rollup, source_mixture,
-#      sequence_pack, pack_assignments, line_dedup),
-#   4. 15 veterans — first the six whose only red rows were in r1
-#      (sessionize, sliding/hypertable rollups, a2, qc_accepted,
-#      props_json), then the flagship heavy chains.
-# The tail holds only 2×+-green veterans; every tail entry remains
+# entries, so the window ROTATES each round to keep every entry's
+# latest driver-green row fresh (<= ~2 rounds stale). Round-5 head:
+#   1. doc_filter (r4's one red row, fixed: reasons array -> string)
+#      and embed_kmeans_ivf (newly oracled assignment step),
+#   2. the three TPC-H entries last green in r1,
+#   3. the three r2-green entries (fingerprint_dedup, jaccard_pairs,
+#      text_token_stats),
+#   4. 42 of the 46 entries last green in r3 (a1_dup_median,
+#      a4_decimal_hist, a5_mode_cents, a7_seasonal deferred to r6 —
+#      each green in 2+ earlier rounds and pytest-mirrored).
+# Every r4-green entry rotates to the tail; all tail entries remain
 # covered by the local sf0.01 pytest oracle mirror (test_oracle.py).
 _DRIVER_WINDOW = [
-    # -- never driver-checked (16)
-    "bm25_search",
-    "tfidf_terms",
     "doc_filter",
-    "chunk_documents",
     "embed_kmeans_ivf",
-    "heavy_hitters",
-    "table_profile",
-    "sketch_profile",
-    "p2_time_slice",
-    "w15_band_support",
-    "rel_anti_join",
-    "rel_corr_subquery",
-    "rel_distinct_agg",
-    "rel_rollup",
-    "rel_semi_join",
-    "rel_union_having",
-    # -- checked once (10)
-    "a6_quant_step",
-    "embed_lsh_ann",
-    "multimodal_decode",
-    "quality_classifier",
-    "curation_funnel",
-    "blocklist_filter",
-    "wrtds_residuals",
-    "p16_pivot",
-    "pii_scan",
-    "stratified_sample",
-    # -- new in r4 (9)
-    "stream_tumbling_rollup",
-    "stream_session_rollup",
-    "stream_interval_join",
-    "wrtds_residuals_q",
-    "qc_full_suite",
-    "corpus_rollup",
-    "source_mixture",
-    "sequence_pack",
-    "pack_assignments",
-    # -- veterans: r1-red/now-green first (6), then the late-r4 batch
-    #    (salted/dup_spans/pq/event_dedup — never driver-checked) and
-    #    flagship chains; dedup_clusters/minhash_lsh_pairs/winnow_*
-    #    rotated OUT (driver-green in r3, still pytest-mirrored)
-    "dedup_report",
-    "ccnet_buckets",
-    "dsir_weights",
-    "a2_sentinels",
-    "vocab_coverage",
-    "bpe_pair_counts",
-    "salted_user_stats",
-    "dup_spans",
-    "pq_encode",
-    "event_dedup_window",
-    "pq_search",
-    "dup_span_removal",
-    "ivf_pq_search",
-    "semdedup",
-    "line_dedup",
+    "tpch_q1",
+    "tpch_q5",
+    "tpch_q6",
+    "fingerprint_dedup",
+    "jaccard_pairs",
+    "text_token_stats",
+    "a3_step_infer",
+    "a6_diff_quantiles",
+    "a8_global_robust_z",
+    "a9_availability",
+    "asof_join",
+    "decontaminate",
+    "dedup_clusters",
+    "embed_cosine_topk",
+    "embed_ivf_topk",
+    "embed_near_dup",
+    "exact_dedup",
+    "hash_split",
+    "hypertable_rollup",
+    "j3_range_join",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "multimodal_meta",
+    "props_json",
+    "qc_accepted",
+    "repetition_stats",
+    "sentem_flags",
+    "sessionize",
+    "simhash",
+    "sliding_rollup",
+    "text_quality",
+    "tpch_q3",
+    "unigram_logprob",
+    "w12_bands",
+    "w13_tri5",
+    "w16_gaussian",
+    "w17_resample_hourly",
+    "w1_jumps",
+    "w2_gaps",
+    "w4_binary_switches",
+    "w5_flat_runs",
+    "w6_flat_slopes",
+    "w7_rolling_var",
+    "w8_robust_z",
+    "w9_isolated",
+    "winnow_fingerprints",
+    "winnow_matches",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

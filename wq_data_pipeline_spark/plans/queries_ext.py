@@ -1051,9 +1051,15 @@ SELECT doc_id, score, rank FROM (
 
 def q_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style keep/drop gate: length + repetition + stopword
-    rules -> verdict and ordered failed-rule reasons per doc."""
+    rules -> verdict and ordered failed-rule reasons per doc.
+
+    The operator emits ``reasons`` as array<string> (fixed rule
+    order) for programmatic consumers; the catalog surface joins it
+    to one space-separated string because the driver's pandas
+    canonicalizer cannot hash list-typed cells."""
     d = load_table(spark, sf_dir, "documents")
-    return TX.filter_decision(d, "text", "doc_id")
+    out = TX.filter_decision(d, "text", "doc_id")
+    return out.withColumn("reasons", F.array_join("reasons", " "))
 
 
 SQL_DOC_FILTER = f"""{SQL_WORDS},
@@ -1097,7 +1103,8 @@ ruled AS (
          ], x -> x IS NOT NULL) AS reasons
   FROM base
 )
-SELECT doc_id, n_tokens, dup_word_frac, top2gram_share, reasons,
+SELECT doc_id, n_tokens, dup_word_frac, top2gram_share,
+       coalesce(array_to_string(reasons, ' '), '') AS reasons,
        len(reasons) = 0 AS keep
 FROM ruled"""
 

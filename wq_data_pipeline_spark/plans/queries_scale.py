@@ -170,11 +170,24 @@ FROM isl GROUP BY doc_id, island"""
 def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rewrite for exact-substring dedup: every duplicated span
     is removed from all docs EXCEPT the lowest doc_id among the docs
-    sharing the span's first 8-gram (the deterministic "keep one
-    occurrence" rule of Lee et al. 2022). Emits per-doc token counts
-    and an md5 of the reassembled cleaned text — hash-exact evidence
-    the reconstruction matches without shipping the corpus through the
-    compare (same trick as line_dedup).
+    sharing the span's FIRST 8-gram (a deterministic approximation of
+    the "keep one occurrence" rule of Lee et al. 2022). Emits per-doc
+    token counts and an md5 of the reassembled cleaned text —
+    hash-exact evidence the reconstruction matches without shipping
+    the corpus through the compare (same trick as line_dedup).
+
+    Keeper-rule caveat (documented deviation from strict keep-one):
+    the keeper is chosen PER MERGED ISLAND by its first gram. When two
+    distinct duplicated runs A and B sit within ``_SPAN_N`` tokens of
+    each other in one doc, they merge into one island whose keeper is
+    A's — so that doc removes its copy of B even if it would have been
+    B's keeper, and B can end up removed from every doc. Exact
+    keep-one over arbitrarily overlapping/chained runs requires
+    suffix-array maximal-match semantics (Lee et al. §3); this
+    gram-island approximation errs toward over-removal, which is the
+    safe direction for training-data dedup. The DuckDB oracle
+    implements the identical rule; tests/test_scale.py plants a
+    chained-island case pinning this behavior.
 
     Scale shape: the detect chain is dup_spans'; the rewrite adds one
     per-doc equi-join (doc_id, range residual) between the token
@@ -690,7 +703,14 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable; the vocab is orders of magnitude smaller
     than the corpus), then pairs are generated per DISTINCT word —
     the per-word char work never touches corpus-sized data again.
-    Top-k lands in a single TakeOrderedAndProject."""
+    Top-k lands in a single TakeOrderedAndProject.
+
+    Character-indexing caveat: Spark ``length``/``substr`` index
+    UTF-16 code units while the DuckDB oracle's ``len``/``substr``
+    index code points, so supplementary-plane characters (emoji,
+    rare CJK) would desynchronize the two engines. The documents
+    corpus is ASCII; a production tokenizer would pre-normalize to
+    byte-level (GPT-2 style) or code-point units before pairing."""
     d = _docs_parallel(spark, sf_dir)
     vocab = (
         d.select(F.explode(tokens("text")).alias("tok"))
@@ -912,6 +932,9 @@ FROM f JOIN wt USING (b) GROUP BY doc_id"""
 
 
 _BLOCKLIST = ("slow", "error", "broken")  # C4 §2.2-style term blocklist
+# explicit IN-list (a 1-term tuple repr would emit a trailing comma,
+# which is invalid SQL)
+_BLOCKLIST_SQL = "(" + ", ".join(repr(t) for t in _BLOCKLIST) + ")"
 
 
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,8 +962,8 @@ WITH w AS (
   FROM documents
 )
 SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
-       CAST(len(list_filter(toks, t -> t IN {tuple(_BLOCKLIST)!r})) AS INT) AS n_blocked,
-       len(list_filter(toks, t -> t IN {tuple(_BLOCKLIST)!r})) = 0 AS keep
+       CAST(len(list_filter(toks, t -> t IN {_BLOCKLIST_SQL})) AS INT) AS n_blocked,
+       len(list_filter(toks, t -> t IN {_BLOCKLIST_SQL})) = 0 AS keep
 FROM w"""
 
 
@@ -1011,7 +1034,7 @@ sc AS (
 ),
 fl AS (
   SELECT w.doc_id, md5(w.text) AS h,
-         len(list_filter(w.toks, t -> t IN {tuple(_BLOCKLIST)!r})) AS n_blocked,
+         len(list_filter(w.toks, t -> t IN {_BLOCKLIST_SQL})) AS n_blocked,
          coalesce(sc.score_milli, 0) AS score_milli
   FROM w LEFT JOIN sc ON w.doc_id = sc.doc_id
 )
