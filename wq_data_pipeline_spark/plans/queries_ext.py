@@ -819,18 +819,134 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(d, fake=True)
 
 
+_KM_K = 8
+_KM_ITERS = 3
+_KM_NPROBE = 2
+_KM_TOPK = 5
+
+
 def q_embed_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over TRAINED coarse centroids: Lloyd k-means (k=8,
     3 rounds, deterministic md5-seeded init) -> nprobe bucket search.
-    The trained-quantizer variant of ``embed_ivf_topk``. Rows-only:
-    the iterative trainer is not SQL-expressible; recall and
-    objective descent are asserted in tests/test_scale.py."""
+    The trained-quantizer variant of ``embed_ivf_topk``.
+
+    Oracle-exact by construction: the trainer runs on quantized
+    integer-valued vectors (round(x*1e7), |q| <= 5.8e6 here), so every
+    accumulation the round-trip depends on is exact — cluster-mean
+    numerators are integer-valued double sums < 2^53 (order-free),
+    each mean is ONE division of identical operands in both engines,
+    and the final search's dots/norms are exact BIGINT folds. The
+    only order-sensitive float arithmetic left is the per-row
+    assignment dot against normalized float centroids, which both
+    engines evaluate as the same left-to-right index-order fold
+    (Spark ``aggregate``, DuckDB ``list_reduce``). The DuckDB mirror
+    replays the identical 3 Lloyd rounds unrolled
+    (:func:`_kmeans_ivf_sql`); recall and objective descent are
+    asserted in tests/test_scale.py."""
     from wq_data_pipeline_spark.operators.similarity import ivf_topk, kmeans_centroids
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = kmeans_centroids(emb, k=8, iters=3)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized("embedding").alias("q")
+    )
+    cent = kmeans_centroids(emb, k=_KM_K, iters=_KM_ITERS, vec_col="q")
     qs = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_topk(emb, qs, cent, k=5, nprobe=2)
+    out = ivf_topk(emb, qs, cent, k=_KM_TOPK, nprobe=_KM_NPROBE, vec_col="q")
+    return out.withColumn("cos_sim", F.round("cos_sim", 6))
+
+
+def _kmeans_ivf_sql() -> str:
+    """DuckDB replay of q_embed_kmeans_ivf: md5-seeded init, the same
+    ``_KM_ITERS`` Lloyd rounds unrolled as CTE blocks (normalize ->
+    fold-order assignment -> exact integer means -> empty clusters
+    keep their previous centroid), then the nprobe IVF search. All
+    list folds use ``list_reduce`` (left-to-right, matching Spark's
+    ``aggregate``)."""
+
+    def fold(expr: str) -> str:
+        return f"list_reduce({expr}, (acc, x) -> acc + x)"
+
+    def dots(a: str, b: str) -> str:
+        # index-order product fold: a may be BIGINT (cast per element)
+        return fold(
+            f"list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * {b}[i])"
+        )
+
+    def sq(a: str) -> str:
+        return fold(f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+    rounds = []
+    for r in range(1, _KM_ITERS + 1):
+        prev = f"c{r - 1}"
+        rounds.append(f"""
+cn{r} AS (
+  SELECT cid, list_transform(c, x -> CASE WHEN nn > 0 THEN x / nn ELSE 0.0 END) AS cn
+  FROM (SELECT cid, c, sqrt({sq('c')}) AS nn FROM {prev})
+),
+a{r} AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT vec_id, q, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+    FROM (SELECT v.vec_id, v.q, c.cid, {dots('v.q', 'c.cn')} AS cs
+          FROM q v CROSS JOIN cn{r} c)
+  ) WHERE rn = 1
+),
+m{r} AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, pos, CAST(sum(x) AS DOUBLE) / count(*) AS m
+    FROM (SELECT cid, unnest(generate_series(1, len(q))) AS pos, unnest(q) AS x
+          FROM a{r})
+    GROUP BY cid, pos
+  ) GROUP BY cid
+),
+c{r} AS (
+  SELECT p.cid, coalesce(m{r}.c, p.c) AS c FROM {prev} p LEFT JOIN m{r} USING (cid)
+)""")
+    last = f"c{_KM_ITERS}"
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         list_transform(q, x -> CAST(x AS DOUBLE)) AS c
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_KM_K}
+),{",".join(rounds)},
+scored_c AS (
+  SELECT v.vec_id, v.q, c.cid,
+         {dots('v.q', 'c.c')} / (sqrt({sq('v.q')}) * sqrt({sq('c.c')})) AS cs
+  FROM q v CROSS JOIN {last} c
+),
+av AS (
+  SELECT vec_id, q, cid AS bucket FROM (
+    SELECT vec_id, q, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+    FROM scored_c
+  ) WHERE rn = 1
+),
+pr AS (
+  SELECT vec_id AS query_id, q AS qq, cid AS bucket FROM (
+    SELECT vec_id, q, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+    FROM scored_c WHERE vec_id % 100 = 0
+  ) WHERE rn <= {_KM_NPROBE}
+),
+sc AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {dots('a.q', 'list_transform(p.qq, x -> CAST(x AS DOUBLE))')}
+         / (sqrt({sq('a.q')}) * sqrt({sq('p.qq')})) AS cos_sim
+  FROM av a JOIN pr p USING (bucket)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM sc
+) WHERE rank <= {_KM_TOPK}"""
+
+
+SQL_EMBED_KMEANS_IVF = _kmeans_ivf_sql()
 
 
 _CHUNK_C = 64
@@ -1356,5 +1472,6 @@ ORACLES3: dict[str, str] = {
     "tfidf_terms": SQL_TFIDF,
     "bm25_search": SQL_BM25,
     "embed_lsh_ann": SQL_EMBED_LSH_ANN,
+    "embed_kmeans_ivf": SQL_EMBED_KMEANS_IVF,
     # multimodal_decode: rows-only (binary codec paths)
 }
