@@ -707,3 +707,52 @@ def test_semdedup_semantics(spark):
     assert not out[2]["is_dup"]  # orthogonal to everything
     assert out[3]["is_dup"] and out[3]["n_dup_earlier"] == 2  # vs 0 and 1
     assert all(r["cluster_id"] == 0 for r in out.values())
+
+
+def test_minhash_guard_precondition_exact_dedup_upstream(spark):
+    """The documented PRECONDITION of the default max_df guard
+    (operators/dedup.py): a group larger than max_df of byte-identical
+    docs loses all its LSH pairs to the guard — but the contract is
+    that exact_dedup runs UPSTREAM, collapsing the group to one
+    representative first. This test pins the full documented pipeline
+    shape: exact_dedup -> LSH on representatives -> connected
+    components, and asserts the oversized identical group still ends
+    up in one cluster (via its canonical), alongside a genuine
+    near-dup pair."""
+    from wq_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        minhash_lsh_candidates,
+    )
+    from pyspark.sql import functions as F
+
+    n_hot = 25  # > the test guard max_df=10; same shape as >100 at default
+    hot = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit") for i in range(n_hot)]
+    near = [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    docs = spark.createDataFrame(hot + near, "doc_id int, text string")
+
+    ed = exact_dedup(docs, "text", "doc_id")
+    canon = {r.doc_id: r.canonical_id for r in ed.collect()}
+    assert all(canon[i] == 0 for i in range(n_hot)), "identical group collapses to doc 0"
+
+    reps = docs.join(
+        ed.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+    )
+    assert reps.count() == 3  # 0, 1000, 1001
+
+    pairs = minhash_lsh_candidates(reps, "text", "doc_id", max_df=10)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1000, 1001) in got
+
+    cc = connected_components(
+        reps.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    cluster = {r.id: r.cluster_id for r in cc.collect()}
+    assert cluster[1000] == cluster[1001]
+    # composition: every member of the oversized identical group maps
+    # through its canonical to ONE cluster — the group did cluster
+    assert len({cluster[canon[i]] for i in range(n_hot)}) == 1
