@@ -516,6 +516,16 @@ def semdedup(
     |c|^2, the quantity SemDeDup controls by choosing k ~ n/target
     cluster size (AQE skew-split handles stragglers). No connected
     components needed: the earlier-id rule is a single join + agg.
+
+    Measured caveat (r5 scale validation, BASELINE.md): if the
+    centroid table is a FIXED-STRIDE sample (the oracle-exact form the
+    catalog entry uses), centroid count grows ∝ n and the exact
+    assignment crossJoin is O(n²/stride) — 1×/3×/10× replica scaling
+    measured exponent 1.56. At scale pass trained fixed-k centroids
+    (``kmeans_centroids``) sized k ∝ n/target-cluster-size and swap
+    the exact assignment for ANN (``ivf_topk`` buckets or
+    ``rp_lsh_signature``); this function's within-cluster stage is
+    unchanged by either assignment source.
     """
     scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
         "_cs", quantized_cosine(vec_col, cvec_col)
