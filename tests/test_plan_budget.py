@@ -76,6 +76,11 @@ BUDGETS = {
     # 2 broadcasts: the wtab hint plus AQE converting the per-doc
     # score join to broadcast at small SF — both are fine shapes
     "curation_funnel": (4, 2, 1),
+    # r5 corpus-assembly batch: prefix-sum fill is 2 exchanges (range
+    # repartition + the 1-row total agg) + 2 broadcasts (offsets,
+    # total); rebalance shuffles only the tiny per-source aggs
+    "token_budget_fill": (2, 2, 0),
+    "domain_rebalance": (3, 2, 0),
 }
 
 
@@ -90,6 +95,7 @@ CONSTRUCTION_JOB_CAPS = {
     "embed_kmeans_ivf": 20,  # Lloyd rounds (centroid-shift early stop)
     "sequence_pack": 8,  # distributed prefix sum: per-partition bases
     "pack_assignments": 8,
+    "token_budget_fill": 8,  # distributed prefix sum: per-partition bases
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

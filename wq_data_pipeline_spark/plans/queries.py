@@ -623,6 +623,7 @@ from wq_data_pipeline_spark.plans.queries_rel import ORACLES5, QUERIES5  # noqa:
 from wq_data_pipeline_spark.plans.queries_stream import ORACLES6, QUERIES6  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_corpus import ORACLES7, QUERIES7  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_scale import ORACLES8, QUERIES8  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r5 import ORACLES9, QUERIES9  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -682,6 +683,8 @@ QUERIES.update(QUERIES7)
 ORACLES.update(ORACLES7)
 QUERIES.update(QUERIES8)
 ORACLES.update(ORACLES8)
+QUERIES.update(QUERIES9)
+ORACLES.update(ORACLES9)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
