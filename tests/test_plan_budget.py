@@ -81,6 +81,9 @@ BUDGETS = {
     # total); rebalance shuffles only the tiny per-source aggs
     "token_budget_fill": (2, 2, 0),
     "domain_rebalance": (3, 2, 0),
+    # trained-centroid semdedup: broadcast assignment + per-vector
+    # window + within-cluster self-join + dup agg/join
+    "semdedup_trained": (6, 3, 0),
 }
 
 
@@ -96,6 +99,7 @@ CONSTRUCTION_JOB_CAPS = {
     "sequence_pack": 8,  # distributed prefix sum: per-partition bases
     "pack_assignments": 8,
     "token_budget_fill": 8,  # distributed prefix sum: per-partition bases
+    "semdedup_trained": 26,  # corpus count + Lloyd rounds (broadcast mode)
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

@@ -536,6 +536,24 @@ def semdedup(
         .filter(F.col("_rn") == 1)
         .select(id_col, vec_col, F.col(cid_col).alias("cluster_id"))
     )
+    return semdedup_within(assigned, id_col=id_col, vec_col=vec_col, tau=tau)
+
+
+def semdedup_within(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "q",
+    tau: float = 0.97,
+) -> DataFrame:
+    """Within-cluster earlier-id duplicate marking over a PRE-ASSIGNED
+    (id, vec, ``cluster_id``) frame — the second half of
+    :func:`semdedup`, split out so the assignment source is pluggable
+    (stride centroids, trained k-means means, ANN buckets). The
+    catalog's ``semdedup_trained`` entry feeds this from
+    :func:`kmeans_centroids` output, which is the at-scale composition
+    the stride entry's docstring prescribes: cluster count fixed by
+    k ~ n/target-size, so per-cluster pair work stays bounded as the
+    corpus grows."""
     a = assigned.select(
         F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_qa"), "cluster_id"
     )

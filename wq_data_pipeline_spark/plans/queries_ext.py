@@ -854,25 +854,32 @@ def q_embed_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
-def _kmeans_ivf_sql() -> str:
-    """DuckDB replay of q_embed_kmeans_ivf: md5-seeded init, the same
-    ``_KM_ITERS`` Lloyd rounds unrolled as CTE blocks (normalize ->
-    fold-order assignment -> exact integer means -> empty clusters
-    keep their previous centroid), then the nprobe IVF search. All
-    list folds use ``list_reduce`` (left-to-right, matching Spark's
-    ``aggregate``)."""
+def _lr_fold(expr: str) -> str:
+    return f"list_reduce({expr}, (acc, x) -> acc + x)"
 
-    def fold(expr: str) -> str:
-        return f"list_reduce({expr}, (acc, x) -> acc + x)"
 
-    def dots(a: str, b: str) -> str:
-        # index-order product fold: a may be BIGINT (cast per element)
-        return fold(
-            f"list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * {b}[i])"
-        )
+def _lr_dots(a: str, b: str) -> str:
+    # index-order product fold: a may be BIGINT (cast per element)
+    return _lr_fold(
+        f"list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * {b}[i])"
+    )
 
-    def sq(a: str) -> str:
-        return fold(f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+def _lr_sq(a: str) -> str:
+    return _lr_fold(f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+
+def _kmeans_prefix_sql() -> str:
+    """Shared DuckDB WITH-prefix for the trained-centroid entries:
+    quantized corpus (``q``), md5-seeded init, the same ``_KM_ITERS``
+    Lloyd rounds unrolled as CTE blocks (normalize -> fold-order
+    assignment -> exact integer means -> empty clusters keep their
+    previous centroid), ending at ``av`` = every vector's final
+    bucket. All list folds use ``list_reduce`` (left-to-right,
+    matching Spark's ``aggregate``). Consumed by
+    :func:`_kmeans_ivf_sql` (nprobe search tail) and the
+    ``semdedup_trained`` oracle (within-cluster pairwise tail)."""
+    fold, dots, sq = _lr_fold, _lr_dots, _lr_sq
 
     rounds = []
     for r in range(1, _KM_ITERS + 1):
@@ -923,7 +930,14 @@ av AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
     FROM scored_c
   ) WHERE rn = 1
-),
+)"""
+
+
+def _kmeans_ivf_sql() -> str:
+    """DuckDB replay of q_embed_kmeans_ivf: the shared Lloyd-round
+    prefix (:func:`_kmeans_prefix_sql`), then the nprobe IVF search."""
+    dots, sq = _lr_dots, _lr_sq
+    return f"""{_kmeans_prefix_sql()},
 pr AS (
   SELECT vec_id AS query_id, q AS qq, cid AS bucket FROM (
     SELECT vec_id, q, cid,

@@ -195,12 +195,107 @@ SELECT b.doc_id, b.source, s.w AS target_w, s.n_src,
 FROM b JOIN s USING (source) CROSS JOIN t"""
 
 
+# --- semdedup_trained -------------------------------------------------------
+
+_SDT_TAU = 0.44  # same stress threshold as the stride `semdedup` entry
+_SDT_TARGET = 64  # target cluster size; k = ceil(n / target)
+
+
+def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over TRAINED fixed-k centroids — the at-scale
+    composition the stride entry's caveat prescribes (BASELINE.md r5
+    scale row: stride centroids grow with n, making exact assignment
+    O(n^2/stride), measured exponent 1.56 at 1x/3x/10x; trained k ~
+    n/target-size keeps per-cluster pair work bounded, so the whole
+    pipeline scales ~linearly).
+
+    Stages: Lloyd k-means on the quantized vectors (k = ceil(n/64),
+    3 rounds, md5-seeded deterministic init — identical machinery to
+    ``embed_kmeans_ivf``, so at sf0.01 the oracle shares its unrolled
+    Lloyd-round prefix verbatim), broadcast-literal assignment of
+    every vector to its nearest final centroid, then within-cluster
+    earlier-id duplicate marking at tau=0.44 with BIGINT-exact
+    quantized cosines (``semdedup_within``)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from wq_data_pipeline_spark.operators.similarity import (
+        cosine,
+        kmeans_centroids,
+        semdedup_within,
+    )
+    from wq_data_pipeline_spark.plans.queries_ext import (
+        _KM_ITERS,
+        _quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized("embedding").alias("q")
+    )
+    k = max(1, math.ceil(emb.count() / _SDT_TARGET))
+    # broadcast-join trainer mode (literal_centroids_max=0): k grows
+    # with the corpus here, and the literal-array plan pays analysis
+    # cost per literal per round (measured at k=32/dim=64: 8.3 s
+    # literal vs 3.7 s broadcast at sf0.1). With integer-quantized
+    # vectors the two modes are bit-identical — mean numerators are
+    # order-free integer sums and the assignment dot is the same
+    # left-to-right fold — so the oracle is mode-independent.
+    cent = kmeans_centroids(
+        emb, k=k, iters=_KM_ITERS, vec_col="q", literal_centroids_max=0
+    )
+    c = cent.select(F.col("centroid_id").alias("_cid"), F.col("q").alias("_cv"))
+    scored = emb.crossJoin(F.broadcast(c)).withColumn("_cs", cosine("q", "_cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("_cid"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "q", F.col("_cid").alias("cluster_id"))
+    )
+    return semdedup_within(assigned, id_col="vec_id", vec_col="q", tau=_SDT_TAU)
+
+
+def _semdedup_trained_sql() -> str:
+    """DuckDB replay: the shared Lloyd-round prefix (ends at ``av`` =
+    final bucket per vector; k is the oracle-time constant _KM_K = 8 =
+    ceil(500/64), matching the dynamic k at the driver's sf0.01), then
+    the within-cluster earlier-id pairwise tail of SQL_SEMDEDUP."""
+    from wq_data_pipeline_spark.plans.queries_ext import _kmeans_prefix_sql
+
+    dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len(a.q)), "
+        "i -> a.q[i] * b.q[i])) AS DOUBLE)"
+    )
+    nrm = "sqrt(CAST(list_sum(list_transform({v}, x -> x * x)) AS DOUBLE))"
+    return f"""{_kmeans_prefix_sql()},
+sims AS (
+  SELECT a.vec_id,
+         {dot} / ({nrm.format(v="a.q")} * {nrm.format(v="b.q")}) AS sim
+  FROM av a JOIN av b
+    ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+),
+dup AS (
+  SELECT vec_id, count(*) AS n_dup_earlier, round(max(sim), 6) AS max_sim_earlier
+  FROM sims WHERE sim >= {_SDT_TAU} GROUP BY vec_id
+)
+SELECT av.vec_id, av.bucket AS cluster_id,
+       d.vec_id IS NOT NULL AS is_dup,
+       CAST(coalesce(d.n_dup_earlier, 0) AS BIGINT) AS n_dup_earlier,
+       d.max_sim_earlier
+FROM av LEFT JOIN dup d USING (vec_id)"""
+
+
+SQL_SEMDEDUP_TRAINED = _semdedup_trained_sql()
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_fill": q_token_budget_fill,
     "domain_rebalance": q_domain_rebalance,
+    "semdedup_trained": q_semdedup_trained,
 }
 
 ORACLES9: dict[str, str] = {
     "token_budget_fill": SQL_TOKEN_BUDGET_FILL,
     "domain_rebalance": SQL_DOMAIN_REBALANCE,
+    "semdedup_trained": SQL_SEMDEDUP_TRAINED,
 }
