@@ -84,6 +84,9 @@ BUDGETS = {
     # trained-centroid semdedup: broadcast assignment + per-vector
     # window + within-cluster self-join + dup agg/join
     "semdedup_trained": (6, 3, 0),
+    # merge table is a driver-built local relation (rounds ran at
+    # construction time, the connected-components pattern)
+    "bpe_train": (0, 0, 0),
 }
 
 
@@ -100,6 +103,7 @@ CONSTRUCTION_JOB_CAPS = {
     "pack_assignments": 8,
     "token_budget_fill": 8,  # distributed prefix sum: per-partition bases
     "semdedup_trained": 26,  # corpus count + Lloyd rounds (broadcast mode)
+    "bpe_train": 24,  # vocab build + per-round top-1 + sparse checkpoints
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

@@ -1,0 +1,132 @@
+"""Property tests for the r5 corpus-assembly entries — semantics the
+DuckDB oracle mirror can't pin on its own (the oracle would share a
+systematic bug; these check against independent reference logic)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from wq_data_pipeline_spark.plans.queries_r5 import (
+    _merge_fold,
+    q_domain_rebalance,
+    q_semdedup_trained,
+    q_token_budget_fill,
+)
+
+
+def _greedy_merge_ref(seq: list[str], lft: str, rgt: str) -> list[str]:
+    """Reference greedy left-to-right single-pass BPE merge."""
+    out: list[str] = []
+    i = 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == lft and seq[i + 1] == rgt:
+            out.append(lft + rgt)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def test_bpe_merge_fold_matches_reference(spark):
+    """Fuzz the Spark array-fold merge against the reference greedy
+    pass — including the lft == rgt overlapping-run case and symbols
+    textually equal to the merged pair."""
+    rng = random.Random(42)
+    alphabet = ["a", "b", "ab", "c"]
+    cases = [
+        [],
+        ["a"],
+        ["a", "b"],
+        ["a", "a", "a"],
+        ["a", "a", "a", "a"],
+        ["ab", "b", "a", "b"],
+    ] + [
+        [rng.choice(alphabet) for _ in range(rng.randint(1, 12))]
+        for _ in range(60)
+    ]
+    pairs = [("a", "b"), ("a", "a"), ("ab", "b"), ("c", "a")]
+    rows = [(i, seq) for i, seq in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id INT, s ARRAY<STRING>")
+    for lft, rgt in pairs:
+        got = {
+            r["id"]: list(r["m"])
+            for r in df.select(
+                "id", _merge_fold(F.col("s"), lft, rgt).alias("m")
+            ).collect()
+        }
+        for i, seq in enumerate(cases):
+            assert got[i] == _greedy_merge_ref(seq, lft, rgt), (
+                lft,
+                rgt,
+                seq,
+                got[i],
+            )
+
+
+def test_token_budget_fill_is_maximal_prefix(spark, sf_dir):
+    rows = q_token_budget_fill(spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total // 2
+    ordered = sorted(rows, key=lambda r: (-r["ttr_micro"], r["doc_id"]))
+    running = 0
+    for r in ordered:
+        running += r["n_tokens"]
+        assert r["cum_tokens"] == running
+        assert r["selected"] == (running <= budget)
+    # maximal prefix: the selected set is a take-while, so the first
+    # unselected doc must overflow the budget
+    first_out = next((r for r in ordered if not r["selected"]), None)
+    if first_out is not None:
+        sel_sum = sum(r["n_tokens"] for r in ordered if r["selected"])
+        assert sel_sum <= budget < sel_sum + first_out["n_tokens"]
+
+
+def test_semdedup_trained_cluster_shape(spark, sf_dir):
+    rows = q_semdedup_trained(spark, sf_dir).collect()
+    n = len(rows)
+    k = max(1, math.ceil(n / 64))
+    n_clusters = len({r["cluster_id"] for r in rows})
+    assert n_clusters <= k
+    for r in rows:
+        if r["is_dup"]:
+            assert r["n_dup_earlier"] >= 1
+            assert r["max_sim_earlier"] >= 0.44 - 1e-6
+        else:
+            assert r["n_dup_earlier"] == 0
+
+
+def test_domain_rebalance_rates(spark, sf_dir):
+    rows = q_domain_rebalance(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    n_total = len(rows)
+    sum_w = sum(rs[0]["target_w"] for rs in by_src.values())
+    for src, rs in by_src.items():
+        w, n_src = rs[0]["target_w"], rs[0]["n_src"]
+        assert n_src == len(rs)
+        assert 1 <= w <= 4
+        expect = min(1_000_000, (w * n_total * 1_000_000) // (sum_w * n_src))
+        assert rs[0]["rate_micro"] == expect
+        # a full-rate source keeps everything
+        if expect == 1_000_000:
+            assert all(r["keep"] for r in rs)
+
+
+@pytest.mark.parametrize("_", [0])
+def test_bpe_train_monotone_counts(spark, sf_dir, _):
+    """Merge counts are non-increasing only within equal-pair classes
+    is NOT guaranteed, but every learned count must be positive and
+    rounds must be 1..N with distinct merged symbols."""
+    from wq_data_pipeline_spark.plans.queries_r5 import q_bpe_train
+
+    rows = q_bpe_train(spark, sf_dir).collect()
+    assert [r["round"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r["pair_count"] > 0 for r in rows)
+    assert all(r["merged"] == r["lft"] + r["rgt"] for r in rows)
+    assert len({r["merged"] for r in rows}) == len(rows)

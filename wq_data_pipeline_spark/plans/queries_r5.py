@@ -288,14 +288,167 @@ FROM av LEFT JOIN dup d USING (vec_id)"""
 SQL_SEMDEDUP_TRAINED = _semdedup_trained_sql()
 
 
+# --- bpe_train --------------------------------------------------------------
+
+_BPT_ROUNDS = 6
+
+
+def _merge_fold(s_col: F.Column, lft: str, rgt: str) -> F.Column:
+    """Greedy left-to-right single-pass BPE merge of the (lft, rgt)
+    pair over a symbol array — a narrow array fold, no shuffle.
+    ``F.get`` (not element_at) so the empty-accumulator probe yields
+    NULL instead of an ANSI out-of-bounds error."""
+    return F.aggregate(
+        s_col,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(lft)) & (x == F.lit(rgt)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(lft + rgt))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule training (Sennrich et al. 2016): run
+    ``_BPT_ROUNDS`` merge rounds over the corpus vocabulary and emit
+    the learned merge table — the multi-round generalization of
+    ``bpe_pair_counts`` (which is round 1's candidate list).
+
+    Round loop: count adjacent symbol pairs per DISTINCT word
+    weighted by word frequency (one small hash agg — the corpus is
+    never touched again after the vocab agg), pick the top pair
+    (count DESC, pair ASC — deterministic), then apply the merge to
+    every word's symbol list as a greedy left-to-right single pass
+    via ``F.aggregate`` (array fold, narrow — no shuffle). The vocab
+    is localCheckpoint'ed per round so plans stay flat (the
+    connected-components discipline). This is exactly how
+    distributed BPE trainers shard: per-distinct-word state, driver
+    holds only the (tiny) merge table — scale-independent.
+
+    The DuckDB oracle unrolls the rounds as CTE blocks; its merge
+    application uses the gaps-and-islands selection (greedy = every
+    even offset inside each run of consecutive match positions),
+    which is provably equivalent to the fold: for lft != rgt match
+    positions are never adjacent, and for lft == rgt a run of k
+    matches is k+1 repeated symbols where both rules take positions
+    run_start, run_start+2, ... Char indexing is UTF-16 vs
+    code points across the engines — ASCII corpus assumption, same
+    caveat as ``bpe_pair_counts``."""
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    d = _docs_parallel(spark, sf_dir)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.col("tok").substr(i, F.lit(1)),
+    )
+    v = (
+        d.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("tok", "freq", chars.alias("s"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, _BPT_ROUNDS + 1):
+        pair = F.transform(
+            F.sequence(F.lit(0), F.size("s") - 2),
+            lambda i: F.struct(
+                F.get("s", i).alias("lft"), F.get("s", i + 1).alias("rgt")
+            ),
+        )
+        top = (
+            v.filter(F.size("s") >= 2)
+            .select("freq", F.explode(pair).alias("p"))
+            .groupBy("p.lft", "p.rgt")
+            .agg(F.sum("freq").cast("long").alias("c"))
+            .orderBy(F.desc("c"), F.asc("lft"), F.asc("rgt"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lft, rgt, c = top[0]["lft"], top[0]["rgt"], int(top[0]["c"])
+        merges.append((r, lft, rgt, lft + rgt, c))
+        v = v.withColumn("s", _merge_fold(F.col("s"), lft, rgt))
+        # checkpoint every few rounds, not every round: the vocab is
+        # tiny so recomputing 1-2 chained folds is cheaper than a
+        # materialization job per round; unbounded chaining would
+        # instead grow the fold expression tree (analysis cost)
+        if r % 3 == 0:
+            v = v.localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round INT, lft STRING, rgt STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+def _bpe_train_sql() -> str:
+    """DuckDB replay of q_bpe_train: vocab with per-char symbol lists,
+    then ``_BPT_ROUNDS`` unrolled rounds of (pair counts -> top-1 ->
+    islands-selected greedy merge -> rebuilt symbol lists)."""
+    blocks = []
+    for r in range(1, _BPT_ROUNDS + 1):
+        prev = f"v{r - 1}"
+        blocks.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT s[i] AS lft, s[i + 1] AS rgt, CAST(sum(freq) AS BIGINT) AS c
+  FROM (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i
+        FROM {prev} WHERE len(s) >= 2)
+  GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (SELECT lft, rgt, c FROM p{r} ORDER BY c DESC, lft ASC, rgt ASC LIMIT 1),
+e{r} AS MATERIALIZED (
+  SELECT tok, freq, unnest(generate_series(1, len(s))) AS i, unnest(s) AS sym
+  FROM {prev}
+),
+mt{r} AS (
+  SELECT a.tok, a.i FROM e{r} a JOIN e{r} b ON a.tok = b.tok AND b.i = a.i + 1
+  CROSS JOIN m{r} m WHERE a.sym = m.lft AND b.sym = m.rgt
+),
+sel{r} AS MATERIALIZED (
+  SELECT tok, i FROM (
+    SELECT tok, i, i - row_number() OVER (PARTITION BY tok ORDER BY i) AS g
+    FROM mt{r}
+  ) QUALIFY (i - min(i) OVER (PARTITION BY tok, g)) % 2 = 0
+),
+v{r} AS MATERIALIZED (
+  SELECT e.tok, e.freq,
+         list(CASE WHEN s1.i IS NOT NULL THEN m.lft || m.rgt ELSE e.sym END
+              ORDER BY e.i) AS s
+  FROM e{r} e
+  CROSS JOIN m{r} m
+  LEFT JOIN sel{r} s1 ON e.tok = s1.tok AND e.i = s1.i
+  LEFT JOIN sel{r} s2 ON e.tok = s2.tok AND e.i = s2.i + 1
+  WHERE s2.i IS NULL
+  GROUP BY e.tok, e.freq
+)""")
+    finals = "\n  UNION ALL\n  ".join(
+        f"SELECT {r} AS round, lft, rgt, lft || rgt AS merged, c AS pair_count FROM m{r}"
+        for r in range(1, _BPT_ROUNDS + 1)
+    )
+    return f"""{SQL_WORDS},
+v0 AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+         list_transform(generate_series(1, len(tok)), i -> substr(tok, i, 1)) AS s
+  FROM (SELECT unnest(toks) AS tok FROM w) GROUP BY tok
+),{",".join(blocks)}
+SELECT CAST(round AS INT) AS round, lft, rgt, merged, pair_count FROM (
+  {finals}
+)"""
+
+
+SQL_BPE_TRAIN = _bpe_train_sql()
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_fill": q_token_budget_fill,
     "domain_rebalance": q_domain_rebalance,
     "semdedup_trained": q_semdedup_trained,
+    "bpe_train": q_bpe_train,
 }
 
 ORACLES9: dict[str, str] = {
     "token_budget_fill": SQL_TOKEN_BUDGET_FILL,
     "domain_rebalance": SQL_DOMAIN_REBALANCE,
     "semdedup_trained": SQL_SEMDEDUP_TRAINED,
+    "bpe_train": SQL_BPE_TRAIN,
 }
