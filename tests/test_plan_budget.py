@@ -87,6 +87,9 @@ BUDGETS = {
     # merge table is a driver-built local relation (rounds ran at
     # construction time, the connected-components pattern)
     "bpe_train": (0, 0, 0),
+    # checkpointed pre-aggs (bigram per-doc, vocab) leave a flat
+    # surprisal join: bf agg + join exchanges, u1/u2/total broadcasts
+    "bigram_lm_score": (3, 4, 0),
 }
 
 
@@ -104,6 +107,7 @@ CONSTRUCTION_JOB_CAPS = {
     "token_budget_fill": 8,  # distributed prefix sum: per-partition bases
     "semdedup_trained": 26,  # corpus count + Lloyd rounds (broadcast mode)
     "bpe_train": 24,  # vocab build + per-round top-1 + sparse checkpoints
+    "bigram_lm_score": 8,  # two pre-agg checkpoints (bigram, vocab)
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

@@ -439,11 +439,123 @@ SELECT CAST(round AS INT) AS round, lft, rgt, merged, pair_count FROM (
 SQL_BPE_TRAIN = _bpe_train_sql()
 
 
+# --- bigram_lm_score --------------------------------------------------------
+
+_BLM_LAMBDA = 0.75  # interpolation weight (exact binary fraction)
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM surprisal per document — the bigram
+    upgrade of ``unigram_logprob`` (CCNet-style LM quality scoring):
+    P(w2|w1) = 0.75 * c(w1,w2)/c(w1) + 0.25 * c(w2)/T, scored as mean
+    -log2 P over the document's bigrams.
+
+    Determinism convention (unigram_logprob precedent): per-bigram
+    surprisal is quantized to integer micro-bits and summed as BIGINT
+    (order-free under any partitioning); every float input to log2 is
+    produced by the same division of the same exact integers in both
+    engines, and 0.75/0.25 are exact binary fractions.
+
+    Scale shape (the dsir_weights lesson): ONE per-(doc, bigram)
+    pre-agg feeds everything — the corpus-wide bigram table rides on
+    it as a second (bigram-key) hash agg, the unigram table is a
+    broadcast-sized vocabulary, and the surprisal join multiplies by
+    the stored multiplicity instead of re-exploding occurrences.
+    Documents with < 2 tokens have no bigrams and drop out."""
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    d = _docs_parallel(spark, sf_dir)
+    toks = TX.tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("w1"),
+            F.element_at("toks", i + 1).alias("w2"),
+        ),
+    )
+    base = d.select("doc_id", toks.alias("toks"))
+    bgc = (
+        base.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b.w1", "b.w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        # two consumers (the corpus bigram table and the surprisal
+        # join) would otherwise re-run the explode+agg subtree twice —
+        # the dsir_weights lesson. Pin it once; on a real cluster swap
+        # for reliable-store checkpoint/persist.
+        .localCheckpoint()
+    )
+    bf = bgc.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("c12"))
+    uf = (
+        base.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # three consumers (u1, u2, total) — pin the vocabulary agg
+        .localCheckpoint()
+    )
+    total = uf.agg(F.sum("c").cast("long").alias("total"))
+    u1 = uf.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uf.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    p = (
+        F.lit(_BLM_LAMBDA) * (F.col("c12").cast("double") / F.col("c1"))
+        + F.lit(1 - _BLM_LAMBDA) * (F.col("c2").cast("double") / F.col("total"))
+    )
+    lp = F.round(-F.log2(p) * 1e6).cast("long")
+    scored = (
+        bgc.join(bf, ["w1", "w2"])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "k", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("lp")).cast("long").alias("sum_surprisal_micro"),
+        (
+            F.sum(F.col("k") * F.col("lp")).cast("double") / F.sum("k")
+        ).alias("mean_surprisal_micro"),
+    )
+
+
+SQL_BIGRAM_LM_SCORE = f"""{SQL_WORDS},
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM w WHERE len(toks) >= 2)
+),
+bgc AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k FROM bg GROUP BY 1, 2, 3
+),
+bf AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM bgc GROUP BY 1, 2),
+uf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS tok FROM w) GROUP BY tok
+),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uf),
+s AS (
+  SELECT bgc.doc_id, bgc.k,
+         CAST(round(-log2({_BLM_LAMBDA} * (CAST(bf.c12 AS DOUBLE) / u1.c)
+                          + {1 - _BLM_LAMBDA} * (CAST(u2.c AS DOUBLE) / t.total))
+                    * 1000000) AS BIGINT) AS lp
+  FROM bgc
+  JOIN bf USING (w1, w2)
+  JOIN uf u1 ON bgc.w1 = u1.tok
+  JOIN uf u2 ON bgc.w2 = u2.tok
+  CROSS JOIN t
+)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       CAST(sum(k * lp) AS BIGINT) AS sum_surprisal_micro,
+       CAST(sum(k * lp) AS DOUBLE) / sum(k) AS mean_surprisal_micro
+FROM s GROUP BY doc_id"""
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_fill": q_token_budget_fill,
     "domain_rebalance": q_domain_rebalance,
     "semdedup_trained": q_semdedup_trained,
     "bpe_train": q_bpe_train,
+    "bigram_lm_score": q_bigram_lm_score,
 }
 
 ORACLES9: dict[str, str] = {
@@ -451,4 +563,5 @@ ORACLES9: dict[str, str] = {
     "domain_rebalance": SQL_DOMAIN_REBALANCE,
     "semdedup_trained": SQL_SEMDEDUP_TRAINED,
     "bpe_train": SQL_BPE_TRAIN,
+    "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
 }
