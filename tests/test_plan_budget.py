@@ -90,6 +90,9 @@ BUDGETS = {
     # checkpointed pre-aggs (bigram per-doc, vocab) leave a flat
     # surprisal join: bf agg + join exchanges, u1/u2/total broadcasts
     "bigram_lm_score": (3, 4, 0),
+    # gram set pinned at construction; hit join (AQE-broadcast at
+    # small SF) + per-doc agg
+    "contamination_overlap": (3, 1, 0),
 }
 
 
@@ -108,6 +111,7 @@ CONSTRUCTION_JOB_CAPS = {
     "semdedup_trained": 26,  # corpus count + Lloyd rounds (broadcast mode)
     "bpe_train": 24,  # vocab build + per-round top-1 + sparse checkpoints
     "bigram_lm_score": 8,  # two pre-agg checkpoints (bigram, vocab)
+    "contamination_overlap": 8,  # distinct-gram checkpoint
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

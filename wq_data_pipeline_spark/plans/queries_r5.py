@@ -550,12 +550,106 @@ SELECT doc_id,
 FROM s GROUP BY doc_id"""
 
 
+# --- contamination_overlap --------------------------------------------------
+
+_CO_N = 5  # word n-gram width for the overlap metric
+_CO_TAU_MICRO = 500_000  # flag a doc at >= 50% benchmark-gram overlap
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram overlap fraction against a benchmark set —
+    the graded decontamination metric (GPT-3 appendix C / PaLM-style
+    n-gram collision rate), upgrading the binary fingerprint
+    ``decontaminate`` scan: for every non-src0 document, the share of
+    its DISTINCT word 5-grams that also occur in the src0 'benchmark'
+    corpus, plus a >= 50% contamination flag. Gram hashing follows
+    the dup_spans convention (15-hex md5 -> BIGINT, engine-portable);
+    the overlap fraction is integer floor-division, no float boundary.
+
+    Scale shape: one explode -> per-doc distinct gram agg, pinned
+    once (benchmark and eval branches both read it — without the pin
+    the md5-heavy explode subtree runs twice); the hit check is a
+    hash join on the gram hash. In production the benchmark grams
+    come from a separate, small eval-suite corpus and that side
+    becomes a broadcast; here both sides derive from the one test
+    table. Documents with < 5 tokens have no grams and drop out."""
+    from wq_data_pipeline_spark.operators.text import (
+        gram_hash,
+        shingles_from_tokens,
+    )
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    d = _docs_parallel(spark, sf_dir)
+    g = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(shingles_from_tokens(TX.tokens("text"), _CO_N)).alias("g"),
+        )
+        .select("doc_id", "source", gram_hash(F.col("g")).alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    bench = (
+        g.filter(F.col("source") == "src0")
+        .select("h")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev = g.filter(F.col("source") != "src0")
+    per_doc = (
+        ev.join(bench, "h", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    overlap = F.floor(
+        (F.col("n_hit") * F.lit(1_000_000)).cast("double")
+        / F.col("n_grams").cast("double")
+    ).cast("long")
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "n_hit",
+        overlap.alias("overlap_micro"),
+        (overlap >= F.lit(_CO_TAU_MICRO)).alias("contaminated"),
+    )
+
+
+SQL_CONTAMINATION_OVERLAP = f"""{SQL_WORDS},
+g AS (
+  SELECT DISTINCT doc_id, source,
+         ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {_CO_N - 1}), ' ')), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - {_CO_N - 1})) AS i
+        FROM w)
+),
+bench AS (SELECT DISTINCT h FROM g WHERE source = 'src0'),
+ev AS (SELECT doc_id, source, h FROM g WHERE source <> 'src0'),
+m AS (
+  SELECT ev.doc_id, ev.source, CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ev LEFT JOIN bench b USING (h)
+),
+p AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(hit) AS BIGINT) AS n_hit
+  FROM m GROUP BY 1, 2
+)
+SELECT doc_id, source, n_grams, n_hit,
+       (n_hit * 1000000) // n_grams AS overlap_micro,
+       (n_hit * 1000000) // n_grams >= {_CO_TAU_MICRO} AS contaminated
+FROM p"""
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_fill": q_token_budget_fill,
     "domain_rebalance": q_domain_rebalance,
     "semdedup_trained": q_semdedup_trained,
     "bpe_train": q_bpe_train,
     "bigram_lm_score": q_bigram_lm_score,
+    "contamination_overlap": q_contamination_overlap,
 }
 
 ORACLES9: dict[str, str] = {
@@ -564,4 +658,5 @@ ORACLES9: dict[str, str] = {
     "semdedup_trained": SQL_SEMDEDUP_TRAINED,
     "bpe_train": SQL_BPE_TRAIN,
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
+    "contamination_overlap": SQL_CONTAMINATION_OVERLAP,
 }
