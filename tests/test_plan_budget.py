@@ -81,9 +81,10 @@ BUDGETS = {
     # total); rebalance shuffles only the tiny per-source aggs
     "token_budget_fill": (2, 2, 0),
     "domain_rebalance": (3, 2, 0),
-    # trained-centroid semdedup: broadcast assignment + per-vector
-    # window + within-cluster self-join + dup agg/join
-    "semdedup_trained": (6, 3, 0),
+    # trained-centroid semdedup: assignment pinned at construction;
+    # final plan = within-cluster self-join + dup agg/join over the
+    # checkpointed assignment
+    "semdedup_trained": (4, 0, 0),
     # merge table is a driver-built local relation (rounds ran at
     # construction time, the connected-components pattern)
     "bpe_train": (0, 0, 0),
@@ -108,7 +109,7 @@ CONSTRUCTION_JOB_CAPS = {
     "sequence_pack": 8,  # distributed prefix sum: per-partition bases
     "pack_assignments": 8,
     "token_budget_fill": 8,  # distributed prefix sum: per-partition bases
-    "semdedup_trained": 26,  # corpus count + Lloyd rounds (broadcast mode)
+    "semdedup_trained": 36,  # count + Lloyd rounds + assignment checkpoint
     "bpe_train": 24,  # vocab build + per-round top-1 + sparse checkpoints
     "bigram_lm_score": 8,  # two pre-agg checkpoints (bigram, vocab)
     "contamination_overlap": 8,  # distinct-gram checkpoint

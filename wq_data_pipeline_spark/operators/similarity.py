@@ -280,21 +280,23 @@ def kmeans_centroids(
                 F.lit(0.0),
                 lambda a, x: a + x,
             )
-            assigned = (
+            # score NARROW rows (id, cid, cs) so the k-way crossJoin
+            # never duplicates the vector array k times nor carries it
+            # through the max_by buffer (measured: the wide form spent
+            # its time on allocation/GC at k=313, n=20k), then join
+            # the winning cid back to the checkpointed base for the
+            # vectors the means agg needs
+            ids = (
                 base.crossJoin(F.broadcast(ncent))
-                .withColumn("_cs", dot)
+                .select(F.col(id_col), F.col("_cid"), dot.alias("_cs"))
                 .groupBy(id_col)
                 .agg(
                     F.max_by(
-                        F.struct(F.col("_cid"), F.col(vec_col)),
-                        F.struct(F.col("_cs"), -F.col("_cid")),
-                    ).alias("_b")
-                )
-                .select(
-                    F.col("_b._cid").alias("_cid"),
-                    F.col(f"_b.{vec_col}").alias(vec_col),
+                        F.col("_cid"), F.struct(F.col("_cs"), -F.col("_cid"))
+                    ).alias("_cid")
                 )
             )
+            assigned = base.join(ids, id_col).select("_cid", vec_col)
         means = (
             assigned.select("_cid", F.posexplode(vec_col).alias("_pos", "_x"))
             .groupBy("_cid", "_pos")

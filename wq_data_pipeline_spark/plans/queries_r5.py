@@ -218,8 +218,6 @@ def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized cosines (``semdedup_within``)."""
     import math
 
-    from pyspark.sql import Window
-
     from wq_data_pipeline_spark.operators.similarity import (
         cosine,
         kmeans_centroids,
@@ -230,8 +228,13 @@ def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         _quantized,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _quantized("embedding").alias("q")
+    # single-file scan -> one input split; spread BEFORE the k-way
+    # scoring fan-out or the n x k dot products run on one core (the
+    # r1 single-file-scan rule; embed_cosine_topk precedent)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _quantized("embedding").alias("q"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     k = max(1, math.ceil(emb.count() / _SDT_TARGET))
     # broadcast-join trainer mode (literal_centroids_max=0): k grows
@@ -245,12 +248,31 @@ def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=k, iters=_KM_ITERS, vec_col="q", literal_centroids_max=0
     )
     c = cent.select(F.col("centroid_id").alias("_cid"), F.col("q").alias("_cv"))
-    scored = emb.crossJoin(F.broadcast(c)).withColumn("_cs", cosine("q", "_cv"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("_cid"))
+    # final assignment via NARROW max_by, NOT a per-vector row_number
+    # window: the window form shuffled and sorted the full n x k
+    # scored expansion (measured 189 s at 10x replica scale); max_by
+    # is partial-aggregable so only n rows cross the shuffle, and
+    # scoring (vec_id, cid, cs) rows only — the vector array never
+    # rides the k-way expansion — cuts the allocation/GC cost. The
+    # winning cluster joins back to the scan for the vectors the
+    # within-cluster stage needs. Tie rule (highest cosine, lowest
+    # centroid id) matches the oracle's ORDER BY cs DESC, cid.
+    ids = (
+        emb.crossJoin(F.broadcast(c))
+        .select("vec_id", F.col("_cid"), cosine("q", "_cv").alias("_cs"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("_cid"), F.struct(F.col("_cs"), -F.col("_cid"))
+            ).alias("cluster_id")
+        )
+    )
+    # the within-cluster stage reads `assigned` twice (a and b join
+    # sides) — pin it so the n x k assignment scoring runs once
     assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "q", F.col("_cid").alias("cluster_id"))
+        emb.join(ids, "vec_id")
+        .select("vec_id", "q", "cluster_id")
+        .localCheckpoint()
     )
     return semdedup_within(assigned, id_col="vec_id", vec_col="q", tau=_SDT_TAU)
 
