@@ -38,7 +38,9 @@ BUDGETS = {
     "tfidf_terms": (4, 1, 1),
     "exact_dedup": (2, 0, 0),
     "line_dedup": (2, 1, 2),
-    "semdedup": (6, 3, 0),
+    # assignment pinned at construction (narrow max_by argmax); final
+    # plan = within-cluster self-join + dup agg/join
+    "semdedup": (4, 0, 0),
     "event_dedup_window": (1, 0, 0),
     "salted_user_stats": (2, 0, 0),
     "sessionize": (1, 0, 0),
@@ -113,6 +115,7 @@ CONSTRUCTION_JOB_CAPS = {
     "bpe_train": 24,  # vocab build + per-round top-1 + sparse checkpoints
     "bigram_lm_score": 8,  # two pre-agg checkpoints (bigram, vocab)
     "contamination_overlap": 8,  # distinct-gram checkpoint
+    "semdedup": 10,  # repartition + pinned assignment checkpoint
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

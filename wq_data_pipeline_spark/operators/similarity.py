@@ -159,6 +159,14 @@ def ivf_topk(
             .select(key, vec, F.col("_cid").alias("_bucket"))
         )
 
+    # corpus assignment keeps the window form: with a SMALL trained
+    # centroid table (the ivf_topk contract — k fixed, not ∝ n) the
+    # n x k expansion is modest and one pass over the corpus beats
+    # the narrow-argmax + join-back split, which executes the corpus
+    # subtree twice (measured at 10x replica scale: split 10.4 s vs
+    # window ~5 s at k=8). When centroid count GROWS with the corpus
+    # (stride centroids, k ~ n/target), use the narrow max_by split
+    # instead — see semdedup / q_embed_ivf_topk / q_semdedup_trained.
     assigned = nearest_buckets(
         corpus.select(F.col(id_col), F.col(vec_col)), id_col, vec_col, 1
     )
@@ -494,6 +502,7 @@ def semdedup(
     cid_col: str = "centroid_id",
     cvec_col: str = "cq",
     tau: float = 0.97,
+    pin_assignment: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space coarsely, then inside each cluster mark as
@@ -529,15 +538,32 @@ def semdedup(
     ``rp_lsh_signature``); this function's within-cluster stage is
     unchanged by either assignment source.
     """
-    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "_cs", quantized_cosine(vec_col, cvec_col)
+    # assignment via NARROW partial-aggregable max_by, not a
+    # row_number window over the n x centroid expansion (the window
+    # form shuffles and sorts every scored row with the vector
+    # duplicated along; max_by combines map-side so only n rows
+    # shuffle). Same values and tie rule (cs DESC, cid ASC).
+    ids = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col(cid_col),
+            quantized_cosine(vec_col, cvec_col).alias("_cs"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(F.col(cid_col), F.struct(F.col("_cs"), -F.col(cid_col))).alias(
+                "cluster_id"
+            )
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc(cid_col))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, F.col(cid_col).alias("cluster_id"))
-    )
+    assigned = emb.join(ids, id_col).select(id_col, vec_col, "cluster_id")
+    # the within stage reads `assigned` twice (a/b join sides), which
+    # re-runs the n x centroid scoring in one plan; pin_assignment
+    # trades an eager materialization (localCheckpoint — swap for
+    # reliable-store checkpoint on a real cluster) for running it once
+    if pin_assignment:
+        assigned = assigned.localCheckpoint()
     return semdedup_within(assigned, id_col=id_col, vec_col=vec_col, tau=tau)
 
 

@@ -272,10 +272,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: F.round(x.cast("double") * _SD_Q).cast("long")
         ).alias("q"),
     )
+    # single-file scan -> one input split: spread rows before the
+    # centroid-count-wide scoring fan-out (r1 single-file-scan rule)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     cent = emb.filter(F.col("vec_id") % _SD_STRIDE == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("q").alias("cq")
     )
-    return semdedup(emb, cent, id_col="vec_id", vec_col="q", tau=_SD_TAU)
+    return semdedup(
+        emb, cent, id_col="vec_id", vec_col="q", tau=_SD_TAU, pin_assignment=True
+    )
 
 
 SQL_SEMDEDUP = f"""

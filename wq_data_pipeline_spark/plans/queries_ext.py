@@ -470,17 +470,34 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2 = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
         return dot.cast("double") / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
 
-    scored_c = emb.repartition(spark.sparkContext.defaultParallelism).crossJoin(F.broadcast(cent)).withColumn(
-        "cs", qcos(F.col("q"), F.col("cq"))
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    # corpus assignment via NARROW partial-aggregable max_by, not a
+    # row_number window over the corpus x centroid expansion (the
+    # window form shuffled+sorted all n x k scored rows — the shape
+    # fix measured on semdedup_trained in BASELINE.md r5); same
+    # values and tie rule (cs DESC, centroid_id ASC)
+    ids = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "centroid_id",
+            qcos(F.col("q"), F.col("cq")).alias("cs"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"), F.struct(F.col("cs"), -F.col("centroid_id"))
+            ).alias("bucket")
+        )
     )
+    assigned = emb.join(ids, "vec_id").select("vec_id", "q", "bucket")
+    # probes: filter to the query subset BEFORE scoring (100x less
+    # work); nprobe=2 per query, so the tiny window is fine here
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("centroid_id"))
-    assigned = (
-        scored_c.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", F.col("centroid_id").alias("bucket"))
-    )
     probes = (
-        scored_c.filter(F.col("vec_id") % 100 == 0)
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cs", qcos(F.col("q"), F.col("cq")))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") <= 2)
         .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("centroid_id").alias("bucket"))
