@@ -118,6 +118,47 @@ def test_domain_rebalance_rates(spark, sf_dir):
             assert all(r["keep"] for r in rs)
 
 
+def test_r5_operators_survive_degenerate_inputs(spark):
+    """The r5-touched operators must survive empty inputs with the
+    contract schema instead of plan-time type blowups (the
+    bm25-empty-corpus class of bug, ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    from wq_data_pipeline_spark.operators.scale import distributed_prefix_sum
+    from wq_data_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+        semdedup,
+        semdedup_within,
+    )
+
+    e = spark.createDataFrame([], "k BIGINT, v BIGINT")
+    out = distributed_prefix_sum(e, order_col="k", value_col="v", out="ps")
+    assert out.count() == 0 and "ps" in out.columns
+
+    a = spark.createDataFrame([], "vec_id BIGINT, q ARRAY<BIGINT>, cluster_id INT")
+    assert semdedup_within(a).count() == 0
+
+    emb = spark.createDataFrame([(1, [1, 2]), (2, [2, 3])], "vec_id BIGINT, q ARRAY<BIGINT>")
+    cent0 = spark.createDataFrame([], "centroid_id INT, cq ARRAY<BIGINT>")
+    assert semdedup(emb, cent0).count() == 0
+
+    empty_corpus = spark.createDataFrame([], "vec_id BIGINT, q ARRAY<DOUBLE>")
+    kc = kmeans_centroids(empty_corpus, k=4, iters=1, vec_col="q")
+    assert kc.count() == 0 and kc.columns == ["centroid_id", "q"]
+
+    # single-vector corpus: trains to that vector, no division blowups
+    one = spark.createDataFrame([(7, [1.0, 2.0])], "vec_id BIGINT, q ARRAY<DOUBLE>")
+    kc1 = kmeans_centroids(one, k=4, iters=2, vec_col="q")
+    assert kc1.count() >= 1
+
+    # merge fold on empty / single-symbol arrays
+    from wq_data_pipeline_spark.plans.queries_r5 import _merge_fold
+
+    df = spark.createDataFrame([(0, []), (1, ["a"])], "id INT, s ARRAY<STRING>")
+    got = {r["id"]: list(r["m"]) for r in df.select("id", _merge_fold(F.col("s"), "a", "b").alias("m")).collect()}
+    assert got == {0: [], 1: ["a"]}
+
+
 @pytest.mark.parametrize("_", [0])
 def test_bpe_train_monotone_counts(spark, sf_dir, _):
     """Merge counts are non-increasing only within equal-pair classes

@@ -251,12 +251,19 @@ def kmeans_centroids(
     cents: list[list[float]] = [list(r[vec_col]) for r in seed_rows]
 
     def cent_df(vectors: list[list[float]]) -> DataFrame:
+        """(centroid_id, vec) frame from driver-held centroid lists;
+        schema-explicit so the empty-corpus case stays well-typed."""
         return spark.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
             f"centroid_id INT, {vec_col} ARRAY<DOUBLE>",
         )
 
-    dim = len(cents[0]) if cents else 0
+    if not cents:
+        # empty corpus: no seeds to train from — empty centroid table
+        # with the contract schema instead of a lambda-type blowup
+        return cent_df([]).select("centroid_id", vec_col)
+
+    dim = len(cents[0])
     use_literals = k * dim <= literal_centroids_max
 
     for _ in range(iters):
