@@ -96,6 +96,9 @@ BUDGETS = {
     # gram set pinned at construction; hit join (AQE-broadcast at
     # small SF) + per-doc agg
     "contamination_overlap": (3, 1, 0),
+    # composition entry: rebalance branch + budget-fill branch + the
+    # per-source rollup; shuffles are tiny aggs and doc_id joins
+    "mix_report": (11, 8, 0),
 }
 
 
@@ -116,6 +119,7 @@ CONSTRUCTION_JOB_CAPS = {
     "bigram_lm_score": 8,  # two pre-agg checkpoints (bigram, vocab)
     "contamination_overlap": 8,  # distinct-gram checkpoint
     "semdedup": 10,  # repartition + pinned assignment checkpoint
+    "mix_report": 16,  # distributed prefix sum over the survivors
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

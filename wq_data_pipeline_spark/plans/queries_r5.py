@@ -665,6 +665,106 @@ SELECT doc_id, source, n_grams, n_hit,
 FROM p"""
 
 
+# --- mix_report -------------------------------------------------------------
+
+
+def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mix assembly report: the corpus-assembly layer
+    COMPOSED — domain_rebalance's deterministic keep decision, then
+    token_budget_fill's greedy priority fill over the surviving
+    docs (budget = half the surviving tokens), rolled up per source:
+    (n_docs, n_kept, n_selected, tokens_selected). This is the
+    summary a pipeline operator reads before launching a training
+    run. Same exact-integer conventions as the two stages it chains;
+    the prefix sum is the distributed two-level scan."""
+    keep = q_domain_rebalance(spark, sf_dir).select("doc_id", "source", "keep")
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    ).withColumn(
+        "ttr_micro",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(
+                (F.col("n_distinct") * F.lit(_TBF_SCALE)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).cast("long")
+        ),
+    )
+    kept = base.join(keep, "doc_id")
+    surv = kept.filter(F.col("keep")).withColumn(
+        "_ok",
+        (F.lit(_TBF_SCALE) - F.col("ttr_micro")) * F.lit(_TBF_SHIFT)
+        + F.col("doc_id"),
+    )
+    cum = distributed_prefix_sum(
+        surv, value_col="n_tokens", order_col="_ok", out="_cum_before"
+    )
+    total = surv.agg(F.sum("n_tokens").alias("_total"))
+    sel = (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn(
+            "selected",
+            F.col("_cum_before") + F.col("n_tokens")
+            <= F.floor(F.col("_total") / 2).cast("long"),
+        )
+        .select("doc_id", "selected", F.col("n_tokens").alias("_sel_tokens"))
+    )
+    return (
+        kept.join(sel, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.coalesce(F.col("selected").cast("long"), F.lit(0)))
+            .cast("long")
+            .alias("n_selected"),
+            F.sum(
+                F.when(F.coalesce("selected", F.lit(False)), F.col("n_tokens"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("tokens_selected"),
+        )
+    )
+
+
+SQL_MIX_REPORT = f"""{SQL_WORDS},
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_src,
+         CAST(1 + CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4 AS BIGINT) AS wt
+  FROM documents GROUP BY source
+),
+t AS (SELECT sum(n_src) AS n_total, sum(wt) AS sum_w FROM s),
+kd AS (
+  SELECT w.doc_id, w.source,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0
+              ELSE (CAST(len(list_distinct(toks)) AS BIGINT) * {_TBF_SCALE}) // len(toks)
+         END AS ttr_micro,
+         (('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 8))::BIGINT % {_DR_BUCKETS})
+           * t.sum_w * s.n_src < s.wt * t.n_total * {_DR_BUCKETS} AS keep
+  FROM w JOIN s USING (source) CROSS JOIN t
+),
+surv AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (ORDER BY ttr_micro DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         sum(n_tokens) OVER () AS total
+  FROM kd WHERE keep
+),
+sel AS (SELECT doc_id, cum_tokens <= total // 2 AS selected, n_tokens FROM surv)
+SELECT kd.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN kd.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN coalesce(sel.selected, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(sum(CASE WHEN coalesce(sel.selected, FALSE) THEN kd.n_tokens ELSE 0 END) AS BIGINT) AS tokens_selected
+FROM kd LEFT JOIN sel USING (doc_id)
+GROUP BY kd.source"""
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_fill": q_token_budget_fill,
     "domain_rebalance": q_domain_rebalance,
@@ -672,6 +772,7 @@ QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "bigram_lm_score": q_bigram_lm_score,
     "contamination_overlap": q_contamination_overlap,
+    "mix_report": q_mix_report,
 }
 
 ORACLES9: dict[str, str] = {
@@ -681,4 +782,5 @@ ORACLES9: dict[str, str] = {
     "bpe_train": SQL_BPE_TRAIN,
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
     "contamination_overlap": SQL_CONTAMINATION_OVERLAP,
+    "mix_report": SQL_MIX_REPORT,
 }
