@@ -99,6 +99,9 @@ BUDGETS = {
     # composition entry: rebalance branch + budget-fill branch + the
     # per-source rollup; shuffles are tiny aggs and doc_id joins
     "mix_report": (11, 8, 0),
+    # trainer ran at construction; apply = one explode + per-doc agg
+    # + the broadcast vocab join
+    "bpe_apply": (1, 1, 1),
 }
 
 
@@ -116,6 +119,7 @@ CONSTRUCTION_JOB_CAPS = {
     "token_budget_fill": 8,  # distributed prefix sum: per-partition bases
     "semdedup_trained": 36,  # count + Lloyd rounds + assignment checkpoint
     "bpe_train": 24,  # vocab build + per-round top-1 + sparse checkpoints
+    "bpe_apply": 24,  # same trainer rounds at construction
     "bigram_lm_score": 8,  # two pre-agg checkpoints (bigram, vocab)
     "contamination_overlap": 8,  # distinct-gram checkpoint
     "semdedup": 10,  # repartition + pinned assignment checkpoint

@@ -356,6 +356,18 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_start, run_start+2, ... Char indexing is UTF-16 vs
     code points across the engines — ASCII corpus assumption, same
     caveat as ``bpe_pair_counts``."""
+    _, merges = _bpe_train_state(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "round INT, lft STRING, rgt STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+def _bpe_train_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
+    """The BPE trainer round loop shared by ``bpe_train`` (emits the
+    merge table) and ``bpe_apply`` (tokenizes with the final vocab):
+    returns (final vocab frame (tok, freq, s), merge list)."""
     from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
 
     d = _docs_parallel(spark, sf_dir)
@@ -395,18 +407,21 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint every few rounds, not every round: the vocab is
         # tiny so recomputing 1-2 chained folds is cheaper than a
         # materialization job per round; unbounded chaining would
-        # instead grow the fold expression tree (analysis cost)
+        # instead grow the fold expression tree (analysis cost).
+        # (The final round is a multiple of 3, so the returned vocab
+        # frame is always materialized.)
         if r % 3 == 0:
             v = v.localCheckpoint()
-    return spark.createDataFrame(
-        merges, "round INT, lft STRING, rgt STRING, merged STRING, pair_count BIGINT"
-    )
+    return v, merges
 
 
-def _bpe_train_sql() -> str:
-    """DuckDB replay of q_bpe_train: vocab with per-char symbol lists,
-    then ``_BPT_ROUNDS`` unrolled rounds of (pair counts -> top-1 ->
-    islands-selected greedy merge -> rebuilt symbol lists)."""
+def _bpe_chain_sql() -> str:
+    """Shared DuckDB WITH-chain for the BPE oracles: vocab with
+    per-char symbol lists, then ``_BPT_ROUNDS`` unrolled rounds of
+    (pair counts -> top-1 -> islands-selected greedy merge ->
+    rebuilt symbol lists), ending at v{N}/m{1..N}. Consumed by
+    ``_bpe_train_sql`` (merge-table tail) and ``_bpe_apply_sql``
+    (per-doc tokenize tail)."""
     blocks = []
     for r in range(1, _BPT_ROUNDS + 1):
         prev = f"v{r - 1}"
@@ -443,22 +458,83 @@ v{r} AS MATERIALIZED (
   WHERE s2.i IS NULL
   GROUP BY e.tok, e.freq
 )""")
-    finals = "\n  UNION ALL\n  ".join(
-        f"SELECT {r} AS round, lft, rgt, lft || rgt AS merged, c AS pair_count FROM m{r}"
-        for r in range(1, _BPT_ROUNDS + 1)
-    )
     return f"""{SQL_WORDS},
 v0 AS MATERIALIZED (
   SELECT tok, CAST(count(*) AS BIGINT) AS freq,
          list_transform(generate_series(1, len(tok)), i -> substr(tok, i, 1)) AS s
   FROM (SELECT unnest(toks) AS tok FROM w) GROUP BY tok
-),{",".join(blocks)}
+),{",".join(blocks)}"""
+
+
+def _bpe_train_sql() -> str:
+    finals = "\n  UNION ALL\n  ".join(
+        f"SELECT {r} AS round, lft, rgt, lft || rgt AS merged, c AS pair_count FROM m{r}"
+        for r in range(1, _BPT_ROUNDS + 1)
+    )
+    return f"""{_bpe_chain_sql()}
 SELECT CAST(round AS INT) AS round, lft, rgt, merged, pair_count FROM (
   {finals}
 )"""
 
 
 SQL_BPE_TRAIN = _bpe_train_sql()
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize WITH the learned BPE vocab — the apply half of the
+    train->apply tokenizer loop: rerun the ``_BPT_ROUNDS`` trainer
+    (same deterministic merges), then join every document's words to
+    the final per-word symbol count and report per doc (n_words,
+    n_bpe_tokens, tokens_per_word_micro). Compression under the
+    learned merges is the signal a tokenizer-budget planner reads.
+
+    Scale shape: the per-word symbol counts live in the vocab table
+    (broadcast-sized), so applying the tokenizer to the corpus is a
+    per-(doc, word) pre-agg + one broadcast join — the corpus never
+    re-tokenizes per merge rule."""
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    v, _ = _bpe_train_state(spark, sf_dir)
+    d = _docs_parallel(spark, sf_dir)
+    dw = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    nsym = v.select("tok", F.size("s").cast("long").alias("n_sym"))
+    return (
+        dw.join(F.broadcast(nsym), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_words"),
+            F.sum(F.col("k") * F.col("n_sym")).cast("long").alias("n_bpe_tokens"),
+            F.floor(
+                (F.sum(F.col("k") * F.col("n_sym")) * F.lit(1_000_000)).cast(
+                    "double"
+                )
+                / F.sum("k").cast("double")
+            )
+            .cast("long")
+            .alias("tokens_per_word_micro"),
+        )
+    )
+
+
+def _bpe_apply_sql() -> str:
+    return f"""{_bpe_chain_sql()},
+dw AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM w) GROUP BY 1, 2
+)
+SELECT dw.doc_id,
+       CAST(sum(k) AS BIGINT) AS n_words,
+       CAST(sum(k * len(v.s)) AS BIGINT) AS n_bpe_tokens,
+       CAST((sum(k * len(v.s)) * 1000000) // sum(k) AS BIGINT) AS tokens_per_word_micro
+FROM dw JOIN v{_BPT_ROUNDS} v ON dw.tok = v.tok
+GROUP BY dw.doc_id"""
+
+
+SQL_BPE_APPLY = _bpe_apply_sql()
 
 
 # --- bigram_lm_score --------------------------------------------------------
@@ -773,6 +849,7 @@ QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_score": q_bigram_lm_score,
     "contamination_overlap": q_contamination_overlap,
     "mix_report": q_mix_report,
+    "bpe_apply": q_bpe_apply,
 }
 
 ORACLES9: dict[str, str] = {
@@ -783,4 +860,5 @@ ORACLES9: dict[str, str] = {
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
     "contamination_overlap": SQL_CONTAMINATION_OVERLAP,
     "mix_report": SQL_MIX_REPORT,
+    "bpe_apply": SQL_BPE_APPLY,
 }
