@@ -102,6 +102,8 @@ BUDGETS = {
     # trainer ran at construction; apply = one explode + per-doc agg
     # + the broadcast vocab join
     "bpe_apply": (1, 1, 1),
+    # minhash band chain + jaccard verify + source lookups + rollup
+    "cross_dedup": (11, 5, 4),
 }
 
 

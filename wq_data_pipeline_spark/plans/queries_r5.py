@@ -841,6 +841,115 @@ FROM kd LEFT JOIN sel USING (doc_id)
 GROUP BY kd.source"""
 
 
+# --- cross_dedup ------------------------------------------------------------
+
+_CD_TAU = 0.8  # verified-Jaccard near-dup threshold
+
+
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: check every NEW document (source !=
+    src0) for near-duplicates in the BASE corpus (src0 — the existing
+    training set) via MinHash-LSH candidates + exact word-set Jaccard
+    verification, at the operator-default constants the
+    minhash_lsh_pairs entry pins (k=32, 4 rows/band, max_df guard).
+    One row per new doc: (n_base_matches, best_jaccard, is_dup at
+    Jaccard >= 0.8). This is the dedupe-the-increment operation a
+    crawl pipeline runs before merging a new snapshot — distinct
+    from ``decontaminate`` (whole-doc fingerprint semi-join) and
+    from within-corpus clustering (``dedup_clusters``).
+
+    Scale shape: identical to minhash_lsh_pairs (banded self-join on
+    (band, key) with the hot-bucket guard); the cross-corpus
+    restriction is a filter on the verified pairs, and the per-new-doc
+    rollup is one hash agg + a broadcast-sized source lookup."""
+    from wq_data_pipeline_spark.operators import dedup as DD
+    from wq_data_pipeline_spark.plans.queries_ext import (
+        _MH_K,
+        _MH_MAXDF,
+        _MH_R,
+        _docs_parallel,
+    )
+
+    d = _docs_parallel(spark, sf_dir)
+    cand = DD.minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=_MH_K, rows_per_band=_MH_R, max_df=_MH_MAXDF
+    )
+    jac = DD.jaccard_pairs(d, cand, "text", "doc_id")
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    pairs = jac.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    # exactly one side in the base corpus; emit the NEW side
+    cross = pairs.filter(
+        (F.col("src_a") == "src0") != (F.col("src_b") == "src0")
+    ).select(
+        F.when(F.col("src_a") == "src0", F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("doc_id"),
+        "jaccard",
+    )
+    hits = cross.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_base_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    return (
+        src.filter(F.col("source") != "src0")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_base_matches", F.lit(0).cast("long")).alias(
+                "n_base_matches"
+            ),
+            "best_jaccard",
+            F.coalesce(F.col("best_jaccard") >= _CD_TAU, F.lit(False)).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
+def _cross_dedup_sql() -> str:
+    from wq_data_pipeline_spark.plans.queries_ext import (
+        _MH_K,
+        _MH_R,
+        _minhash_pairs_sql,
+    )
+
+    return f"""{SQL_WORDS},
+{_minhash_pairs_sql(_MH_K, _MH_R)},
+ws AS (SELECT doc_id, list_distinct(toks) AS ws FROM w),
+jac AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) AS jaccard
+  FROM pairs JOIN ws a ON pairs.id_a = a.doc_id JOIN ws b ON pairs.id_b = b.doc_id
+),
+srcs AS (SELECT doc_id, source FROM documents),
+cross_hits AS (
+  SELECT CASE WHEN sa.source = 'src0' THEN j.id_b ELSE j.id_a END AS doc_id,
+         j.jaccard
+  FROM jac j
+  JOIN srcs sa ON j.id_a = sa.doc_id
+  JOIN srcs sb ON j.id_b = sb.doc_id
+  WHERE (sa.source = 'src0') <> (sb.source = 'src0')
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_base_matches,
+         max(jaccard) AS best_jaccard
+  FROM cross_hits GROUP BY doc_id
+)
+SELECT s.doc_id, s.source,
+       coalesce(a.n_base_matches, 0) AS n_base_matches,
+       a.best_jaccard,
+       coalesce(a.best_jaccard >= {_CD_TAU}, FALSE) AS is_dup
+FROM srcs s LEFT JOIN agg a USING (doc_id)
+WHERE s.source <> 'src0'"""
+
+
+SQL_CROSS_DEDUP = _cross_dedup_sql()
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_fill": q_token_budget_fill,
     "domain_rebalance": q_domain_rebalance,
@@ -850,6 +959,7 @@ QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_overlap": q_contamination_overlap,
     "mix_report": q_mix_report,
     "bpe_apply": q_bpe_apply,
+    "cross_dedup": q_cross_dedup,
 }
 
 ORACLES9: dict[str, str] = {
@@ -861,4 +971,5 @@ ORACLES9: dict[str, str] = {
     "contamination_overlap": SQL_CONTAMINATION_OVERLAP,
     "mix_report": SQL_MIX_REPORT,
     "bpe_apply": SQL_BPE_APPLY,
+    "cross_dedup": SQL_CROSS_DEDUP,
 }
