@@ -104,6 +104,8 @@ BUDGETS = {
     "bpe_apply": (1, 1, 1),
     # minhash band chain + jaccard verify + source lookups + rollup
     "cross_dedup": (11, 5, 4),
+    # per-row bit algebra + one broadcast bounds row + one hash agg
+    "zorder_layout": (2, 1, 0),
 }
 
 

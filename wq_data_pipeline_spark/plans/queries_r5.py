@@ -950,6 +950,144 @@ WHERE s.source <> 'src0'"""
 SQL_CROSS_DEDUP = _cross_dedup_sql()
 
 
+# --- zorder_layout ----------------------------------------------------------
+
+_ZO_BITS = 16  # bits per dimension interleaved into the z-value
+_ZO_BUCKETS = 64  # equal-width z-range buckets (files, in a real layout)
+# the box query the skipping report evaluates: users 100-200, first day
+_ZO_U0, _ZO_U1 = 100, 200
+_ZO_M0, _ZO_M1 = 0, 1440  # minutes since epoch-min of the table
+
+
+def _interleave_bits(x: F.Column, y: F.Column) -> F.Column:
+    """Morton z-value: interleave the low ``_ZO_BITS`` bits of x and y
+    (x on even positions, y on odd) — pure 64-bit integer bit algebra,
+    identical in DuckDB."""
+    z = F.lit(0).cast("long")
+    for i in range(_ZO_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout report — the storage-layout
+    side of 100-TB efficiency (Delta/Iceberg OPTIMIZE ZORDER): compute
+    the interleaved z-value over (user_id, event minute), split the
+    z-range into ``_ZO_BUCKETS`` equal-width buckets (files), and
+    report per bucket the row count, both dimensions' min/max (the
+    footer stats a reader would consult), and whether the bucket is
+    SKIPPABLE for a representative box query (users 100-200 on day 1).
+    Because z-order keeps both dimensions locally coherent, most
+    buckets are skippable for a 2-D box — the property a
+    single-column sort lacks on its second dimension.
+
+    Scale shape: the z-value is per-row bit algebra (no shuffle); the
+    bucket id is equal-width on the z-range (two broadcast scalars —
+    at write time this is repartitionByRange on z, the same sampling
+    machinery as a global sort); the report is one hash agg. Minutes
+    are taken relative to the table's min timestamp so the bucket
+    layout is content-deterministic, not wall-clock-dependent."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    base = ev.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.floor(F.unix_micros("ts") / F.lit(60_000_000)).cast("long").alias("m"),
+    )
+    bounds = base.agg(
+        F.min("m").alias("m_min"),
+        F.max("m").alias("m_max"),
+        F.max("u").alias("u_max"),
+    )
+    b = base.crossJoin(F.broadcast(bounds)).select(
+        "u",
+        (F.col("m") - F.col("m_min")).alias("mrel"),
+        "m_min",
+        "m_max",
+        "u_max",
+    )
+    z = _interleave_bits(F.col("u"), F.col("mrel"))
+    zmax = _interleave_bits(F.col("u_max"), F.col("m_max") - F.col("m_min"))
+    # equal-width z-range buckets; +1 so z == zmax lands in the last
+    bucket = F.least(
+        F.lit(_ZO_BUCKETS - 1).cast("long"),
+        F.floor(
+            (z * F.lit(_ZO_BUCKETS)).cast("double") / (zmax + 1).cast("double")
+        ).cast("long"),
+    )
+    per = (
+        b.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max_b"),
+            F.min("mrel").alias("m_min_b"),
+            F.max("mrel").alias("m_max_b"),
+        )
+    )
+    skippable = ~(
+        (F.col("u_min") <= _ZO_U1)
+        & (F.col("u_max_b") >= _ZO_U0)
+        & (F.col("m_min_b") <= _ZO_M1)
+        & (F.col("m_max_b") >= _ZO_M0)
+    )
+    return per.select(
+        "bucket",
+        "n_rows",
+        "u_min",
+        F.col("u_max_b").alias("u_max"),
+        F.col("m_min_b").alias("m_min"),
+        F.col("m_max_b").alias("m_max"),
+        skippable.alias("skippable"),
+    )
+
+
+def _zorder_sql() -> str:
+    def interleave(x: str, y: str) -> str:
+        terms = []
+        for i in range(_ZO_BITS):
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        return " + ".join(terms)
+
+    return f"""
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS u,
+         CAST(epoch_us(ts) // 60000000 AS BIGINT) AS m
+  FROM events
+),
+bounds AS (SELECT min(m) AS m_min, max(m) AS m_max, max(u) AS u_max FROM e),
+b AS (
+  SELECT u, m - bounds.m_min AS mrel, bounds.m_max - bounds.m_min AS mrel_max,
+         bounds.u_max AS u_max
+  FROM e CROSS JOIN bounds
+),
+zc AS (
+  SELECT u, mrel,
+         {interleave('u', 'mrel')} AS z,
+         {interleave('u_max', 'mrel_max')} AS zmax
+  FROM b
+),
+pb AS (
+  SELECT least({_ZO_BUCKETS - 1}, (z * {_ZO_BUCKETS}) // (zmax + 1)) AS bucket,
+         u, mrel
+  FROM zc
+),
+agg AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         min(u) AS u_min, max(u) AS u_max,
+         min(mrel) AS m_min, max(mrel) AS m_max
+  FROM pb GROUP BY bucket
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_rows, u_min, u_max, m_min, m_max,
+       NOT (u_min <= {_ZO_U1} AND u_max >= {_ZO_U0}
+            AND m_min <= {_ZO_M1} AND m_max >= {_ZO_M0}) AS skippable
+FROM agg"""
+
+
+SQL_ZORDER_LAYOUT = _zorder_sql()
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_fill": q_token_budget_fill,
     "domain_rebalance": q_domain_rebalance,
@@ -960,6 +1098,7 @@ QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_report": q_mix_report,
     "bpe_apply": q_bpe_apply,
     "cross_dedup": q_cross_dedup,
+    "zorder_layout": q_zorder_layout,
 }
 
 ORACLES9: dict[str, str] = {
@@ -972,4 +1111,5 @@ ORACLES9: dict[str, str] = {
     "mix_report": SQL_MIX_REPORT,
     "bpe_apply": SQL_BPE_APPLY,
     "cross_dedup": SQL_CROSS_DEDUP,
+    "zorder_layout": SQL_ZORDER_LAYOUT,
 }
