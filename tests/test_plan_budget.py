@@ -106,6 +106,9 @@ BUDGETS = {
     "cross_dedup": (11, 5, 4),
     # per-row bit algebra + one broadcast bounds row + one hash agg
     "zorder_layout": (2, 1, 0),
+    # one scan -> 3-way layout explode -> per-(layout,bucket) agg ->
+    # per-layout rollup
+    "layout_compare": (3, 1, 1),
 }
 
 

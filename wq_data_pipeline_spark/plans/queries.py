@@ -689,21 +689,21 @@ ORACLES.update(ORACLES9)
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
 # latest driver-green row fresh (<= ~2 rounds stale). Round-5 head:
-#   1. the ten never-driver-checked r5 entries (token_budget_fill,
+#   1. the eleven never-driver-checked r5 entries (token_budget_fill,
 #      domain_rebalance, semdedup_trained, bpe_train, bpe_apply,
 #      bigram_lm_score, contamination_overlap, mix_report,
-#      cross_dedup, zorder_layout),
+#      cross_dedup, zorder_layout, layout_compare),
 #   2. doc_filter (r4's one red row, fixed: reasons array -> string)
 #      and embed_kmeans_ivf (newly oracled assignment step),
 #   3. the three TPC-H entries last green in r1,
 #   4. the three r2-green entries (fingerprint_dedup, jaccard_pairs,
 #      text_token_stats),
-#   5. 32 of the 46 entries last green in r3 (a1_dup_median,
-#      a4_decimal_hist, a5_mode_cents, a7_seasonal, w1_jumps,
-#      w2_gaps, w4_binary_switches, w5_flat_runs, w6_flat_slopes,
-#      w7_rolling_var, w8_robust_z, w9_isolated, winnow_fingerprints,
-#      winnow_matches deferred to r6 — each green in 2+ earlier
-#      rounds and pytest-mirrored).
+#   5. 31 of the 46 entries last green in r3 (a1_dup_median,
+#      a4_decimal_hist, a5_mode_cents, a7_seasonal, w17_resample_hourly,
+#      w1_jumps, w2_gaps, w4_binary_switches, w5_flat_runs,
+#      w6_flat_slopes, w7_rolling_var, w8_robust_z, w9_isolated,
+#      winnow_fingerprints, winnow_matches deferred to r6 — each
+#      green in 2+ earlier rounds and pytest-mirrored).
 # Every r4-green entry rotates to the tail; all tail entries remain
 # covered by the local sf0.01 pytest oracle mirror (test_oracle.py).
 _DRIVER_WINDOW = [
@@ -717,6 +717,7 @@ _DRIVER_WINDOW = [
     "mix_report",
     "cross_dedup",
     "zorder_layout",
+    "layout_compare",
     "doc_filter",
     "embed_kmeans_ivf",
     "tpch_q1",
@@ -756,7 +757,6 @@ _DRIVER_WINDOW = [
     "w12_bands",
     "w13_tri5",
     "w16_gaussian",
-    "w17_resample_hourly",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

@@ -1088,6 +1088,155 @@ FROM agg"""
 SQL_ZORDER_LAYOUT = _zorder_sql()
 
 
+# --- layout_compare ---------------------------------------------------------
+
+
+def q_layout_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies WHY z-order: bucket the events table three ways —
+    z-order (Morton interleave), user-major sort, time-major sort —
+    into the same number of equal-width key-range buckets, and report
+    per layout how many buckets (and rows) the representative 2-D box
+    query can skip on footer stats alone. Single-column sorts skip
+    well on their own dimension and poorly on the other; z-order
+    skips on both. One scan computes all three keys, one explode +
+    one hash agg does the rest — the whole comparison is one shuffle.
+
+    All three keys are exact BIGINT compositions (the sort-key pairs
+    are packed as a*(max_b+1)+b), so bucket boundaries are
+    engine-identical."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    base = ev.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.floor(F.unix_micros("ts") / F.lit(60_000_000)).cast("long").alias("m"),
+    )
+    bounds = base.agg(
+        F.min("m").alias("m_min"), F.max("m").alias("m_max"), F.max("u").alias("u_max")
+    )
+    b = base.crossJoin(F.broadcast(bounds)).select(
+        "u",
+        (F.col("m") - F.col("m_min")).alias("mr"),
+        (F.col("m_max") - F.col("m_min")).alias("mr_max"),
+        "u_max",
+    )
+    z = _interleave_bits(F.col("u"), F.col("mr"))
+    zmax = _interleave_bits(F.col("u_max"), F.col("mr_max"))
+    k_user = F.col("u") * (F.col("mr_max") + 1) + F.col("mr")
+    k_user_max = F.col("u_max") * (F.col("mr_max") + 1) + F.col("mr_max")
+    k_time = F.col("mr") * (F.col("u_max") + 1) + F.col("u")
+    k_time_max = F.col("mr_max") * (F.col("u_max") + 1) + F.col("u_max")
+
+    def bkt(k: F.Column, kmax: F.Column) -> F.Column:
+        return F.least(
+            F.lit(_ZO_BUCKETS - 1).cast("long"),
+            F.floor(
+                (k * F.lit(_ZO_BUCKETS)).cast("double") / (kmax + 1).cast("double")
+            ).cast("long"),
+        )
+
+    layouts = F.array(
+        F.struct(F.lit("zorder").alias("layout"), bkt(z, zmax).alias("bucket")),
+        F.struct(
+            F.lit("user_sort").alias("layout"), bkt(k_user, k_user_max).alias("bucket")
+        ),
+        F.struct(
+            F.lit("time_sort").alias("layout"), bkt(k_time, k_time_max).alias("bucket")
+        ),
+    )
+    rows = b.select("u", "mr", F.explode(layouts).alias("L")).select(
+        "u", "mr", F.col("L.layout").alias("layout"), F.col("L.bucket").alias("bucket")
+    )
+    per = rows.groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("u").alias("u_min"),
+        F.max("u").alias("u_max"),
+        F.min("mr").alias("m_min"),
+        F.max("mr").alias("m_max"),
+    )
+    skippable = ~(
+        (F.col("u_min") <= _ZO_U1)
+        & (F.col("u_max") >= _ZO_U0)
+        & (F.col("m_min") <= _ZO_M1)
+        & (F.col("m_max") >= _ZO_M0)
+    )
+    agg = per.withColumn("skip", skippable).groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("skip").cast("long")).cast("long").alias("n_skippable"),
+        F.sum(F.when(F.col("skip"), F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_skipped"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+    )
+    return agg.withColumn(
+        "skip_pct_micro",
+        F.floor(
+            (F.col("rows_skipped") * F.lit(1_000_000)).cast("double")
+            / F.col("rows_total").cast("double")
+        ).cast("long"),
+    )
+
+
+def _layout_compare_sql() -> str:
+    def interleave(x: str, y: str) -> str:
+        terms = []
+        for i in range(_ZO_BITS):
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        return " + ".join(terms)
+
+    def bkt(k: str, kmax: str) -> str:
+        return f"least({_ZO_BUCKETS - 1}, ({k} * {_ZO_BUCKETS}) // ({kmax} + 1))"
+
+    return f"""
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS u,
+         CAST(epoch_us(ts) // 60000000 AS BIGINT) AS m
+  FROM events
+),
+bounds AS (SELECT min(m) AS m_min, max(m) AS m_max, max(u) AS u_max FROM e),
+b AS (
+  SELECT u, m - bounds.m_min AS mr, bounds.m_max - bounds.m_min AS mr_max,
+         bounds.u_max AS u_max
+  FROM e CROSS JOIN bounds
+),
+keyed AS (
+  SELECT u, mr,
+         {interleave('u', 'mr')} AS z, {interleave('u_max', 'mr_max')} AS zmax,
+         u * (mr_max + 1) + mr AS ku, u_max * (mr_max + 1) + mr_max AS kumax,
+         mr * (u_max + 1) + u AS kt, mr_max * (u_max + 1) + u_max AS ktmax
+  FROM b
+),
+rows_l AS (
+  SELECT u, mr, 'zorder' AS layout, {bkt('z', 'zmax')} AS bucket FROM keyed
+  UNION ALL
+  SELECT u, mr, 'user_sort', {bkt('ku', 'kumax')} FROM keyed
+  UNION ALL
+  SELECT u, mr, 'time_sort', {bkt('kt', 'ktmax')} FROM keyed
+),
+per AS (
+  SELECT layout, bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         min(u) AS u_min, max(u) AS u_max, min(mr) AS m_min, max(mr) AS m_max
+  FROM rows_l GROUP BY layout, bucket
+),
+marked AS (
+  SELECT *, NOT (u_min <= {_ZO_U1} AND u_max >= {_ZO_U0}
+                 AND m_min <= {_ZO_M1} AND m_max >= {_ZO_M0}) AS skip
+  FROM per
+),
+agg AS (
+  SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+         CAST(sum(CASE WHEN skip THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+         CAST(sum(n_rows) AS BIGINT) AS rows_total
+  FROM marked GROUP BY layout
+)
+SELECT layout, n_buckets, n_skippable, rows_skipped, rows_total,
+       CAST((rows_skipped * 1000000) // rows_total AS BIGINT) AS skip_pct_micro
+FROM agg"""
+
+
+SQL_LAYOUT_COMPARE = _layout_compare_sql()
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_fill": q_token_budget_fill,
     "domain_rebalance": q_domain_rebalance,
@@ -1099,6 +1248,7 @@ QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_apply": q_bpe_apply,
     "cross_dedup": q_cross_dedup,
     "zorder_layout": q_zorder_layout,
+    "layout_compare": q_layout_compare,
 }
 
 ORACLES9: dict[str, str] = {
@@ -1112,4 +1262,5 @@ ORACLES9: dict[str, str] = {
     "bpe_apply": SQL_BPE_APPLY,
     "cross_dedup": SQL_CROSS_DEDUP,
     "zorder_layout": SQL_ZORDER_LAYOUT,
+    "layout_compare": SQL_LAYOUT_COMPARE,
 }
