@@ -327,7 +327,6 @@ def test_dup_span_removal_merged_islands_documented_overremoval(spark, tmp_path)
     NOWHERE — over-removal, the safe direction. Engine and oracle must
     agree exactly on this case."""
     import hashlib
-    import sys
 
     from wq_data_pipeline_spark.plans.queries_scale import (
         SQL_DUP_SPAN_REMOVAL,
@@ -358,8 +357,7 @@ def test_dup_span_removal_merged_islands_documented_overremoval(spark, tmp_path)
     assert out[2].n_removed == 12
     assert out[2].text_md5 == hashlib.md5(" ".join(fill2).encode()).hexdigest()
     # the DuckDB oracle implements the identical rule
-    sys.path.insert(0, "/root/repo/tests")
-    from oracle_utils import compare
+    from tests.oracle_utils import compare
 
     ok, info = compare(
         q_dup_span_removal(spark, str(tmp_path)), SQL_DUP_SPAN_REMOVAL, str(tmp_path)

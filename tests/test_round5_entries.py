@@ -159,6 +159,62 @@ def test_r5_operators_survive_degenerate_inputs(spark):
     assert got == {0: [], 1: ["a"]}
 
 
+def _write_docs(spark, path, rows, source="src0"):
+    spark.createDataFrame(
+        [(i, t, "en", source, len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_bpe_entries_survive_merge_exhaustion(spark, tmp_path):
+    """A corpus whose words are all single characters has NO mergeable
+    pairs: the trainer must emit an empty merge table and bpe_apply
+    must still tokenize (1 symbol per word) — and the DuckDB oracles
+    must agree (the oracle's per-round vocab rebuild falls back to
+    the previous vocab when the round's merge pick is empty, instead
+    of emptying it through a CROSS JOIN)."""
+    from tests.oracle_utils import compare
+
+    from wq_data_pipeline_spark.plans.queries_r5 import (
+        SQL_BPE_APPLY,
+        SQL_BPE_TRAIN,
+        q_bpe_apply,
+        q_bpe_train,
+    )
+
+    _write_docs(spark, tmp_path, ["a b c a", "b c", "a a a"])
+    t = q_bpe_train(spark, str(tmp_path))
+    assert t.count() == 0
+    ok, info = compare(t, SQL_BPE_TRAIN, str(tmp_path))
+    assert ok, info
+    rows = {r.doc_id: r for r in q_bpe_apply(spark, str(tmp_path)).collect()}
+    assert rows[0].n_words == 4 and rows[0].n_bpe_tokens == 4
+    assert rows[2].n_words == 3 and rows[2].n_bpe_tokens == 3
+    ok, info = compare(
+        q_bpe_apply(spark, str(tmp_path)), SQL_BPE_APPLY, str(tmp_path)
+    )
+    assert ok, info
+
+
+def test_domain_rebalance_digitless_source(spark, tmp_path):
+    """Source names without digits must weight as index 0 on BOTH
+    engines (a raw '' cast is NULL on Spark and an ERROR in DuckDB)."""
+    from tests.oracle_utils import compare
+
+    from wq_data_pipeline_spark.plans.queries_r5 import (
+        SQL_DOMAIN_REBALANCE,
+        q_domain_rebalance,
+    )
+
+    _write_docs(spark, tmp_path, ["alpha beta", "gamma delta"], source="web")
+    out = q_domain_rebalance(spark, str(tmp_path)).collect()
+    assert len(out) == 2 and all(r.target_w == 1 for r in out)
+    ok, info = compare(
+        q_domain_rebalance(spark, str(tmp_path)), SQL_DOMAIN_REBALANCE, str(tmp_path)
+    )
+    assert ok, info
+
+
 @pytest.mark.parametrize("_", [0])
 def test_bpe_train_monotone_counts(spark, sf_dir, _):
     """Merge counts are non-increasing only within equal-pair classes

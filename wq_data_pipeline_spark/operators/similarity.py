@@ -520,7 +520,11 @@ def semdedup(
 
     ``emb`` holds (id_col, vec_col) with integer-quantized vectors;
     ``centroids`` holds (cid_col, cvec_col) — either a deterministic
-    stride sample or trained k-means means (quantized).
+    stride sample or trained k-means means (quantized). ``id_col``
+    must be UNIQUE: the narrow-argmax assignment joins the winning
+    cluster back to ``emb`` by id, so a duplicated id would fan out
+    into phantom within-cluster pairs (same precondition as
+    :func:`kmeans_centroids`'s broadcast mode).
 
     Returns one row per vector:
     (id, cluster_id, is_dup, n_dup_earlier, max_sim_earlier).

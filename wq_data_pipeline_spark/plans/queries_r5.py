@@ -44,19 +44,21 @@ from wq_data_pipeline_spark.sources.testdata import load_table
 # (//); Spark computes floor(double-division) of the same BIGINTs,
 # which agrees because the true remainder is >= 1/n_tokens >> one ulp.
 _TBF_SCALE = 1_000_000
-# packed total-order key: (priority DESC, doc_id ASC) in one BIGINT —
-# assumes doc_id < 2^33 and priority <= 1e6 (a ratio x 1e6)
-_TBF_SHIFT = 1 << 33
+# packed total-order key: (priority DESC, doc_id ASC) in one BIGINT.
+# priority <= 1e6 (a ratio x 1e6) needs 20 bits, so shifting by 2^43
+# leaves room for doc_id < 2^43 (~8.8e12) before the packing bleeds
+# into the priority field — comfortably past the 10^10-row scale the
+# prefix-sum design targets ((1e6) * 2^43 = 8.80e18 < 2^63-1)
+_TBF_SHIFT = 1 << 43
 
 
-def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy token-budget fill: take documents in (type-token-ratio
-    DESC, doc_id ASC) order while the running token total stays
-    within half the corpus tokens. One row per document with its
-    inclusive cumulative position and the keep decision."""
-    d = load_table(spark, sf_dir, "documents")
+def _tbf_priority(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, ttr_micro) priority columns — the greedy
+    fill's ordering basis, shared by token_budget_fill and
+    mix_report so the composition can never diverge from the
+    standalone entry."""
     toks = TX.tokens("text")
-    base = d.select(
+    return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
@@ -69,11 +71,23 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ),
     )
-    keyed = base.withColumn(
-        "_ok",
-        (F.lit(_TBF_SCALE) - F.col("ttr_micro")) * F.lit(_TBF_SHIFT)
-        + F.col("doc_id"),
+
+
+def _tbf_order_key() -> F.Column:
+    """Packed (priority DESC, doc_id ASC) BIGINT total-order key."""
+    return (F.lit(_TBF_SCALE) - F.col("ttr_micro")) * F.lit(_TBF_SHIFT) + F.col(
+        "doc_id"
     )
+
+
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget fill: take documents in (type-token-ratio
+    DESC, doc_id ASC) order while the running token total stays
+    within half the corpus tokens. One row per document with its
+    inclusive cumulative position and the keep decision."""
+    d = load_table(spark, sf_dir, "documents")
+    base = _tbf_priority(d)
+    keyed = base.withColumn("_ok", _tbf_order_key())
     cum = distributed_prefix_sum(
         keyed, value_col="n_tokens", order_col="_ok", out="_cum_before"
     )
@@ -134,9 +148,16 @@ def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Keep predicate is exact BIGINT cross-multiplication:
     bucket * sum_w * n_s < w_s * N * 1e6."""
     d = load_table(spark, sf_dir, "documents")
+    # digit-less source names weight as index 0 on BOTH engines (a raw
+    # cast of '' would be NULL on Spark and a conversion ERROR in
+    # DuckDB — the engines must agree on arbitrary source names)
     w_expr = (
         F.lit(1)
-        + F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("long") % 4
+        + F.coalesce(
+            F.nullif(F.regexp_extract(F.col("source"), r"(\d+)", 1), F.lit("")),
+            F.lit("0"),
+        ).cast("long")
+        % 4
     ).cast("long")
     per_src = (
         d.groupBy("source")
@@ -180,7 +201,7 @@ def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOMAIN_REBALANCE = f"""
 WITH s AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_src,
-         CAST(1 + CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4 AS BIGINT) AS w
+         CAST(1 + CAST(coalesce(nullif(regexp_extract(source, '(\\d+)', 1), ''), '0') AS BIGINT) % 4 AS BIGINT) AS w
   FROM documents GROUP BY source
 ),
 t AS (SELECT sum(n_src) AS n_total, sum(w) AS sum_w FROM s),
@@ -452,7 +473,7 @@ v{r} AS MATERIALIZED (
          list(CASE WHEN s1.i IS NOT NULL THEN m.lft || m.rgt ELSE e.sym END
               ORDER BY e.i) AS s
   FROM e{r} e
-  CROSS JOIN m{r} m
+  LEFT JOIN m{r} m ON TRUE
   LEFT JOIN sel{r} s1 ON e.tok = s1.tok AND e.i = s1.i
   LEFT JOIN sel{r} s2 ON e.tok = s2.tok AND e.i = s2.i + 1
   WHERE s2.i IS NULL
@@ -755,26 +776,9 @@ def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefix sum is the distributed two-level scan."""
     keep = q_domain_rebalance(spark, sf_dir).select("doc_id", "source", "keep")
     d = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens("text")
-    base = d.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-    ).withColumn(
-        "ttr_micro",
-        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
-            F.floor(
-                (F.col("n_distinct") * F.lit(_TBF_SCALE)).cast("double")
-                / F.col("n_tokens").cast("double")
-            ).cast("long")
-        ),
-    )
+    base = _tbf_priority(d)
     kept = base.join(keep, "doc_id")
-    surv = kept.filter(F.col("keep")).withColumn(
-        "_ok",
-        (F.lit(_TBF_SCALE) - F.col("ttr_micro")) * F.lit(_TBF_SHIFT)
-        + F.col("doc_id"),
-    )
+    surv = kept.filter(F.col("keep")).withColumn("_ok", _tbf_order_key())
     cum = distributed_prefix_sum(
         surv, value_col="n_tokens", order_col="_ok", out="_cum_before"
     )
@@ -786,7 +790,7 @@ def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_cum_before") + F.col("n_tokens")
             <= F.floor(F.col("_total") / 2).cast("long"),
         )
-        .select("doc_id", "selected", F.col("n_tokens").alias("_sel_tokens"))
+        .select("doc_id", "selected")
     )
     return (
         kept.join(sel, "doc_id", "left")
@@ -810,7 +814,7 @@ def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MIX_REPORT = f"""{SQL_WORDS},
 s AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_src,
-         CAST(1 + CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4 AS BIGINT) AS wt
+         CAST(1 + CAST(coalesce(nullif(regexp_extract(source, '(\\d+)', 1), ''), '0') AS BIGINT) % 4 AS BIGINT) AS wt
   FROM documents GROUP BY source
 ),
 t AS (SELECT sum(n_src) AS n_total, sum(wt) AS sum_w FROM s),
@@ -970,6 +974,24 @@ def _interleave_bits(x: F.Column, y: F.Column) -> F.Column:
     return z
 
 
+def _interleave_sql(x: str, y: str) -> str:
+    """SQL mirror of :func:`_interleave_bits` — shared by the zorder
+    and layout-comparison oracles so the bit layout can't diverge."""
+    terms = []
+    for i in range(_ZO_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _zo_skippable(u_min, u_max, m_min, m_max) -> F.Column:
+    """Bucket skippability for the representative 2-D box query —
+    shared by zorder_layout and layout_compare."""
+    return ~(
+        (u_min <= _ZO_U1) & (u_max >= _ZO_U0) & (m_min <= _ZO_M1) & (m_max >= _ZO_M0)
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering layout report — the storage-layout
     side of 100-TB efficiency (Delta/Iceberg OPTIMIZE ZORDER): compute
@@ -1025,11 +1047,8 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mrel").alias("m_max_b"),
         )
     )
-    skippable = ~(
-        (F.col("u_min") <= _ZO_U1)
-        & (F.col("u_max_b") >= _ZO_U0)
-        & (F.col("m_min_b") <= _ZO_M1)
-        & (F.col("m_max_b") >= _ZO_M0)
+    skippable = _zo_skippable(
+        F.col("u_min"), F.col("u_max_b"), F.col("m_min_b"), F.col("m_max_b")
     )
     return per.select(
         "bucket",
@@ -1043,13 +1062,6 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zorder_sql() -> str:
-    def interleave(x: str, y: str) -> str:
-        terms = []
-        for i in range(_ZO_BITS):
-            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
-        return " + ".join(terms)
-
     return f"""
 WITH e AS (
   SELECT CAST(user_id AS BIGINT) AS u,
@@ -1064,8 +1076,8 @@ b AS (
 ),
 zc AS (
   SELECT u, mrel,
-         {interleave('u', 'mrel')} AS z,
-         {interleave('u_max', 'mrel_max')} AS zmax
+         {_interleave_sql('u', 'mrel')} AS z,
+         {_interleave_sql('u_max', 'mrel_max')} AS zmax
   FROM b
 ),
 pb AS (
@@ -1152,11 +1164,8 @@ def q_layout_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mr").alias("m_min"),
         F.max("mr").alias("m_max"),
     )
-    skippable = ~(
-        (F.col("u_min") <= _ZO_U1)
-        & (F.col("u_max") >= _ZO_U0)
-        & (F.col("m_min") <= _ZO_M1)
-        & (F.col("m_max") >= _ZO_M0)
+    skippable = _zo_skippable(
+        F.col("u_min"), F.col("u_max"), F.col("m_min"), F.col("m_max")
     )
     agg = per.withColumn("skip", skippable).groupBy("layout").agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
@@ -1176,13 +1185,6 @@ def q_layout_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _layout_compare_sql() -> str:
-    def interleave(x: str, y: str) -> str:
-        terms = []
-        for i in range(_ZO_BITS):
-            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
-        return " + ".join(terms)
-
     def bkt(k: str, kmax: str) -> str:
         return f"least({_ZO_BUCKETS - 1}, ({k} * {_ZO_BUCKETS}) // ({kmax} + 1))"
 
@@ -1200,7 +1202,7 @@ b AS (
 ),
 keyed AS (
   SELECT u, mr,
-         {interleave('u', 'mr')} AS z, {interleave('u_max', 'mr_max')} AS zmax,
+         {_interleave_sql('u', 'mr')} AS z, {_interleave_sql('u_max', 'mr_max')} AS zmax,
          u * (mr_max + 1) + mr AS ku, u_max * (mr_max + 1) + mr_max AS kumax,
          mr * (u_max + 1) + u AS kt, mr_max * (u_max + 1) + u_max AS ktmax
   FROM b
