@@ -71,6 +71,22 @@ def compare(spark_df, sql: str, sf_dir: str) -> tuple[bool, str]:
     s_cols = sorted(c.lower() for c in spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     con = duck_con(sf_dir)
+    # The driver hashes the oracle result through a pandas frame, where
+    # DuckDB HUGEINT (e.g. any uncast sum(BIGINT) reaching the output)
+    # degrades to float64 while Spark emits int64 -> hash divergence
+    # even when every value matches (the r5 domain_rebalance red row).
+    # fetchall() returns Python ints for HUGEINT so the value compare
+    # below can't see it; check the declared types instead.
+    hug = [
+        (c, t)
+        for c, t, *_ in con.execute(f"DESCRIBE ({sql})").fetchall()
+        if "HUGEINT" in t.upper() or "INT128" in t.upper()
+    ]
+    if hug:
+        return False, (
+            f"oracle emits HUGEINT column(s) {hug}: cast sum()-derived "
+            "outputs to BIGINT or the driver's pandas hash will diverge"
+        )
     res = con.execute(sql)
     d_cols_raw = [d[0] for d in res.description]
     d_rows = res.fetchall()

@@ -204,7 +204,8 @@ WITH s AS (
          CAST(1 + CAST(coalesce(nullif(regexp_extract(source, '(\\d+)', 1), ''), '0') AS BIGINT) % 4 AS BIGINT) AS w
   FROM documents GROUP BY source
 ),
-t AS (SELECT sum(n_src) AS n_total, sum(w) AS sum_w FROM s),
+t AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_total,
+             CAST(sum(w) AS BIGINT) AS sum_w FROM s),
 b AS (
   SELECT doc_id, source,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {_DR_BUCKETS} AS bucket
