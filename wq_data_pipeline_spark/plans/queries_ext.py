@@ -551,7 +551,15 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 
 
 _ND_BANDS = 8
-_ND_PLANES = 4  # bits per band
+# 8 bits per band since r6 (was 4): at the deliberately-dense tau=0.45
+# the 4-bit bands collided on ~1M candidate pairs at sf0.1 (48 s at the
+# 10x replica scale, BASELINE.md r5) — background-pair collision odds
+# fall ~2x per added bit (random vectors agree on a plane w.p. 1/2), so
+# 8-bit bands cut the candidate quadratic ~16x while true near-dups
+# (cos >= 0.9, per-plane agreement ~0.86) still collide at ~0.3/band.
+# Recall at the stress tau is deliberately partial — the entry is
+# oracle-exact regardless because the oracle replays the same planes.
+_ND_PLANES = 8  # bits per band
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -886,7 +894,7 @@ def _lr_sq(a: str) -> str:
     return _lr_fold(f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
 
 
-def _kmeans_prefix_sql() -> str:
+def _kmeans_prefix_sql(k_sql: str | None = None) -> str:
     """Shared DuckDB WITH-prefix for the trained-centroid entries:
     quantized corpus (``q``), md5-seeded init, the same ``_KM_ITERS``
     Lloyd rounds unrolled as CTE blocks (normalize -> fold-order
@@ -894,9 +902,17 @@ def _kmeans_prefix_sql() -> str:
     previous centroid), ending at ``av`` = every vector's final
     bucket. All list folds use ``list_reduce`` (left-to-right,
     matching Spark's ``aggregate``). Consumed by
-    :func:`_kmeans_ivf_sql` (nprobe search tail) and the
-    ``semdedup_trained`` oracle (within-cluster pairwise tail)."""
+    :func:`_kmeans_ivf_sql` (nprobe search tail, fixed k=_KM_K) and
+    the ``semdedup_trained`` oracle (within-cluster pairwise tail).
+
+    ``k_sql``: SQL expression for the seed count — defaults to the
+    compile-time ``_KM_K``; the k∝n entries pass a scalar subquery
+    (``ceil(count(*)/64.0)``) so the oracle's k tracks the engine's
+    runtime ``ceil(n/target)`` at ANY scale factor instead of
+    silently replaying a different clustering (ADVICE r5)."""
     fold, dots, sq = _lr_fold, _lr_dots, _lr_sq
+    if k_sql is None:
+        k_sql = str(_KM_K)
 
     rounds = []
     for r in range(1, _KM_ITERS + 1):
@@ -934,7 +950,7 @@ WITH q AS (
 c0 AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
          list_transform(q, x -> CAST(x AS DOUBLE)) AS c
-  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_KM_K}
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT ({k_sql})
 ),{",".join(rounds)},
 scored_c AS (
   SELECT v.vec_id, v.q, c.cid,
