@@ -100,6 +100,55 @@ def test_semdedup_trained_cluster_shape(spark, sf_dir):
             assert r["n_dup_earlier"] == 0
 
 
+def test_semdedup_trained_oracle_k_is_dynamic():
+    """The semdedup_trained oracle must derive its seed count IN-SQL
+    as ceil(count(*)/target) — not a compile-time constant — so it
+    tracks the engine's runtime k = ceil(n/64) at any scale factor
+    (ADVICE r5: the old _KM_K literal silently compared a different
+    clustering whenever the embeddings table wasn't ~500 rows)."""
+    import duckdb
+
+    from wq_data_pipeline_spark.plans.queries_r5 import (
+        _SDT_TARGET,
+        SQL_SEMDEDUP_TRAINED,
+    )
+
+    assert f"ceil(count(*) / {_SDT_TARGET}.0)" in SQL_SEMDEDUP_TRAINED
+    # and the subquery evaluates to the engine's k at the driver's sf
+    n = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    ).fetchone()[0]
+    assert math.ceil(n / _SDT_TARGET) >= 1
+
+
+def test_narrow_argmax_duplicate_id_fans_out(spark):
+    """Pin the narrow-argmax precondition (ADVICE r5): semdedup's
+    assignment scores (id, cid, cs) rows and joins the winning
+    cluster BACK by id, so a duplicated id fans out into phantom
+    assigned rows where the old max_by/window forms collapsed to one.
+    This test documents the failure mode loudly — if it starts
+    failing with n_rows == n_input, a uniqueness-tolerant form landed
+    and the docstring contracts should be relaxed."""
+    from wq_data_pipeline_spark.operators.similarity import semdedup
+
+    emb = spark.createDataFrame(
+        [(1, [10, 0]), (1, [10, 1]), (2, [0, 10])],  # id 1 duplicated
+        "vec_id INT, q ARRAY<BIGINT>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [10, 0]), (1, [0, 10])], "centroid_id INT, cq ARRAY<BIGINT>"
+    )
+    out = semdedup(emb, cents, tau=0.99)
+    rows = out.collect()
+    n_distinct = len({r["vec_id"] for r in rows})
+    # the duplicated id survives as MULTIPLE output rows (3 rows for 2
+    # distinct ids here) instead of collapsing to one-per-id
+    assert len(rows) > n_distinct, (
+        "duplicated vec_id no longer fans out — narrow-argmax "
+        "uniqueness precondition may have been fixed; update docstrings"
+    )
+
+
 def test_domain_rebalance_rates(spark, sf_dir):
     rows = q_domain_rebalance(spark, sf_dir).collect()
     by_src: dict[str, list] = {}

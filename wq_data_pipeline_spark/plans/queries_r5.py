@@ -301,9 +301,10 @@ def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semdedup_trained_sql() -> str:
     """DuckDB replay: the shared Lloyd-round prefix (ends at ``av`` =
-    final bucket per vector; k is the oracle-time constant _KM_K = 8 =
-    ceil(500/64), matching the dynamic k at the driver's sf0.01), then
-    the within-cluster earlier-id pairwise tail of SQL_SEMDEDUP."""
+    final bucket per vector; k is derived IN-SQL as
+    ceil(count(*)/target) so the oracle's clustering tracks the
+    engine's runtime k at any scale factor — ADVICE r5), then the
+    within-cluster earlier-id pairwise tail of SQL_SEMDEDUP."""
     from wq_data_pipeline_spark.plans.queries_ext import _kmeans_prefix_sql
 
     dot = (
@@ -311,7 +312,10 @@ def _semdedup_trained_sql() -> str:
         "i -> a.q[i] * b.q[i])) AS DOUBLE)"
     )
     nrm = "sqrt(CAST(list_sum(list_transform({v}, x -> x * x)) AS DOUBLE))"
-    return f"""{_kmeans_prefix_sql()},
+    k_sql = (
+        f"SELECT CAST(ceil(count(*) / {_SDT_TARGET}.0) AS BIGINT) FROM embeddings"
+    )
+    return f"""{_kmeans_prefix_sql(k_sql)},
 sims AS (
   SELECT a.vec_id,
          {dot} / ({nrm.format(v="a.q")} * {nrm.format(v="b.q")}) AS sim
