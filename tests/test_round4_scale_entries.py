@@ -119,6 +119,44 @@ def test_dup_span_removal_keeps_lowest_doc(spark, tmp_path):
     assert out[1].n_tokens == 16  # original token count, pre-removal
 
 
+def test_dup_span_removal_merged_island_over_removes(spark, tmp_path):
+    """Pin the documented keep-one DEVIATION (Lee et al. 2022 §3 would
+    keep one copy of every duplicated span): when two distinct
+    duplicated runs A and B sit ADJACENT in one doc, their dup grams
+    merge into one island whose keeper is decided by A's first gram —
+    so that doc removes its copy of B even though it is B's lowest-id
+    holder, and B ends up removed from EVERY doc (over-removal, the
+    safe direction for training-data dedup). If this test starts
+    failing because B survives somewhere, strict keep-one semantics
+    landed — update the q_dup_span_removal docstring contract."""
+    import hashlib
+
+    from wq_data_pipeline_spark.plans.queries_scale import q_dup_span_removal
+
+    run_a = " ".join(f"aa{i}" for i in range(8))  # exactly one 8-gram
+    run_b = " ".join(f"bb{i}" for i in range(8))
+    fill0 = " ".join(f"f{i}" for i in range(5))
+    fill2 = " ".join(f"g{i}" for i in range(5))
+    docs = [
+        f"{fill0} {run_a}",  # doc 0: A's keeper
+        f"{run_a} {run_b}",  # doc 1: A and B adjacent -> merged island
+        f"{fill2} {run_b}",  # doc 2: shares B with doc 1
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = {r.doc_id: r for r in q_dup_span_removal(spark, str(tmp_path)).collect()}
+    # doc 0 keeps A verbatim (it is A's lowest-id holder)
+    assert out[0].n_removed == 0
+    assert out[0].text_md5 == hashlib.md5(docs[0].encode()).hexdigest()
+    # doc 1: A's gram (pos 0) and B's gram (pos 8) are exactly _SPAN_N
+    # apart -> ONE island [0, 15] whose keeper is A's (doc 0) -> doc 1
+    # removes BOTH runs, although strict keep-one would keep its B copy
+    assert out[1].n_removed == 16 and out[1].n_tokens == 16
+    assert out[1].text_md5 == hashlib.md5(b"").hexdigest()
+    # doc 2 also removes B (its keeper is doc 1) -> B survives NOWHERE
+    assert out[2].n_removed == 8
+    assert out[2].text_md5 == hashlib.md5(fill2.encode()).hexdigest()
+
+
 def test_pq_search_shape_and_recall(spark, sf_dir):
     """ADC search: no cartesian, LUT broadcast, ranks dense 1..10 per
     query, self excluded; and the PQ top-1 neighbor's TRUE L2 distance

@@ -178,15 +178,19 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Keeper-rule caveat (documented deviation from strict keep-one):
     the keeper is chosen PER MERGED ISLAND by its first gram. When two
-    distinct duplicated runs A and B sit within ``_SPAN_N`` tokens of
-    each other in one doc, they merge into one island whose keeper is
-    A's — so that doc removes its copy of B even if it would have been
-    B's keeper, and B can end up removed from every doc. Exact
+    distinct duplicated runs A and B sit directly ADJACENT (or
+    overlapping) in one doc — their dup-gram positions within
+    ``_SPAN_N`` of each other; one unique token between runs already
+    separates the islands — they merge into one island whose keeper
+    is A's, so that doc removes its copy of B even if it would have
+    been B's keeper, and B can end up removed from every doc. Exact
     keep-one over arbitrarily overlapping/chained runs requires
     suffix-array maximal-match semantics (Lee et al. §3); this
     gram-island approximation errs toward over-removal, which is the
     safe direction for training-data dedup. The DuckDB oracle
-    implements the identical rule; tests/test_scale.py plants a
+    implements the identical rule;
+    tests/test_round4_scale_entries.py::
+    test_dup_span_removal_merged_island_over_removes plants the
     chained-island case pinning this behavior.
 
     Scale shape: the detect chain is dup_spans'; the rewrite adds one
