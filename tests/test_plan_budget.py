@@ -124,7 +124,10 @@ CONSTRUCTION_JOB_CAPS = {
     "sequence_pack": 8,  # distributed prefix sum: per-partition bases
     "pack_assignments": 8,
     "token_budget_fill": 8,  # distributed prefix sum: per-partition bases
-    "semdedup_trained": 36,  # count + Lloyd rounds + assignment checkpoint
+    # r6 distributed-state trainer: +1 job/round (the k-row centroid
+    # localCheckpoint replacing the driver means-collect) + dim probe
+    "semdedup_trained": 42,  # count + Lloyd rounds + assignment checkpoint
+    "semdedup_ann": 44,  # same trainer + dim probe + candidate checkpoint
     "bpe_train": 24,  # vocab build + per-round top-1 + sparse checkpoints
     "bpe_apply": 24,  # same trainer rounds at construction
     "bigram_lm_score": 8,  # two pre-agg checkpoints (bigram, vocab)

@@ -624,6 +624,7 @@ from wq_data_pipeline_spark.plans.queries_stream import ORACLES6, QUERIES6  # no
 from wq_data_pipeline_spark.plans.queries_corpus import ORACLES7, QUERIES7  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_scale import ORACLES8, QUERIES8  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r5 import ORACLES9, QUERIES9  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r6 import ORACLES10, QUERIES10  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -685,78 +686,80 @@ QUERIES.update(QUERIES8)
 ORACLES.update(ORACLES8)
 QUERIES.update(QUERIES9)
 ORACLES.update(ORACLES9)
+QUERIES.update(QUERIES10)
+ORACLES.update(ORACLES10)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
-# latest driver-green row fresh (<= ~2 rounds stale). Round-5 head:
-#   1. the eleven never-driver-checked r5 entries (token_budget_fill,
-#      domain_rebalance, semdedup_trained, bpe_train, bpe_apply,
-#      bigram_lm_score, contamination_overlap, mix_report,
-#      cross_dedup, zorder_layout, layout_compare),
-#   2. doc_filter (r4's one red row, fixed: reasons array -> string)
-#      and embed_kmeans_ivf (newly oracled assignment step),
-#   3. the three TPC-H entries last green in r1,
-#   4. the three r2-green entries (fingerprint_dedup, jaccard_pairs,
-#      text_token_stats),
-#   5. 31 of the 46 entries last green in r3 (a1_dup_median,
-#      a4_decimal_hist, a5_mode_cents, a7_seasonal, w17_resample_hourly,
-#      w1_jumps, w2_gaps, w4_binary_switches, w5_flat_runs,
-#      w6_flat_slopes, w7_rolling_var, w8_robust_z, w9_isolated,
-#      winnow_fingerprints, winnow_matches deferred to r6 — each
-#      green in 2+ earlier rounds and pytest-mirrored).
-# Every r4-green entry rotates to the tail; all tail entries remain
-# covered by the local sf0.01 pytest oracle mirror (test_oracle.py).
+# latest driver-green row fresh (<= ~2 rounds stale). Round-6 head:
+#   1. the 15 veterans last driver-green in r3 (deferred from the r5
+#      window per the r5 note; each pytest-oracle-mirrored since),
+#   2. domain_rebalance (r5's one red row — oracle HUGEINT cast fixed),
+#   3. the entries NEW or materially CHANGED this round:
+#      semdedup_ann (new ANN-assignment entry), sketch_profile_exact
+#      (new oracled companion), semdedup_trained + embed_kmeans_ivf
+#      (distributed-state k-means trainer; dynamic-k oracle),
+#      embed_near_dup (bands widened 4 -> 8 bits), corpus_shuffle +
+#      length_buckets (new r6 entries),
+#   4. 29 of the 44 entries last green in r4. Deferred to r7 (each
+#      green in 2+ rounds AND carrying an independent pytest
+#      invariant): a2_sentinels, p2_time_slice, p16_pivot,
+#      qc_full_suite, w15_band_support, the six rel_* relational
+#      queries, salted_user_stats, stratified_sample, corpus_rollup,
+#      chunk_documents, table_profile, line_dedup.
+# All tail entries remain covered by the local sf0.01 pytest oracle
+# mirror (test_oracle.py).
 _DRIVER_WINDOW = [
-    "token_budget_fill",
+    "a1_dup_median",
+    "a4_decimal_hist",
+    "a5_mode_cents",
+    "a7_seasonal",
+    "w17_resample_hourly",
+    "w1_jumps",
+    "w2_gaps",
+    "w4_binary_switches",
+    "w5_flat_runs",
+    "w6_flat_slopes",
+    "w7_rolling_var",
+    "w8_robust_z",
+    "w9_isolated",
+    "winnow_fingerprints",
+    "winnow_matches",
     "domain_rebalance",
+    "semdedup_ann",
+    "sketch_profile_exact",
     "semdedup_trained",
-    "bpe_train",
-    "bpe_apply",
-    "bigram_lm_score",
-    "contamination_overlap",
-    "mix_report",
-    "cross_dedup",
-    "zorder_layout",
-    "layout_compare",
-    "doc_filter",
     "embed_kmeans_ivf",
-    "tpch_q1",
-    "tpch_q5",
-    "tpch_q6",
-    "fingerprint_dedup",
-    "jaccard_pairs",
-    "text_token_stats",
-    "a3_step_infer",
-    "a6_diff_quantiles",
-    "a8_global_robust_z",
-    "a9_availability",
-    "asof_join",
-    "decontaminate",
-    "dedup_clusters",
-    "embed_cosine_topk",
-    "embed_ivf_topk",
     "embed_near_dup",
-    "exact_dedup",
-    "hash_split",
-    "hypertable_rollup",
-    "j3_range_join",
-    "lang_id",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "multimodal_meta",
-    "props_json",
-    "qc_accepted",
-    "repetition_stats",
-    "sentem_flags",
-    "sessionize",
-    "simhash",
-    "sliding_rollup",
-    "text_quality",
-    "tpch_q3",
-    "unigram_logprob",
-    "w12_bands",
-    "w13_tri5",
-    "w16_gaussian",
+    "a6_quant_step",
+    "blocklist_filter",
+    "bm25_search",
+    "bpe_pair_counts",
+    "ccnet_buckets",
+    "curation_funnel",
+    "dedup_report",
+    "dsir_weights",
+    "dup_span_removal",
+    "dup_spans",
+    "embed_lsh_ann",
+    "event_dedup_window",
+    "heavy_hitters",
+    "ivf_pq_search",
+    "pack_assignments",
+    "pii_scan",
+    "pq_encode",
+    "pq_search",
+    "quality_classifier",
+    "semdedup",
+    "sequence_pack",
+    "source_mixture",
+    "stream_interval_join",
+    "stream_session_rollup",
+    "stream_tumbling_rollup",
+    "corpus_shuffle",
+    "tfidf_terms",
+    "vocab_coverage",
+    "length_buckets",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

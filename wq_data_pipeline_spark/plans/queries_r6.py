@@ -1,0 +1,346 @@
+"""Catalog batch 10 (round 6): the ANN-assignment SemDeDup — the
+final piece of the at-scale semantic-dedup composition (VERDICT r5
+what's-wrong #2 / builder handoff #2).
+
+``semdedup_trained`` fixed the centroid COUNT (k = n/64 trained
+centroids instead of stride samples) and r6's distributed-state
+trainer fixed the driver-memory wall, but its exact assignment still
+scores every (vector, centroid) pair — an O(n·k) = O(n²/64) term
+that is the one remaining super-linear leg. ``semdedup_ann`` replaces
+exact assignment with banded random-hyperplane LSH bucketing shared
+between vectors and centroids: a vector is scored only against
+centroids it shares a band signature with (expected candidates
+~ n·k / 2^planes_per_band per band), and a vector with NO candidate
+centroid becomes its own singleton cluster (never marked dup — the
+conservative direction for dedup). The md5-derived ±1 hyperplanes are
+engine-portable (the embed_near_dup / embed_lsh_ann precedent), and
+integer plane dots make every signature bit — hence the candidate
+set, the assignment, and the final dup marks — exactly mirrorable in
+DuckDB.
+
+Reference scope note: the reference pipeline (WalterHet/
+wq_data_pipeline) has no embedding operators; this family is part of
+the training-data-pipeline extension surface (SURVEY.md §2 north-star
+list), built on Abbas et al. 2023 (SemDeDup, arXiv:2303.09540) and
+Charikar 2002 (random-hyperplane LSH).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from wq_data_pipeline_spark.sources.testdata import load_table
+
+_SDA_TAU = 0.44  # same stress threshold as semdedup / semdedup_trained
+_SDA_TARGET = 64  # target cluster size; k = ceil(n / target)
+_SDA_BANDS = 8
+_SDA_PLANES = 4  # bits per band — see the tuning note in q_semdedup_ann
+
+
+def q_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with ANN (LSH-bucketed) centroid assignment — the
+    100-TB composition end-to-end: distributed-state Lloyd trainer
+    (k = ceil(n/64), no driver-held centroids), assignment candidates
+    from a shared (band, signature) join instead of the full n×k
+    scoring, exact cosine + lowest-centroid-id tie only within
+    candidates, unmatched vectors become singleton clusters
+    (cluster_id = -vec_id - 1, never dup), then the standard
+    within-cluster earlier-id marking at tau.
+
+    Scale shape: signatures are per-row column algebra (literal ±1
+    planes, no shuffle); the candidate join shuffles skinny
+    (id, band, sig) rows against a broadcast centroid-signature table
+    (k rows × bands); scoring touches only candidates; max_by
+    combines map-side so n rows cross the assignment shuffle. Every
+    stage is linear in n for fixed bucket occupancy — the O(n·k)
+    exact-assignment term is gone.
+
+    Tuning law: candidates/vector ≈ k·bands/2^planes, so
+    ``planes_per_band`` must grow ~log2(k) (band buckets ≳ centroid
+    count) for the per-vector candidate set to stay O(bands). The
+    constants here (8 bands × 4 bits) are sized to the synthetic
+    bench corpus, where vector-to-own-centroid cosine is low (median
+    ~0.25 → per-plane agreement ~0.58): 8-bit bands drove 87% of
+    vectors to singletons, while 4-bit bands leave <1% singletons at
+    16 buckets ≥ k=8. A real embedding corpus clusters far tighter
+    (cos ≥ 0.7 → agreement ≥ 0.75), which is what lets production
+    configs run 8–12 bits/band at large k."""
+    from wq_data_pipeline_spark.operators.similarity import (
+        cosine,
+        kmeans_centroids,
+        rp_lsh_signature,
+        semdedup_within,
+    )
+    from wq_data_pipeline_spark.plans.queries_ext import _KM_ITERS, _quantized
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    dim = raw.select(F.size("embedding")).head()[0]
+    emb = (
+        raw.select("vec_id", _quantized("embedding").alias("q"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    k = max(1, math.ceil(emb.count() / _SDA_TARGET))
+    cent = kmeans_centroids(
+        emb, k=k, iters=_KM_ITERS, vec_col="q", literal_centroids_max=0
+    )
+    # quantize the (double) centroid means to BIGINT before signing:
+    # integer plane dots are exact in both engines, so every signature
+    # bit is portable (round() is half-away-from-zero on both)
+    cq = cent.select(
+        "centroid_id",
+        F.transform("q", lambda x: F.round(x).cast("long")).alias("cq"),
+    )
+
+    def banded(df: DataFrame, id_out: str, vec: str) -> DataFrame:
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    rp_lsh_signature(
+                        vec, _SDA_PLANES, plane_offset=b * _SDA_PLANES, dim=dim
+                    ).alias("sig"),
+                )
+                for b in range(_SDA_BANDS)
+            ]
+        )
+        return df.select(
+            F.col(df.columns[0]).alias(id_out), F.explode(sigs).alias("bs")
+        ).select(id_out, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    cand = (
+        banded(emb, "vec_id", "q")
+        .join(F.broadcast(banded(cq, "_cid", "cq")), on=["band", "sig"])
+        .select("vec_id", "_cid")
+        .distinct()
+    )
+    c = cent.select(F.col("centroid_id").alias("_cid"), F.col("q").alias("_cv"))
+    best = (
+        cand.join(F.broadcast(c), "_cid")
+        .join(emb, "vec_id")
+        .select("vec_id", "_cid", cosine("q", "_cv").alias("_cs"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(F.col("_cid"), F.struct(F.col("_cs"), -F.col("_cid"))).alias(
+                "_best_cid"
+            )
+        )
+    )
+    assigned = (
+        emb.join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            "q",
+            F.coalesce(
+                F.col("_best_cid").cast("long"), -F.col("vec_id") - F.lit(1)
+            ).alias("cluster_id"),
+        )
+        .localCheckpoint()  # the within stage reads it twice
+    )
+    return semdedup_within(assigned, id_col="vec_id", vec_col="q", tau=_SDA_TAU)
+
+
+def _semdedup_ann_sql() -> str:
+    """DuckDB replay: the shared dynamic-k Lloyd prefix (final
+    centroids CTE ``c{_KM_ITERS}``), centroid quantization, the SAME
+    md5 hyperplane construction as SQL_EMBED_NEAR_DUP for both sides,
+    band-join candidates, exact-cosine best-candidate assignment with
+    the (cs DESC, cid ASC) tie rule, singleton fallback, then the
+    within-cluster earlier-id tail of SQL_SEMDEDUP_TRAINED."""
+    from wq_data_pipeline_spark.plans.queries_ext import (
+        _KM_ITERS,
+        _kmeans_prefix_sql,
+        _lr_dots,
+        _lr_sq,
+    )
+
+    last = f"c{_KM_ITERS}"
+    n_planes = _SDA_BANDS * _SDA_PLANES
+    k_sql = (
+        f"SELECT CAST(ceil(count(*) / {_SDA_TARGET}.0) AS BIGINT) FROM embeddings"
+    )
+    dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len(a.q)), "
+        "i -> a.q[i] * b.q[i])) AS DOUBLE)"
+    )
+    nrm = "sqrt(CAST(list_sum(list_transform({v}, x -> x * x)) AS DOUBLE))"
+    return f"""{_kmeans_prefix_sql(k_sql)},
+cquant AS (
+  SELECT cid, list_transform(c, x -> CAST(round(x) AS BIGINT)) AS cqv FROM {last}
+),
+dims AS (SELECT unnest(generate_series(0, (SELECT max(len(q)) - 1 FROM q))) AS i),
+pls AS (SELECT unnest(generate_series(0, {n_planes - 1})) AS p),
+planes AS (
+  SELECT pls.p, dims.i,
+         CASE WHEN substr(md5(CAST(pls.p AS VARCHAR) || ':' || CAST(dims.i AS VARCHAR)), 1, 1)
+                   IN ('0','2','4','6','8','a','c','e')
+              THEN 1 ELSE -1 END AS h
+  FROM pls CROSS JOIN dims
+),
+vdim AS (
+  SELECT vec_id, i, q[i + 1] AS xi
+  FROM (SELECT vec_id, q, unnest(generate_series(0, len(q) - 1)) AS i FROM q)
+),
+vdot AS (
+  SELECT v.vec_id, pl.p, sum(v.xi * pl.h) AS s
+  FROM vdim v JOIN planes pl ON v.i = pl.i GROUP BY v.vec_id, pl.p
+),
+vsig AS (
+  SELECT vec_id, p // {_SDA_PLANES} AS band,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << (p % {_SDA_PLANES}) ELSE 0 END) AS BIGINT) AS sig
+  FROM vdot GROUP BY vec_id, p // {_SDA_PLANES}
+),
+cdim AS (
+  SELECT cid, i, cqv[i + 1] AS xi
+  FROM (SELECT cid, cqv, unnest(generate_series(0, len(cqv) - 1)) AS i FROM cquant)
+),
+cdot AS (
+  SELECT c.cid, pl.p, sum(c.xi * pl.h) AS s
+  FROM cdim c JOIN planes pl ON c.i = pl.i GROUP BY c.cid, pl.p
+),
+csig AS (
+  SELECT cid, p // {_SDA_PLANES} AS band,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << (p % {_SDA_PLANES}) ELSE 0 END) AS BIGINT) AS sig
+  FROM cdot GROUP BY cid, p // {_SDA_PLANES}
+),
+cand AS (
+  SELECT DISTINCT v.vec_id, c.cid
+  FROM vsig v JOIN csig c ON v.band = c.band AND v.sig = c.sig
+),
+cscored AS (
+  SELECT cand.vec_id, cand.cid,
+         {_lr_dots("v.q", "ct.c")} / (sqrt({_lr_sq("v.q")}) * sqrt({_lr_sq("ct.c")})) AS cs
+  FROM cand JOIN q v USING (vec_id) JOIN {last} ct USING (cid)
+),
+bestc AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+),
+avv AS (
+  SELECT v.vec_id, v.q,
+         CAST(coalesce(b.cid, -v.vec_id - 1) AS BIGINT) AS bucket
+  FROM q v LEFT JOIN bestc b USING (vec_id)
+),
+simsx AS (
+  SELECT a.vec_id,
+         {dot} / ({nrm.format(v="a.q")} * {nrm.format(v="b.q")}) AS sim
+  FROM avv a JOIN avv b
+    ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+),
+dupx AS (
+  SELECT vec_id, count(*) AS n_dup_earlier, round(max(sim), 6) AS max_sim_earlier
+  FROM simsx WHERE sim >= {_SDA_TAU} GROUP BY vec_id
+)
+SELECT avv.vec_id, avv.bucket AS cluster_id,
+       d.vec_id IS NOT NULL AS is_dup,
+       CAST(coalesce(d.n_dup_earlier, 0) AS BIGINT) AS n_dup_earlier,
+       d.max_sim_earlier
+FROM avv LEFT JOIN dupx d USING (vec_id)"""
+
+
+SQL_SEMDEDUP_ANN = _semdedup_ann_sql()
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every epoch-0 data
+    loader wants the corpus in a reproducible pseudo-random order. The
+    order key is md5(doc_id) (seedless, engine-portable, uniform) and
+    the 0-based position comes from ``distributed_prefix_sum`` of a
+    ones column — the two-level global rank (range partition →
+    per-partition window → broadcast base offsets), NEVER a
+    ``row_number() OVER (ORDER BY …)`` single-partition window, which
+    is the canonical 100-TB global-sort trap. Emits (doc_id, source,
+    n_tokens, shuffle_pos) ready for sequence packing downstream."""
+    from wq_data_pipeline_spark.operators.scale import distributed_prefix_sum
+    from wq_data_pipeline_spark.operators.text import tokens
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("_k"),
+            F.lit(1).cast("long").alias("_one"),
+        )
+    )
+    ranked = distributed_prefix_sum(d, "_k", "_one", out="shuffle_pos")
+    return ranked.select("doc_id", "source", "n_tokens", "shuffle_pos")
+
+
+SQL_CORPUS_SHUFFLE = """
+SELECT doc_id, source,
+       CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS BIGINT) AS n_tokens,
+       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+            AS BIGINT) AS shuffle_pos
+FROM documents"""
+
+
+_LB_WIDTH = 8  # tokens per length bucket (bench corpus docs are 10-99 tokens)
+_LB_CAP = 16  # bucket ids clamp at cap (overflow bucket)
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report: group documents into
+    fixed-width token-length buckets (the standard padding-efficiency
+    trick — batching similar-length sequences so pad-to-max waste
+    stays small) and report per bucket the doc count, token sum, the
+    bucket's max length, and the padding waste a pad-to-bucket-max
+    batcher would pay. All-integer arithmetic; one explode-free scan
+    + one hash agg (map-side combinable) — scales."""
+    from wq_data_pipeline_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    # integer floor-div: Spark's / on longs is double division — use
+    # floor() so both engines produce the same integer bucket id
+    bucket = F.least(
+        F.lit(_LB_CAP).cast("long"),
+        F.floor(F.col("n_tokens") / F.lit(_LB_WIDTH)).cast("long"),
+    )
+    return (
+        d.select(bucket.alias("bucket_id"), "n_tokens")
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("token_sum"),
+            F.max("n_tokens").alias("max_len"),
+            (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")).alias(
+                "pad_waste"
+            ),
+        )
+    )
+
+
+SQL_LENGTH_BUCKETS = f"""
+WITH t AS (
+  SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT least({_LB_CAP}, n_tokens // {_LB_WIDTH}) AS bucket_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+       max(n_tokens) AS max_len,
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_waste
+FROM t GROUP BY least({_LB_CAP}, n_tokens // {_LB_WIDTH})"""
+
+
+QUERIES10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "semdedup_ann": q_semdedup_ann,
+    "corpus_shuffle": q_corpus_shuffle,
+    "length_buckets": q_length_buckets,
+}
+
+ORACLES10: dict[str, str] = {
+    "semdedup_ann": SQL_SEMDEDUP_ANN,
+    "corpus_shuffle": SQL_CORPUS_SHUFFLE,
+    "length_buckets": SQL_LENGTH_BUCKETS,
+}
