@@ -109,6 +109,14 @@ BUDGETS = {
     # one scan -> 3-way layout explode -> per-(layout,bucket) agg ->
     # per-layout rollup
     "layout_compare": (3, 1, 1),
+    # r6 batch: ANN assignment pinned at construction (trainer +
+    # candidate join + checkpoint); final plan = within-cluster
+    # self-join + dup agg/join, same as semdedup_trained
+    "semdedup_ann": (4, 0, 0),
+    # range repartition (inside the checkpointed prefix-sum) + the
+    # broadcast per-partition base offsets
+    "corpus_shuffle": (1, 1, 0),
+    "length_buckets": (1, 0, 0),
 }
 
 
@@ -127,13 +135,14 @@ CONSTRUCTION_JOB_CAPS = {
     # r6 distributed-state trainer: +1 job/round (the k-row centroid
     # localCheckpoint replacing the driver means-collect) + dim probe
     "semdedup_trained": 42,  # count + Lloyd rounds + assignment checkpoint
-    "semdedup_ann": 44,  # same trainer + dim probe + candidate checkpoint
+    "semdedup_ann": 48,  # same trainer + dim probe + candidate checkpoint (measured 45)
     "bpe_train": 24,  # vocab build + per-round top-1 + sparse checkpoints
     "bpe_apply": 24,  # same trainer rounds at construction
     "bigram_lm_score": 8,  # two pre-agg checkpoints (bigram, vocab)
     "contamination_overlap": 8,  # distinct-gram checkpoint
     "semdedup": 10,  # repartition + pinned assignment checkpoint
     "mix_report": 16,  # distributed prefix sum over the survivors
+    "corpus_shuffle": 8,  # distributed prefix sum: per-partition bases
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 
