@@ -117,6 +117,15 @@ BUDGETS = {
     # broadcast per-partition base offsets
     "corpus_shuffle": (1, 1, 0),
     "length_buckets": (1, 0, 0),
+    # one key shuffle shared by rank + count windows
+    "latest_snapshot": (1, 0, 0),
+    # the Generate is the n_salts dim replication; stats agg + join
+    # collapse to broadcast at small SF (AQE) — the shape holds
+    "salted_join": (2, 2, 1),
+    # prefix-sum exchange + total agg; offsets/total broadcasts (AQE
+    # may add one more converting the rank join)
+    "quality_deciles": (2, 3, 0),
+    "tpch_q14_promo": (1, 1, 0),
 }
 
 
@@ -143,6 +152,7 @@ CONSTRUCTION_JOB_CAPS = {
     "semdedup": 10,  # repartition + pinned assignment checkpoint
     "mix_report": 16,  # distributed prefix sum over the survivors
     "corpus_shuffle": 8,  # distributed prefix sum: per-partition bases
+    "quality_deciles": 8,  # distributed prefix sum: per-partition bases
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

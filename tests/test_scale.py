@@ -116,6 +116,30 @@ def test_salted_agg_matches_direct(spark, sf_dir):
         assert abs(a[k].vavg - b[k].vavg) < 1e-9
 
 
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salted fact-to-dim join == plain join row-for-row (the salt
+    must be invisible in the result), including left-join null
+    preservation for keys absent from the dim."""
+    from wq_data_pipeline_spark.operators.scale import salted_join
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("user_id") % 3 == 0)  # partial dim -> exercises how=
+    )
+    for how in ("inner", "left"):
+        got = salted_join(
+            ev, dim, key="user_id", n_salts=4, salt_source="event_id", how=how
+        )
+        plain = ev.join(dim, on="user_id", how=how)
+        a = sorted((r.event_id, r.user_id, r.n) for r in got.collect())
+        b = sorted((r.event_id, r.user_id, r.n) for r in plain.collect())
+        assert a == b, how
+
+
 def test_lsh_near_dup_subset_and_recall(spark, sf_dir):
     """Banded-LSH near-dup (the 100-TB candidate-generation path) must
     return a SUBSET of the exact all-pairs result (no false positives

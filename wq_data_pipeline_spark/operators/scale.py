@@ -80,6 +80,38 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(*finals)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_source: str | Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: replicate every ``dim`` row across
+    ``n_salts`` salt values and join ``fact`` on (key, salt), so one
+    hot key's fact rows spread over ``n_salts`` reducers instead of
+    melting a single task. The join-side counterpart of
+    :func:`salted_agg` for when the dim is too big to broadcast but
+    far smaller than the fact (replication cost = n_salts × |dim|).
+
+    The salt derives from ``salt_source`` (a high-cardinality fact
+    column, e.g. the row id) — deterministic, no rand(), retry-safe.
+    Result equals the plain join row-for-row (equivalence pinned in
+    tests/test_scale.py). AQE's skew-join split covers sort-merge
+    joins after the fact; pre-salting bounds the skew BEFORE the
+    shuffle and also covers hash joins.
+    """
+    if salt_source is None:
+        raise ValueError("salt_source required (deterministic salting)")
+    src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
+    f = fact.withColumn("_salt", (F.abs(F.hash(src)) % n_salts).cast("int"))
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return f.join(d, on=[key, "_salt"], how=how).drop("_salt")
+
+
 def bucketed_window_apply(
     df: DataFrame,
     window_fn: Callable[[DataFrame, Sequence[str]], DataFrame],

@@ -333,14 +333,201 @@ SELECT least({_LB_CAP}, n_tokens // {_LB_WIDTH}) AS bucket_id,
 FROM t GROUP BY least({_LB_CAP}, n_tokens // {_LB_WIDTH})"""
 
 
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert latest-snapshot view: one row per (user_id,
+    event_type) — the most recent version by (ts, event_id) — plus the
+    version count. The standard warehouse MERGE-read pattern (Delta/
+    Iceberg snapshot reads compact to exactly this). Window partitions
+    on the key, so parallelism scales with key cardinality and no
+    global sort exists; at 100 TB this is one shuffle on the key."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_versions",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("user_id", "event_type")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            "n_versions",
+        )
+    )
+
+
+SQL_LATEST_SNAPSHOT = """
+SELECT user_id, event_type, epoch_us(ts) AS ts_us, value, n_versions FROM (
+  SELECT user_id, event_type, ts, value, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+  FROM events
+) WHERE rn = 1"""
+
+
+_SJ_SALTS = 8
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-to-dim join via ``scale.salted_join``: events
+    (fact) joined to per-user order-of-magnitude stats (a dim too big
+    to broadcast at real scale) on a salted key, spreading any hot
+    user over ``_SJ_SALTS`` reducers. The oracle is the PLAIN join —
+    salting must be row-for-row invisible in the result (also pinned
+    by tests/test_scale.py::test_salted_join_matches_plain_join)."""
+    from wq_data_pipeline_spark.operators.scale import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_n"),
+        F.round(F.avg("value"), 6).alias("user_avg"),
+    )
+    j = salted_join(
+        ev.select("event_id", "user_id", "value"),
+        stats,
+        key="user_id",
+        n_salts=_SJ_SALTS,
+        salt_source="event_id",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "value",
+        "user_n",
+        "user_avg",
+        (F.col("value") > F.col("user_avg")).alias("above_avg"),
+    )
+
+
+SQL_SALTED_JOIN = """
+WITH s AS (
+  SELECT user_id, count(*) AS user_n, round(avg(value), 6) AS user_avg
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.value, s.user_n, s.user_avg,
+       e.value > s.user_avg AS above_avg
+FROM events e JOIN s USING (user_id)"""
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quality deciles without a single-partition rank window:
+    order docs by (n_tokens, doc_id), rank via the two-level
+    ``distributed_prefix_sum`` (the corpus_shuffle machinery), decile
+    = floor(10·rank/n). The curation use case: keep the top-k% by a
+    quality score with an EXACT global cut, where ntile()/row_number()
+    over a global ORDER BY would funnel the corpus through one task."""
+    from wq_data_pipeline_spark.operators.scale import distributed_prefix_sum
+    from wq_data_pipeline_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    # exact composite order key: score major, doc_id minor (both
+    # BIGINT; doc_id < 1e10 in the fixtures and the replicas)
+    d = d.withColumn(
+        "_k", F.col("n_tokens") * F.lit(10_000_000_000) + F.col("doc_id")
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = distributed_prefix_sum(d, "_k", "_one", out="rank")
+    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rank",
+            F.least(
+                F.lit(9).cast("long"),
+                F.floor(F.col("rank") * 10 / F.col("_n")).cast("long"),
+            ).alias("decile"),
+        )
+    )
+
+
+SQL_QUALITY_DECILES = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         CAST(row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS BIGINT) AS rank
+  FROM t
+)
+SELECT doc_id, n_tokens, rank,
+       least(9, CAST(floor(rank * 10.0 / (SELECT count(*) FROM r)) AS BIGINT)) AS decile
+FROM r"""
+
+
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share per ship month: lineitem ⋈
+    broadcast(part), CASE-split revenue sums. Part is the classic
+    broadcast dim; one hash agg on the month."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    return (
+        j.groupBy(F.date_trunc("month", "l_shipdate").alias("_m"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0)), 2
+            ).alias("economy_rev"),
+            F.round(F.sum(rev), 2).alias("total_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.unix_micros("_m").alias("month_us"),
+            "economy_rev",
+            "total_rev",
+            F.round(
+                F.col("economy_rev") * 100.0 / F.col("total_rev"), 6
+            ).alias("economy_pct"),
+            "n_items",
+        )
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT epoch_us(date_trunc('month', l_shipdate)) AS month_us,
+       round(sum(CASE WHEN p_type = 'ECONOMY'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS economy_rev,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
+       round(round(sum(CASE WHEN p_type = 'ECONOMY'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) * 100.0
+             / round(sum(l_extendedprice * (1 - l_discount)), 2), 6) AS economy_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY date_trunc('month', l_shipdate)"""
+
+
 QUERIES10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_ann": q_semdedup_ann,
     "corpus_shuffle": q_corpus_shuffle,
     "length_buckets": q_length_buckets,
+    "latest_snapshot": q_latest_snapshot,
+    "salted_join": q_salted_join,
+    "quality_deciles": q_quality_deciles,
+    "tpch_q14_promo": q_tpch_q14_promo,
 }
 
 ORACLES10: dict[str, str] = {
     "semdedup_ann": SQL_SEMDEDUP_ANN,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "length_buckets": SQL_LENGTH_BUCKETS,
+    "latest_snapshot": SQL_LATEST_SNAPSHOT,
+    "salted_join": SQL_SALTED_JOIN,
+    "quality_deciles": SQL_QUALITY_DECILES,
+    "tpch_q14_promo": SQL_TPCH_Q14,
 }
