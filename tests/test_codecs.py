@@ -207,3 +207,33 @@ if HAVE_HYP:
         assert (nch, n, rate2) == (1, len(samples), rate)
         expected = sum(abs(s) for s in samples) / len(samples) / 32768.0
         assert abs(amp - expected) < 1e-9
+
+
+def test_ahash_bits_matches_reference_and_roundtrip():
+    """ahash_bits integer math vs an independent numpy recompute, on
+    pixels that ROUND-TRIP through the PNG codec (the lossless-gray
+    property the image_ahash oracle relies on)."""
+    import hashlib
+
+    import numpy as np
+
+    from wq_data_pipeline_spark.operators.codecs import (
+        ahash_bits,
+        png_decode,
+        png_encode,
+    )
+
+    seed = hashlib.md5(b"some document text").hexdigest()
+    pixels = b"".join(
+        hashlib.md5(f"{seed}:{c}".encode()).digest() for c in range(16)
+    )
+    w, h, nch, rt = png_decode(png_encode(16, 16, 1, pixels))
+    assert (w, h, nch) == (16, 16, 1)
+    assert rt == pixels  # lossless round-trip
+    got = ahash_bits(16, 16, 1, rt)
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(16, 16).astype(np.int64)
+    means = a.reshape(8, 2, 8, 2).sum(axis=(1, 3)) // 4
+    thr = int(means.sum()) // 64
+    want = "".join("1" if m > thr else "0" for m in means.flatten())
+    assert got == want
+    assert len(got) == 64 and set(got) <= {"0", "1"}

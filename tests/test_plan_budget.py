@@ -126,6 +126,9 @@ BUDGETS = {
     # may add one more converting the rank join)
     "quality_deciles": (2, 3, 0),
     "tpch_q14_promo": (1, 1, 0),
+    # two chained mapInPandas (narrow) -> hash agg on the fingerprint
+    # -> count join (AQE-broadcast at small SF)
+    "image_ahash": (3, 1, 0),
 }
 
 

@@ -364,3 +364,67 @@ def test_streaming_robust_z_across_batches(spark, tmp_path, drain_stateful):
     assert len(spikes) == 1 and abs(spikes[0].value - 50.0) < 1e-9
     # early rows (< min_points of history) carry NULL z
     assert all(r.robust_z is None for r in rows[:15])
+
+
+def test_streaming_latest_snapshot_across_batches(spark, tmp_path, drain_stateful):
+    """Stateful CDC snapshot: batch 2 carries one OLDER row (must not
+    displace the held version) and one newer row (must); n_versions
+    counts every version seen. The final emission per key equals the
+    batch latest_snapshot semantics over the union of both batches."""
+    import pandas as pd
+
+    from wq_data_pipeline_spark.streaming.stateful import streaming_latest_snapshot
+
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    b1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-03-01 10:00", "2024-03-01 11:00", "2024-03-01 09:00"]
+            ),
+            "user_id": [7, 7, 8],
+            "event_type": ["click", "click", "view"],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "event_id": [4, 5],
+            "ts": pd.to_datetime(["2024-03-01 08:00", "2024-03-01 12:00"]),
+            "user_id": [7, 8],
+            "event_type": ["click", "view"],
+            "value": [9.0, 4.0],
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(str(sdir))
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(str(sdir))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    q = (
+        streaming_latest_snapshot(stream)
+        .writeStream.format("memory")
+        .queryName("snapstream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_stateful(q, "snapstream", target_rows=4)
+    rows = spark.sql("select * from snapstream").collect()
+    # update-mode memory sink: take the max-n_versions emission per key
+    final = {}
+    for r in rows:
+        k = (r.user_id, r.event_type)
+        if k not in final or r.n_versions > final[k].n_versions:
+            final[k] = r
+    click = final[(7, "click")]
+    # the 08:00 row in batch 2 must NOT displace the held 11:00 row
+    assert click.event_id == 2 and click.value == 2.0 and click.n_versions == 3
+    view = final[(8, "view")]
+    assert view.event_id == 5 and view.value == 4.0 and view.n_versions == 2

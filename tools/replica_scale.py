@@ -26,13 +26,14 @@ OUT = "/tmp/scale_r5_data"
 SCALES = [1, 3, 10]
 
 DEFAULT_ENTRIES = [
-    "semdedup",
     "semdedup_trained",
+    "semdedup_ann",
+    "embed_near_dup",
     "dedup_clusters",
     "dup_spans",
-    "bigram_lm_score",
-    "contamination_overlap",
-    "bpe_train",
+    "corpus_shuffle",
+    "quality_deciles",
+    "image_ahash",
 ]
 
 

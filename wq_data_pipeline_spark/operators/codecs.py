@@ -192,3 +192,32 @@ def wav_encode(samples: list[int], rate: int = 8000, nch: int = 1) -> bytes:
         f.setframerate(rate)
         f.writeframes(b"".join(struct.pack("<h", s) for s in samples))
     return buf.getvalue()
+
+
+# ------------------------------------------------------------- ahash
+def ahash_bits(w: int, h: int, nch: int, pixels: bytes) -> str:
+    """Average hash (aHash) over decoded 8-bit GRAY pixels — the
+    classic perceptual image fingerprint (block-mean the image to
+    8×8, threshold each block against the global mean). ALL-INTEGER
+    arithmetic (floor-div block means, floor-div threshold) so the 64
+    bits are engine-portable: an oracle can replay them from the raw
+    pixel bytes without any float tolerance. Returns a 64-char
+    '0'/'1' string, bit index = block_row*8 + block_col ascending
+    (a string, not an int, because bit 63 would overflow signed
+    BIGINT). Requires w%8 == h%8 == 0 and nch == 1; color callers
+    pre-convert to luma."""
+    if nch != 1:
+        raise NotImplementedError("ahash_bits expects gray pixels (nch=1)")
+    if w % 8 or h % 8:
+        raise NotImplementedError("ahash_bits expects dimensions divisible by 8")
+    bw, bh = w // 8, h // 8
+    means = []
+    for by in range(8):
+        for bx in range(8):
+            s = 0
+            for y in range(by * bh, (by + 1) * bh):
+                row = y * w
+                s += sum(pixels[row + bx * bw : row + (bx + 1) * bw])
+            means.append(s // (bw * bh))
+    thr = sum(means) // 64
+    return "".join("1" if m > thr else "0" for m in means)

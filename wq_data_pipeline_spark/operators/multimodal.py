@@ -210,3 +210,45 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
         .filter((F.col("_rn") - 1) % every_n == 0)
         .drop("_rn")
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ahash", T.StringType()),
+    ]
+)
+
+
+def perceptual_hash(df: DataFrame, content: str = "content") -> DataFrame:
+    """Perceptual image fingerprint over binary media columns: REAL
+    PNG decode (stdlib codec) -> integer average-hash
+    (:func:`codecs.ahash_bits`). The image analog of simhash for the
+    dedup family — images whose 64-bit aHash matches (or sits within
+    a small Hamming distance) are visual near-duplicates. Arrow-
+    batched mapInPandas; non-PNG payloads raise (same contract as
+    decode_media's real path)."""
+    from wq_data_pipeline_spark.operators.codecs import ahash_bits, png_decode
+
+    def _hash(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf[content]):
+                w, h, nch, pix = png_decode(bytes(data))
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "width": w,
+                        "height": h,
+                        "ahash": ahash_bits(w, h, nch, pix),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    return df.select(F.col("media_id"), F.col(content).alias("content")).mapInPandas(
+        _hash, AHASH_SCHEMA
+    )

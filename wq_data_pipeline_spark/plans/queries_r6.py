@@ -531,3 +531,102 @@ ORACLES10: dict[str, str] = {
     "quality_deciles": SQL_QUALITY_DECILES,
     "tpch_q14_promo": SQL_TPCH_Q14,
 }
+
+
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup fingerprinting through the REAL codec path:
+    deterministic 16×16 gray PNGs (pixels = md5 chain seeded by the
+    document's content digest) are ENCODED with the stdlib PNG
+    writer, decoded back, and average-hashed
+    (``multimodal.perceptual_hash``); hashes group into visual-dup
+    buckets. Duplicate documents produce identical images, so the
+    is_dup_image column mirrors content dedup through the image
+    pipeline end-to-end.
+
+    ORACLED despite the codec: 8-bit gray PNG round-trips losslessly,
+    so DuckDB can replay the expected pixels straight from the md5
+    chain and recompute the all-integer aHash — the comparison
+    cross-checks both the hash math AND the codec round-trip. Scale
+    shape: two chained mapInPandas stages (one narrow Arrow pass, no
+    shuffle between), then one hash agg on the 64-bit fingerprint."""
+    from wq_data_pipeline_spark.operators.multimodal import perceptual_hash
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    d = _docs_parallel(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+
+    from pyspark.sql import types as T
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def _render(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from wq_data_pipeline_spark.operators.codecs import png_encode
+
+        for pdf in batches:
+            out = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                seed = hashlib.md5(str(text).encode()).hexdigest()
+                pixels = b"".join(
+                    hashlib.md5(f"{seed}:{c}".encode()).digest() for c in range(16)
+                )
+                out.append(
+                    {"media_id": int(mid), "content": png_encode(16, 16, 1, pixels)}
+                )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = d.mapInPandas(_render, media_schema)
+    hashed = perceptual_hash(media)
+    counts = hashed.groupBy("ahash").agg(F.count(F.lit(1)).alias("n_same_hash"))
+    return hashed.join(counts, "ahash").select(
+        "media_id",
+        "width",
+        "height",
+        "ahash",
+        "n_same_hash",
+        (F.col("n_same_hash") > 1).alias("is_dup_image"),
+    )
+
+
+# Oracle: replay the md5 pixel chain (PNG round-trip is lossless for
+# 8-bit gray, pinned by tests/test_codecs.py), block-mean to 8x8 with
+# floor division, threshold at the floor-mean of block means — every
+# step integer, so the 64 bits match the engine's codec path exactly.
+SQL_IMAGE_AHASH = """
+WITH s AS (SELECT doc_id AS media_id, md5(text) AS seed FROM documents),
+idx AS (SELECT unnest(generate_series(0, 255)) AS i),
+px AS (
+  SELECT s.media_id, idx.i,
+         ('0x' || substr(md5(s.seed || ':' || CAST(idx.i // 16 AS VARCHAR)),
+                         (idx.i % 16) * 2 + 1, 2))::INT AS pix
+  FROM s CROSS JOIN idx
+),
+blocks AS (
+  SELECT media_id,
+         ((i // 16) // 2) * 8 + ((i % 16) // 2) AS block,
+         CAST(sum(pix) // 4 AS BIGINT) AS bm
+  FROM px GROUP BY media_id, ((i // 16) // 2) * 8 + ((i % 16) // 2)
+),
+thr AS (SELECT media_id, CAST(sum(bm) // 64 AS BIGINT) AS t FROM blocks GROUP BY media_id),
+bits AS (
+  SELECT b.media_id,
+         string_agg(CASE WHEN b.bm > t.t THEN '1' ELSE '0' END, '' ORDER BY b.block) AS ahash
+  FROM blocks b JOIN thr t USING (media_id) GROUP BY b.media_id
+),
+cnt AS (SELECT ahash, count(*) AS n_same_hash FROM bits GROUP BY ahash)
+SELECT media_id, 16 AS width, 16 AS height, ahash, n_same_hash,
+       n_same_hash > 1 AS is_dup_image
+FROM bits JOIN cnt USING (ahash)"""
+
+
+QUERIES10["image_ahash"] = q_image_ahash
+ORACLES10["image_ahash"] = SQL_IMAGE_AHASH

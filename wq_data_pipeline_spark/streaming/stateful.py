@@ -210,3 +210,81 @@ def streaming_robust_z(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+SNAP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_versions", T.LongType()),
+    ]
+)
+
+# state: the current latest version + how many versions were seen
+SNAP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_versions", T.LongType()),
+    ]
+)
+
+
+def _snap(key, pdfs, state):
+    """Fold each micro-batch's rows for this key into the (ts_us,
+    event_id)-max version held in state; emit the refreshed snapshot
+    row once per batch the key appears in."""
+    user_id, event_type = key
+    if state.exists:
+        ts_us, eid, val, n = state.get
+    else:
+        ts_us, eid, val, n = -1, -1, None, 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        ids = pdf["event_id"].to_numpy()
+        # lexicographic argmax over (ts, event_id) — the CDC tie rule
+        best = max(range(len(pdf)), key=lambda i: (us[i], ids[i]))
+        if (int(us[best]), int(ids[best])) > (ts_us, eid):
+            ts_us, eid = int(us[best]), int(ids[best])
+            v = pdf["value"].iloc[best]
+            val = None if pd.isna(v) else float(v)
+    state.update((ts_us, eid, val, n))
+    yield pd.DataFrame(
+        [[user_id, event_type, ts_us, eid, val, n]],
+        columns=["user_id", "event_type", "ts_us", "event_id", "value", "n_versions"],
+    )
+
+
+def streaming_latest_snapshot(stream: DataFrame) -> DataFrame:
+    """Streaming CDC latest-snapshot (the incremental form of the
+    batch ``latest_snapshot`` catalog entry): per (user_id,
+    event_type) the state holds only the current winning version —
+    O(1) state per key, unbounded retention (a snapshot view never
+    expires; use a timeout variant for keys that may churn forever).
+    Each micro-batch emits the refreshed snapshot for the keys it
+    touched (update semantics — downstream sinks upsert on the key;
+    ``n_versions`` is monotone, so consumers can also pick the max).
+
+    The input stream is events-shaped: (event_id, ts, user_id,
+    event_type, value). Micro-batch arrival order does not matter —
+    the fold is a max over (ts, event_id), which is order-free, so
+    unlike the run detectors this operator is exactly correct under
+    ANY arrival order per key."""
+
+    def fn(key, pdfs, state):
+        return _snap(key, pdfs, state)
+
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        outputStructType=SNAP_OUT_SCHEMA,
+        stateStructType=SNAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
