@@ -129,6 +129,13 @@ BUDGETS = {
     # two chained mapInPandas (narrow) -> hash agg on the fingerprint
     # -> count join (AQE-broadcast at small SF)
     "image_ahash": (3, 1, 0),
+    # r6b warehouse batch
+    "scd2_intervals": (1, 0, 0),
+    # full-outer MERGE join: target + delta exchanges on the key
+    "merge_upsert": (2, 0, 0),
+    "value_percentiles": (1, 0, 0),
+    # span agg + slot agg; the Generate is the per-group grid sequence
+    "time_grid_ffill": (2, 1, 1),
 }
 
 
