@@ -136,6 +136,14 @@ BUDGETS = {
     "value_percentiles": (1, 0, 0),
     # span agg + slot agg; the Generate is the per-group grid sequence
     "time_grid_ffill": (2, 1, 1),
+    # CC ran at construction; final = size agg + join over the pinned
+    # component labels
+    "embed_dup_clusters": (2, 2, 0),
+    # three chained min-aggs + two left joins (AQE broadcasts at
+    # small SF); shuffles carry only (user, ts)
+    "event_funnel": (5, 5, 0),
+    # distinct + first-day agg + per-cell distinct count
+    "retention_cohorts": (4, 1, 0),
 }
 
 
@@ -163,6 +171,7 @@ CONSTRUCTION_JOB_CAPS = {
     "mix_report": 16,  # distributed prefix sum over the survivors
     "corpus_shuffle": 8,  # distributed prefix sum: per-partition bases
     "quality_deciles": 8,  # distributed prefix sum: per-partition bases
+    "embed_dup_clusters": 44,  # near-dup pair chain + CC label rounds
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

@@ -640,7 +640,9 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same banding, same quantized cosine. Plane dots are BIGINT sums
 # (Spark's double fold over |q_i| <= 1e7 longs is exact), so the
 # sign — and hence every signature bit — matches bit-for-bit.
-SQL_EMBED_NEAR_DUP = f"""
+# The WITH-prefix (through `dup_pairs`) is shared with the
+# embed_dup_clusters oracle in queries_r6b.py.
+_EMBED_NEAR_DUP_CTE = f"""
 WITH q AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_Q}) AS BIGINT)) AS q
   FROM embeddings
@@ -678,11 +680,16 @@ pairs AS (
          list_sum(list_transform(a.q, x -> x * x)) AS n1,
          list_sum(list_transform(b.q, x -> x * x)) AS n2
   FROM cand c JOIN q a ON a.vec_id = c.id_a JOIN q b ON b.vec_id = c.id_b
-)
-SELECT id_a, id_b,
-       CAST(dotq AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos_sim
-FROM pairs
-WHERE CAST(dotq AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) >= 0.45"""
+),
+dup_pairs AS (
+  SELECT id_a, id_b,
+         CAST(dotq AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos_sim
+  FROM pairs
+  WHERE CAST(dotq AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) >= 0.45
+)"""
+
+SQL_EMBED_NEAR_DUP = f"""{_EMBED_NEAR_DUP_CTE}
+SELECT id_a, id_b, cos_sim FROM dup_pairs"""
 
 
 _ANN_BANDS = 4

@@ -257,3 +257,155 @@ QUERIES11["value_percentiles"] = q_value_percentiles
 ORACLES11["value_percentiles"] = SQL_VALUE_PERCENTILES
 QUERIES11["time_grid_ffill"] = q_time_grid_ffill
 ORACLES11["time_grid_ffill"] = SQL_TIME_GRID_FFILL
+
+
+def q_embed_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERING end-to-end: banded-LSH candidate
+    pairs at cosine >= 0.45 (the embed_near_dup plan) -> connected
+    components (min-label propagation, O(log n) rounds) -> cluster
+    assignment per vector + cluster size. The embedding-space twin of
+    ``dedup_clusters`` (MinHash pairs over documents): together they
+    cover both modalities of the pairs->components dedup composition.
+    The oracle replays the identical md5-hyperplane pair generation
+    and closes components with a recursive CTE."""
+    from wq_data_pipeline_spark.operators.dedup import connected_components
+    from wq_data_pipeline_spark.plans.queries_ext import q_embed_near_dup
+
+    pairs = q_embed_near_dup(spark, sf_dir).select("id_a", "id_b")
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    comps = connected_components(nodes, pairs, "vec_id", "id_a", "id_b")
+    sizes = comps.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comps.join(sizes, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def _embed_dup_clusters_sql() -> str:
+    from wq_data_pipeline_spark.plans.queries_ext import _EMBED_NEAR_DUP_CTE
+
+    return f"""{_EMBED_NEAR_DUP_CTE},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM dup_pairs
+  UNION SELECT id_b, id_a FROM dup_pairs
+),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.b, r.root FROM r JOIN edges e ON e.a = r.node
+  )
+  SELECT node, min(root) AS cluster_id FROM r GROUP BY node
+),
+sized AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM reach GROUP BY cluster_id
+)
+SELECT node AS vec_id, reach.cluster_id, cluster_size,
+       node = reach.cluster_id AS is_canonical
+FROM reach JOIN sized USING (cluster_id)"""
+
+
+SQL_EMBED_DUP_CLUSTERS = _embed_dup_clusters_sql()
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): per user,
+    the first view, the first click AT OR AFTER that view, and the
+    first purchase at or after that click — the classic product-
+    analytics sequence query. Three per-user min-aggregations chained
+    by time predicates; every agg is map-side combinable and shuffles
+    only (user, ts) pairs. depth = how far the user got."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("view_us"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("us") >= F.col("view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("click_us"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("us") >= F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    out = t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
+    depth = (
+        F.lit(1)
+        + F.col("click_us").isNotNull().cast("int")
+        + F.col("purchase_us").isNotNull().cast("int")
+    )
+    return out.select(
+        "user_id", "view_us", "click_us", "purchase_us", depth.alias("depth")
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+t1 AS (SELECT user_id, min(us) AS view_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.us) AS click_us
+  FROM e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.us >= t1.view_us
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.us) AS purchase_us
+  FROM e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.us >= t2.click_us
+  GROUP BY e.user_id
+)
+SELECT t1.user_id, t1.view_us, t2.click_us, t3.purchase_us,
+       1 + CAST(t2.user_id IS NOT NULL AS INT) + CAST(t3.user_id IS NOT NULL AS INT) AS depth
+FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id"""
+
+
+_DAY_US = 86_400_000_000
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort triangle: users are cohorted by their first
+    active day;each (cohort_day, day-offset) cell counts the distinct
+    users active that day. Two hash aggs (per-user first day; per-cell
+    distinct count) — the standard growth-analytics rollup, all
+    integer day arithmetic (µs // 86.4e9, timezone-free)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.unix_micros("ts") / _DAY_US).cast("long").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = ev.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+SQL_RETENTION_COHORTS = f"""
+WITH e AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+),
+f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+SELECT f.cohort_day, e.day - f.cohort_day AS offset_days,
+       count(DISTINCT e.user_id) AS n_users
+FROM e JOIN f ON e.user_id = f.user_id
+GROUP BY f.cohort_day, e.day - f.cohort_day"""
+
+
+QUERIES11["embed_dup_clusters"] = q_embed_dup_clusters
+ORACLES11["embed_dup_clusters"] = SQL_EMBED_DUP_CLUSTERS
+QUERIES11["event_funnel"] = q_event_funnel
+ORACLES11["event_funnel"] = SQL_EVENT_FUNNEL
+QUERIES11["retention_cohorts"] = q_retention_cohorts
+ORACLES11["retention_cohorts"] = SQL_RETENTION_COHORTS
