@@ -237,3 +237,24 @@ def test_ahash_bits_matches_reference_and_roundtrip():
     want = "".join("1" if m > thr else "0" for m in means.flatten())
     assert got == want
     assert len(got) == 64 and set(got) <= {"0", "1"}
+
+
+def test_perceptual_hash_honors_content_column_name(spark):
+    """Regression (r6 review): perceptual_hash(df, content='blob') must
+    read the ALIASED column inside the closure — the original name no
+    longer exists in the mapInPandas input frame."""
+    import hashlib
+
+    from wq_data_pipeline_spark.operators.codecs import ahash_bits, png_encode
+    from wq_data_pipeline_spark.operators.multimodal import perceptual_hash
+
+    seed = hashlib.md5(b"x").hexdigest()
+    pixels = b"".join(
+        hashlib.md5(f"{seed}:{c}".encode()).digest() for c in range(16)
+    )
+    png = png_encode(16, 16, 1, pixels)
+    df = spark.createDataFrame([(7, bytearray(png))], "media_id LONG, blob BINARY")
+    rows = perceptual_hash(df, content="blob").collect()
+    assert len(rows) == 1
+    assert rows[0].ahash == ahash_bits(16, 16, 1, pixels)
+    assert (rows[0].width, rows[0].height) == (16, 16)

@@ -114,11 +114,16 @@ def test_semdedup_trained_oracle_k_is_dynamic():
     )
 
     assert f"ceil(count(*) / {_SDT_TARGET}.0)" in SQL_SEMDEDUP_TRAINED
-    # and the subquery evaluates to the engine's k at the driver's sf
-    n = duckdb.sql(
-        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
-    ).fetchone()[0]
-    assert math.ceil(n / _SDT_TARGET) >= 1
+    # and the SQL-side subquery computes the SAME k the engine derives
+    # (ceil(n/target)) on the fixture the suite actually runs against
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    n, sql_k = duckdb.sql(
+        f"SELECT count(*), CAST(ceil(count(*) / {_SDT_TARGET}.0) AS BIGINT) "
+        f"FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchone()
+    assert sql_k == math.ceil(n / _SDT_TARGET)
 
 
 def test_narrow_argmax_duplicate_id_fans_out(spark):

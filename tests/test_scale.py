@@ -780,3 +780,26 @@ def test_minhash_guard_precondition_exact_dedup_upstream(spark):
     # composition: every member of the oversized identical group maps
     # through its canonical to ONE cluster — the group did cluster
     assert len({cluster[canon[i]] for i in range(n_hot)}) == 1
+
+
+def test_kmeans_distributed_shift_tol_early_stop(spark, sf_dir):
+    """Distributed-mode convergence probe (r6 review fix: probe reads
+    the CHECKPOINTED round, not a re-executed plan): a huge shift_tol
+    stops after round 1, matching an iters=1 run exactly; tol=0 runs
+    all rounds and matches the default fixed-iter result."""
+    from wq_data_pipeline_spark.operators.similarity import kmeans_centroids
+    from wq_data_pipeline_spark.plans.queries_ext import _quantized
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _quantized("embedding").alias("q"))
+        .limit(120)
+    )
+    early = kmeans_centroids(
+        emb, k=4, iters=3, vec_col="q", literal_centroids_max=0, shift_tol=1e18
+    )
+    one = kmeans_centroids(emb, k=4, iters=1, vec_col="q", literal_centroids_max=0)
+    a = {r.centroid_id: list(r.q) for r in early.collect()}
+    b = {r.centroid_id: list(r.q) for r in one.collect()}
+    assert a == b

@@ -237,7 +237,8 @@ def perceptual_hash(df: DataFrame, content: str = "content") -> DataFrame:
 
         for pdf in batches:
             out = []
-            for mid, data in zip(pdf["media_id"], pdf[content]):
+            # the select below aliases the source column to "content"
+            for mid, data in zip(pdf["media_id"], pdf["content"]):
                 w, h, nch, pix = png_decode(bytes(data))
                 out.append(
                     {

@@ -96,16 +96,27 @@ def salted_join(
     far smaller than the fact (replication cost = n_salts × |dim|).
 
     The salt derives from ``salt_source`` (a high-cardinality fact
-    column, e.g. the row id) — deterministic, no rand(), retry-safe.
-    Result equals the plain join row-for-row (equivalence pinned in
-    tests/test_scale.py). AQE's skew-join split covers sort-merge
-    joins after the fact; pre-salting bounds the skew BEFORE the
-    shuffle and also covers hash joins.
+    column, e.g. the row id) — deterministic, no rand(), retry-safe;
+    ``pmod`` keeps it in [0, n_salts) even at hash == Integer.MIN_VALUE
+    (``abs`` wraps negative there and a negative salt would silently
+    drop the row). Result equals the plain join row-for-row
+    (equivalence pinned in tests/test_scale.py). Only ``inner`` and
+    ``left`` joins are supported: a right/full join would emit every
+    unmatched dim row once PER SALT REPLICA, which no de-duplication
+    can undo without re-deriving which replica is canonical. AQE's
+    skew-join split covers sort-merge joins after the fact;
+    pre-salting bounds the skew BEFORE the shuffle and also covers
+    hash joins.
     """
     if salt_source is None:
         raise ValueError("salt_source required (deterministic salting)")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): unmatched "
+            "dim rows would duplicate once per salt replica"
+        )
     src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
-    f = fact.withColumn("_salt", (F.abs(F.hash(src)) % n_salts).cast("int"))
+    f = fact.withColumn("_salt", F.pmod(F.hash(src), F.lit(n_salts)).cast("int"))
     d = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

@@ -260,9 +260,11 @@ def kmeans_centroids(
         )
 
     head = base.select(F.size(vec_col).alias("_d")).first()
-    if head is None:
-        # empty corpus: no seeds to train from — empty centroid table
-        # with the contract schema instead of a lambda-type blowup
+    if head is None or k <= 0:
+        # empty corpus (or degenerate k): no seeds to train from —
+        # empty centroid table with the contract schema instead of a
+        # lambda-type blowup (the k<=0 literal path would otherwise
+        # crash on array_max of an empty centroid array)
         return cent_df([]).select("centroid_id", vec_col)
     dim = head["_d"]
 
@@ -351,7 +353,18 @@ def _kmeans_distributed(
     Seeds: the k smallest-md5(id) vectors, numbered 0..k-1 in md5
     order. The numbering window sorts only the k seed rows (k ≈ n/64
     for SemDeDup sizing — 64× smaller than the corpus and spillable);
-    every later round is broadcast-join + hash-agg only."""
+    every later round is broadcast-join + hash-agg only.
+
+    Remaining at-scale caveat (honest limit, not driver memory): each
+    Lloyd round still BROADCASTS the k-row centroid table to every
+    executor (Tungsten-format, off the driver's Python heap — the
+    r5 wall — but at k ∝ n it is still ~k×dim×8 bytes per executor,
+    ~8 GB at n=1e9/dim=64). Past executor-broadcast budgets, swap the
+    per-round exact assignment for the shared-LSH candidate join that
+    ``q_semdedup_ann`` uses for the FINAL assignment (skinny
+    (id, band, sig) shuffle; no broadcast of the full centroid set),
+    or train on a deterministic md5-bucket sample sized to the
+    broadcast budget — both keep this function's contract."""
     from pyspark.sql import Window
 
     seeds = (
@@ -422,13 +435,20 @@ def _kmeans_distributed(
             "centroid_id",
             F.coalesce(F.col("_mv"), F.col(vec_col)).alias(vec_col),
         )
+        prev = cent
+        # checkpoint BEFORE any convergence probe: probing the
+        # un-checkpointed frame would execute the full round plan
+        # (assignment crossJoin + means agg) once for the probe and
+        # again for the checkpoint — doubling every round's cost
+        cent = new_cent.localCheckpoint()
         if shift_tol > 0.0:
-            # scalar max-shift probe (one tiny agg over k rows); the
-            # 0.0 default skips the extra per-round job — exact
-            # convergence at tol=0 is rare in float space and the
-            # fixed-iter contract is what the oracles replay
+            # scalar max-shift probe (one tiny agg over the k-row
+            # checkpointed frames); the 0.0 default skips the extra
+            # per-round job — exact convergence at tol=0 is rare in
+            # float space and the fixed-iter contract is what the
+            # oracles replay
             shift_row = (
-                cent.join(new_cent.withColumnRenamed(vec_col, "_nv"), "centroid_id")
+                prev.join(cent.withColumnRenamed(vec_col, "_nv"), "centroid_id")
                 .select(
                     F.array_max(
                         F.zip_with(
@@ -439,11 +459,8 @@ def _kmeans_distributed(
                 .agg(F.max("_s").alias("_s"))
                 .first()
             )
-            cent = new_cent.localCheckpoint()
             if shift_row["_s"] is not None and shift_row["_s"] <= shift_tol:
                 break
-        else:
-            cent = new_cent.localCheckpoint()
     return cent.select("centroid_id", vec_col)
 
 

@@ -580,7 +580,12 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings")
     # probe the embedding width once (1-row job) so the hyperplanes
     # are baked in as literals — executors do multiply-adds, no md5
-    dim = raw.select(F.size("embedding")).head()[0]
+    head = raw.select(F.size("embedding")).head()
+    if head is None:  # empty table: contract schema, no dim to probe
+        return spark.createDataFrame(
+            [], "id_a LONG, id_b LONG, cos_sim DOUBLE"
+        )
+    dim = head[0]
     emb = raw.select("vec_id", _quantized("embedding").alias("q"))
     # single-file small table would compute all 32 plane dots in one
     # task; spread rows across the cluster first
@@ -706,7 +711,13 @@ def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wq_data_pipeline_spark.operators.similarity import rp_lsh_signature
 
     raw = load_table(spark, sf_dir, "embeddings")
-    dim = raw.select(F.size("embedding")).head()[0]
+    head = raw.select(F.size("embedding")).head()
+    if head is None:  # empty table: contract schema, no dim to probe
+        return spark.createDataFrame(
+            [],
+            "query_id LONG, neighbor_id LONG, cos_sim DOUBLE, rank INT",
+        )
+    dim = head[0]
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _quantized("embedding").alias("q")
     )

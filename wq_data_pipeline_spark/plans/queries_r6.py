@@ -77,10 +77,20 @@ def q_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wq_data_pipeline_spark.plans.queries_ext import _KM_ITERS, _quantized
 
     raw = load_table(spark, sf_dir, "embeddings")
-    dim = raw.select(F.size("embedding")).head()[0]
+    head = raw.select(F.size("embedding")).head()
+    if head is None:  # empty table: contract schema, no dim to probe
+        empty = spark.createDataFrame(
+            [], "vec_id LONG, q ARRAY<BIGINT>, cluster_id LONG"
+        )
+        return semdedup_within(empty, id_col="vec_id", vec_col="q", tau=_SDA_TAU)
+    dim = head[0]
+    # pin the scan + quantization once: count(), both banded() sides,
+    # the scoring join, and the final assignment all read `emb` —
+    # without the checkpoint each is an independent re-scan
     emb = (
         raw.select("vec_id", _quantized("embedding").alias("q"))
         .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
     )
     k = max(1, math.ceil(emb.count() / _SDA_TARGET))
     cent = kmeans_centroids(
@@ -275,7 +285,7 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CORPUS_SHUFFLE = """
 SELECT doc_id, source,
-       CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
                             t -> t <> '')) AS BIGINT) AS n_tokens,
        CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
             AS BIGINT) AS shuffle_pos
@@ -321,7 +331,7 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LENGTH_BUCKETS = f"""
 WITH t AS (
-  SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+  SELECT CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
                               x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents
 )

@@ -177,9 +177,11 @@ def q_time_grid_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.unix_micros("ts").alias("us"), "value", "event_id"
     )
+    # floor-div (not double-div + cast, which truncates toward zero):
+    # matches the oracle's // for pre-1970 timestamps
     span = ev.groupBy("event_type").agg(
-        ((F.min("us") / _TG_STEP_US).cast("long") * _TG_STEP_US).alias("_lo"),
-        ((F.max("us") / _TG_STEP_US).cast("long") * _TG_STEP_US).alias("_hi"),
+        (F.floor(F.min("us") / _TG_STEP_US).cast("long") * _TG_STEP_US).alias("_lo"),
+        (F.floor(F.max("us") / _TG_STEP_US).cast("long") * _TG_STEP_US).alias("_hi"),
     )
     grid = span.select(
         "event_type",
@@ -190,7 +192,7 @@ def q_time_grid_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one observation per slot: the latest (us, event_id) in the slot
     obs = (
         ev.withColumn(
-            "slot_us", (F.col("us") / _TG_STEP_US).cast("long") * _TG_STEP_US
+            "slot_us", F.floor(F.col("us") / _TG_STEP_US).cast("long") * _TG_STEP_US
         )
         .groupBy("event_type", "slot_us")
         .agg(
@@ -381,7 +383,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct count) — the standard growth-analytics rollup, all
     integer day arithmetic (µs // 86.4e9, timezone-free)."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", (F.unix_micros("ts") / _DAY_US).cast("long").alias("day")
+        "user_id", F.floor(F.unix_micros("ts") / _DAY_US).cast("long").alias("day")
     )
     first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     act = ev.distinct()
