@@ -1,0 +1,240 @@
+"""Catalog batch 13 (round 6, fourth wave): three engine operators a
+complete analytics stack needs that nothing else in the catalog
+covers — interval coalescing (merge overlapping per-key intervals),
+deterministic weighted sampling without replacement (Efraimidis-
+Spirakis A-ES keys), and fixed-iteration PageRank over a purchase
+graph in exact integer arithmetic.
+
+Determinism conventions as in plans/queries.py: all interval and
+rank math is BIGINT (µs / micro-rank units); the sampling keys feed
+an ORDER BY only (never the output), so a 1-ulp libm-vs-JVM ``ln``
+divergence can't surface in the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from wq_data_pipeline_spark.sources.testdata import load_table
+
+_IV_LEN_US = 1_800_000_000  # each event opens a 30-min activity interval
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing: each event opens a 30-min activity
+    interval per user; overlapping-or-touching intervals merge into
+    maximal islands (the classic sorted-sweep with a running max of
+    interval ends — one window per key, no self-join).
+
+    The same primitive underlies uptime/coverage reports, QC mask
+    consolidation, and GDPR retention-window math. Per-user rollup:
+    island count, covered time, longest island. All µs BIGINT."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + F.lit(_IV_LEN_US)).alias("end_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+    prev_max_end = F.max("end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        prev_max_end.isNull() | (F.col("start_us") > prev_max_end)
+    ).cast("long")
+    islands = (
+        s.withColumn("new_i", new_island)
+        .withColumn(
+            "island",
+            F.sum("new_i").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("start_us").alias("i_start"),
+            F.max("end_us").alias("i_end"),
+        )
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("n_events").alias("n_events"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).alias("covered_us"),
+        F.max(F.col("i_end") - F.col("i_start")).alias("longest_us"),
+    )
+
+
+SQL_INTERVAL_MERGE = f"""
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + {_IV_LEN_US} AS end_us, event_id
+  FROM events),
+m AS (
+  SELECT *,
+         max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_end
+  FROM s),
+i AS (
+  SELECT *, CAST(sum(CASE WHEN prev_max_end IS NULL
+                           OR start_us > prev_max_end THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY start_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM m),
+isl AS (
+  SELECT user_id, island, count(*) AS n_events,
+         min(start_us) AS i_start, max(end_us) AS i_end
+  FROM i GROUP BY user_id, island)
+SELECT user_id, CAST(sum(n_events) AS BIGINT) AS n_events,
+       count(*) AS n_islands,
+       CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
+       CAST(max(i_end - i_start) AS BIGINT) AS longest_us
+FROM isl GROUP BY user_id"""
+
+
+_WS_K = 10  # sample size per source
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis-Spirakis A-ES scheme — each doc draws u ~ U(0,1) from
+    its md5 (52-bit prefix), gets key ln(u)/w with weight w =
+    n_chars, and the top-k keys per source win. One hash per row +
+    one per-source top-k window: fully map-side until the tiny
+    shuffle of per-source candidates.
+
+    The float key orders candidates but is NOT emitted, so libm/JVM
+    ln() ulp differences can't reach the value hash; a flip would
+    need two keys within 1 ulp of each other."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(float(1 << 52))
+    key = F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("source").orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        d.withColumn("key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _WS_K)
+        .select("source", "sample_rank", "doc_id", F.col("n_chars").alias("weight"))
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+             + 0.5) / {float(1 << 52)!r}) / n_chars AS key
+  FROM documents WHERE n_chars > 0),
+r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id ASC)
+           AS sample_rank
+  FROM d)
+SELECT source, sample_rank, doc_id, n_chars AS weight
+FROM r WHERE sample_rank <= {_WS_K}"""
+
+
+_PR_ITERS = 3
+
+
+def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer-supplier purchase graph (edge when
+    a customer ever bought from a supplier), {_PR_ITERS} fixed
+    iterations, damping 0.85 — iterative graph analytics on the star
+    schema (supplier influence / customer centrality in one rank).
+
+    Exact integer arithmetic end-to-end: ranks live in micro-units,
+    each neighbor contribution is the BIGINT integral division
+    (85·r) div (100·deg), so the per-iteration sums are order-free
+    under any partitioning and the oracle unrolls the same rounds as
+    CTEs. The edge skeleton (one distinct pair per relationship) is
+    pinned once and reused by degree + every iteration; each round
+    is one join + one hash agg — the standard distributed-PR shape."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        # degree + 3 iterations all read this skeleton — pin it once,
+        # ALREADY hash-partitioned on src so every iteration's join
+        # shuffles only the node-sized rank table, never the edges
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1_000_000).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", F.expr("(85 * r) div (100 * deg)").alias("u"))
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (F.lit(150_000) + F.sum("u")).cast("long").alias("r")
+        ).select(F.col("dst").alias("node"), "r")
+    return (
+        ranks.join(deg, ranks.node == deg.src)
+        .select(
+            "node",
+            F.substring("node", 1, 1).alias("node_type"),
+            "deg",
+            F.col("r").alias("rank_micro"),
+        )
+    )
+
+
+def _pr_round(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT e.dst AS node,
+         CAST(150000 + sum((85 * r.r) // (100 * d.deg)) AS BIGINT) AS r
+  FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst)"""
+
+
+SQL_PAGERANK_PURCHASES = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+{_pr_round("r0", "r1")},
+{_pr_round("r1", "r2")},
+{_pr_round("r2", "r3")}
+SELECT r3.node, substr(r3.node, 1, 1) AS node_type, d.deg,
+       r3.r AS rank_micro
+FROM r3 JOIN deg d ON r3.node = d.src"""
+
+
+QUERIES13: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "interval_merge": q_interval_merge,
+    "weighted_sample": q_weighted_sample,
+    "pagerank_purchases": q_pagerank_purchases,
+}
+
+ORACLES13: dict[str, str] = {
+    "interval_merge": SQL_INTERVAL_MERGE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "pagerank_purchases": SQL_PAGERANK_PURCHASES,
+}
