@@ -401,3 +401,62 @@ def test_dup_span_removal_merged_islands_documented_overremoval(spark, tmp_path)
         q_dup_span_removal(spark, str(tmp_path)), SQL_DUP_SPAN_REMOVAL, str(tmp_path)
     )
     assert ok, info
+
+
+def test_dup_span_removal_keepone_basic(spark, tmp_path):
+    """Identical islands across docs: the (doc_id, s0)-minimal
+    occurrence is kept verbatim, every other occurrence is removed —
+    same outcome as the first-gram rule when islands align."""
+    import hashlib
+
+    from wq_data_pipeline_spark.plans.queries_r6d import q_dup_span_removal_keepone
+
+    planted = " ".join(f"shared{i}" for i in range(10))
+    fill_a = " ".join(f"au{i}" for i in range(5))
+    fill_b = " ".join(f"bu{i}" for i in range(5))
+    fill_c = " ".join(f"cu{i}" for i in range(5))
+    docs = [
+        f"{fill_a} {planted}",
+        f"{fill_b} {planted} btail",
+        f"{fill_c} {planted}",
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = {
+        r.doc_id: r for r in q_dup_span_removal_keepone(spark, str(tmp_path)).collect()
+    }
+    assert out[0].n_removed == 0
+    assert out[0].text_md5 == hashlib.md5(docs[0].encode()).hexdigest()
+    # exactly cnt-1 = 2 occurrences removed, the keeper's copy survives
+    assert out[1].n_removed == 10
+    assert out[1].text_md5 == hashlib.md5(f"{fill_b} btail".encode()).hexdigest()
+    assert out[2].n_removed == 10
+    assert out[2].text_md5 == hashlib.md5(fill_c.encode()).hexdigest()
+
+
+def test_dup_span_removal_keepone_merged_island_conserves(spark, tmp_path):
+    """The chained-run case that makes the first-gram rule destroy B
+    everywhere (test_dup_span_removal_merged_island_over_removes):
+    under the text-group keeper the merged island's text matches no
+    other island, every group is a singleton, and NOTHING is removed
+    — conservative under-removal, but one copy of A and B each
+    survives (the strict keep-one guarantee)."""
+    import hashlib
+
+    from wq_data_pipeline_spark.plans.queries_r6d import q_dup_span_removal_keepone
+
+    run_a = " ".join(f"aa{i}" for i in range(8))
+    run_b = " ".join(f"bb{i}" for i in range(8))
+    fill0 = " ".join(f"f{i}" for i in range(5))
+    fill2 = " ".join(f"g{i}" for i in range(5))
+    docs = [
+        f"{fill0} {run_a}",   # A island
+        f"{run_a} {run_b}",   # merged island "A B"
+        f"{fill2} {run_b}",   # B island
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = {
+        r.doc_id: r for r in q_dup_span_removal_keepone(spark, str(tmp_path)).collect()
+    }
+    for i, doc in enumerate(docs):
+        assert out[i].n_removed == 0, (i, out[i])
+        assert out[i].text_md5 == hashlib.md5(doc.encode()).hexdigest()

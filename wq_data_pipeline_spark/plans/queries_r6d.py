@@ -227,14 +227,174 @@ SELECT r3.node, substr(r3.node, 1, 1) AS node_type, d.deg,
 FROM r3 JOIN deg d ON r3.node = d.src"""
 
 
+_SPAN_N = 8  # token n-gram width, matches queries_scale.dup_spans
+
+
+def q_dup_span_removal_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with a STRICT keep-one guarantee — the
+    complement of ``dup_span_removal`` (queries_scale.py), whose
+    per-island first-gram keeper can destroy every copy of a run when
+    islands merge differently across docs (the pinned over-removal
+    case).
+
+    Rule here: occurrences are grouped by the md5 of the island's
+    ACTUAL TOKEN TEXT; within each group the (doc_id, span_start)-
+    minimal occurrence is the keeper and only the others are removed.
+    Guarantee: the keeper's island IS that exact text, so one copy of
+    every removed string always survives — removal can never orphan a
+    span. The trade (documented dual of the old entry): when chained
+    runs merge into one island in some doc, its island text differs
+    from the standalone runs', the groups are singletons, and NOTHING
+    is removed there — conservative under-removal instead of
+    destructive over-removal. Identical spans (the overwhelmingly
+    common case) dedup exactly as before. True maximal-match keep-one
+    still requires suffix-array semantics (Lee et al. 2022 §3).
+
+    Scale shape: dup_spans' detect chain (gram hash agg + island
+    windows), plus ONE doc_id equi-join of the span list against the
+    token arrays to md5 each island's text, a row_number window over
+    text groups (tiny partitions), and the same per-doc rewrite join.
+    """
+    from wq_data_pipeline_spark.operators.text import (
+        gram_hash,
+        shingles_from_tokens,
+        tokens,
+    )
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    d = _docs_parallel(spark, sf_dir)
+    toks = d.select("doc_id", F.posexplode(tokens("text")).alias("tpos", "tok"))
+    g = d.select(
+        "doc_id",
+        F.posexplode(shingles_from_tokens(tokens("text"), _SPAN_N)).alias(
+            "pos", "g"
+        ),
+    ).select("doc_id", "pos", gram_hash(F.col("g")).alias("h"))
+    dup = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    hits = g.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > _SPAN_N, 1).otherwise(0)
+    isl = hits.withColumn("island", F.sum(brk).over(w))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s0"),
+        (F.max("pos") + F.lit(_SPAN_N - 1)).alias("s1"),
+    )
+    ta = d.select("doc_id", tokens("text").alias("toks"))
+    keyed = spans.join(ta, "doc_id").select(
+        "doc_id",
+        "s0",
+        "s1",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("toks"),
+                    F.col("s0") + 1,
+                    F.col("s1") - F.col("s0") + 1,
+                ),
+            )
+        ).alias("tkey"),
+    )
+    wk = Window.partitionBy("tkey").orderBy("doc_id", "s0")
+    removed = (
+        keyed.withColumn("occ", F.row_number().over(wk))
+        .filter(F.col("occ") >= 2)
+        .select(F.col("doc_id").alias("r_doc"), "s0", "s1")
+    )
+    j = toks.join(
+        removed,
+        (toks.doc_id == removed.r_doc) & toks.tpos.between(removed.s0, removed.s1),
+        "left",
+    )
+    keep = F.col("s0").isNull()
+    kept_struct = F.when(keep, F.struct("tpos", "tok"))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((~keep).cast("long")).alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x.tok
+                ),
+            )
+        ).alias("text_md5"),
+    )
+
+
+SQL_DUP_SPAN_REMOVAL_KEEPONE = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+t AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS tpos, toks[i] AS tok
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        FROM w WHERE len(toks) >= 1)
+),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {_SPAN_N - 1}), ' ')), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {_SPAN_N - 1})) AS i
+        FROM w WHERE len(toks) >= {_SPAN_N})
+),
+dup AS (
+  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_N}
+              THEN 1 ELSE 0 END AS b
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s0, max(pos) + {_SPAN_N - 1} AS s1
+  FROM isl GROUP BY doc_id, island
+),
+keyed AS (
+  SELECT s.doc_id, s.s0, s.s1,
+         md5(array_to_string(list_slice(w.toks, s.s0 + 1, s.s1 + 1), ' ')) AS tkey
+  FROM spans s JOIN w ON s.doc_id = w.doc_id
+),
+rm AS (
+  SELECT doc_id AS r_doc, s0, s1
+  FROM (SELECT doc_id, s0, s1,
+               row_number() OVER (PARTITION BY tkey ORDER BY doc_id, s0) AS occ
+        FROM keyed)
+  WHERE occ >= 2
+),
+m AS (
+  SELECT t.doc_id, t.tpos, t.tok, (rm.s0 IS NULL) AS keep
+  FROM t LEFT JOIN rm ON t.doc_id = rm.r_doc AND t.tpos BETWEEN rm.s0 AND rm.s1
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(tok, ' ' ORDER BY tpos) FILTER (WHERE keep), '')) AS text_md5
+FROM m GROUP BY doc_id"""
+
+
 QUERIES13: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_merge": q_interval_merge,
     "weighted_sample": q_weighted_sample,
     "pagerank_purchases": q_pagerank_purchases,
+    "dup_span_removal_keepone": q_dup_span_removal_keepone,
 }
 
 ORACLES13: dict[str, str] = {
     "interval_merge": SQL_INTERVAL_MERGE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "pagerank_purchases": SQL_PAGERANK_PURCHASES,
+    "dup_span_removal_keepone": SQL_DUP_SPAN_REMOVAL_KEEPONE,
 }

@@ -187,7 +187,11 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-one over arbitrarily overlapping/chained runs requires
     suffix-array maximal-match semantics (Lee et al. §3); this
     gram-island approximation errs toward over-removal, which is the
-    safe direction for training-data dedup. The DuckDB oracle
+    safe direction for training-data dedup. For a STRICT keep-one
+    guarantee (at the cost of under-removing chained runs) use the
+    ``dup_span_removal_keepone`` companion (queries_r6d.py), which
+    groups occurrences by island-text md5 and keeps the minimal one
+    per group. The DuckDB oracle
     implements the identical rule;
     tests/test_round4_scale_entries.py::
     test_dup_span_removal_merged_island_over_removes plants the
