@@ -133,3 +133,41 @@ def test_resolve_duplicates_keep_first(spark):
     ).orderBy("ts").collect()
     assert [r.value for r in out] == [1.0, 3.0]
     assert [r.dup_count for r in out] == [2, 1]
+
+
+def test_jsonl_source_corrupt_record_policy(spark, tmp_path):
+    """sources.jsonl_source: PERMISSIVE capture of malformed lines
+    (row survives with NULL columns + raw line in _corrupt_record),
+    drop_corrupt filters them, and the sink round-trips."""
+    from wq_data_pipeline_spark.sources import jsonl_source as J
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = J.read_jsonl(spark, str(p), schema)
+    assert J.corrupt_count(df) == 1
+    bad = df.filter(F.col(J.CORRUPT_COL).isNotNull()).collect()
+    assert bad[0][J.CORRUPT_COL] == "this is not json"
+
+    clean = J.read_jsonl(spark, str(p), schema, drop_corrupt=True)
+    assert J.CORRUPT_COL not in clean.columns
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2]
+
+    out = str(tmp_path / "out_jsonl")
+    J.write_jsonl(clean, out, n_files=1)
+    back = J.read_jsonl(spark, out, schema, drop_corrupt=True)
+    assert sorted(r.doc_id for r in back.collect()) == [1, 2]
+
+    import pytest
+
+    with pytest.raises(TypeError):
+        J.read_jsonl(spark, str(p), None)  # schema is mandatory

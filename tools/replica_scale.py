@@ -61,6 +61,41 @@ def build_replicas() -> None:
                 for r in range(s)
             )
             con.execute(f"COPY ({reps}) TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
+        # TPC-H family: fact/entity keys offset per replica so join and
+        # agg cardinalities scale; nation/region stay fixed (they are
+        # fixed-size dims at every TPC-H scale factor too).
+        tpch_reps = {
+            "lineitem": """SELECT l_orderkey + {o} AS l_orderkey,
+                   l_partkey + {p} AS l_partkey, l_suppkey + {s} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate""",
+            "orders": """SELECT o_orderkey + {o} AS o_orderkey,
+                   o_custkey + {c} AS o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority""",
+            "customer": """SELECT c_custkey + {c} AS c_custkey, c_name,
+                   c_nationkey, c_acctbal, c_mktsegment""",
+            "supplier": """SELECT s_suppkey + {s} AS s_suppkey, s_name,
+                   s_nationkey, s_acctbal""",
+            "part": """SELECT p_partkey + {p} AS p_partkey, p_name, p_brand,
+                   p_type, p_size, p_retailprice""",
+            "nation": "SELECT *",
+            "region": "SELECT *",
+        }
+        for tbl, sel in tpch_reps.items():
+            if os.path.exists(f"{d}/{tbl}.parquet"):
+                continue
+            n_reps = 1 if tbl in ("nation", "region") else s
+            reps = " UNION ALL ".join(
+                sel.format(
+                    o=r * 100_000_000,
+                    c=r * 10_000_000,
+                    s=r * 1_000_000,
+                    p=r * 10_000_000,
+                )
+                + f" FROM read_parquet('{BASE}/{tbl}.parquet')"
+                for r in range(n_reps)
+            )
+            con.execute(f"COPY ({reps}) TO '{d}/{tbl}.parquet' (FORMAT PARQUET)")
         if not os.path.exists(f"{d}/events.parquet"):
             reps = " UNION ALL ".join(
                 f"""SELECT event_id + {r * 10_000_000} AS event_id, ts,

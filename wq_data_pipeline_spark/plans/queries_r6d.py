@@ -227,6 +227,60 @@ SELECT r3.node, substr(r3.node, 1, 1) AS node_type, d.deg,
 FROM r3 JOIN deg d ON r3.node = d.src"""
 
 
+def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (region, order priority) — all four
+    grouping combinations (detail, two marginals, grand total) in one
+    pass; completes the grouping-set surface next to rel_rollup.
+    Order totals are summed in integer cents (exact BIGINT, order-
+    free) since the marginals aggregate enough doubles to hit
+    half-cent boundaries. Data has no NULL keys, so 'ALL' coalesce
+    markers are unambiguous."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "r_name",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        j.cube("r_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents").cast("double") / 100).alias("total_price"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+SQL_REL_CUBE = """
+WITH j AS (
+  SELECT r_name, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey)
+SELECT coalesce(r_name, 'ALL') AS r_name,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS DOUBLE) / 100 AS total_price
+FROM j GROUP BY CUBE (r_name, o_orderpriority)"""
+
+
 _SPAN_N = 8  # token n-gram width, matches queries_scale.dup_spans
 
 
@@ -390,6 +444,7 @@ QUERIES13: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "pagerank_purchases": q_pagerank_purchases,
     "dup_span_removal_keepone": q_dup_span_removal_keepone,
+    "rel_cube": q_rel_cube,
 }
 
 ORACLES13: dict[str, str] = {
@@ -397,4 +452,5 @@ ORACLES13: dict[str, str] = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "pagerank_purchases": SQL_PAGERANK_PURCHASES,
     "dup_span_removal_keepone": SQL_DUP_SPAN_REMOVAL_KEEPONE,
+    "rel_cube": SQL_REL_CUBE,
 }
