@@ -172,6 +172,10 @@ CONSTRUCTION_JOB_CAPS = {
     "corpus_shuffle": 8,  # distributed prefix sum: per-partition bases
     "quality_deciles": 8,  # distributed prefix sum: per-partition bases
     "embed_dup_clusters": 44,  # near-dup pair chain + CC label rounds
+    # Q8 is the one SEVEN-table join in the catalog (lineitem, part,
+    # orders, customer, supplier, nation, region): one footer/schema
+    # job per table read, all metadata-only (measured 7, stable).
+    "tpch_q8_share": 7,
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 
