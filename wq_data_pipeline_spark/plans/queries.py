@@ -630,6 +630,7 @@ from wq_data_pipeline_spark.plans.queries_r6c import ORACLES12, QUERIES12  # noq
 from wq_data_pipeline_spark.plans.queries_r6d import ORACLES13, QUERIES13  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6e import ORACLES14, QUERIES14  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6f import ORACLES15, QUERIES15  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r6g import ORACLES16, QUERIES16  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -703,6 +704,8 @@ QUERIES.update(QUERIES14)
 ORACLES.update(ORACLES14)
 QUERIES.update(QUERIES15)
 ORACLES.update(ORACLES15)
+QUERIES.update(QUERIES16)
+ORACLES.update(ORACLES16)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
