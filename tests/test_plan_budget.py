@@ -144,6 +144,35 @@ BUDGETS = {
     "event_funnel": (5, 5, 0),
     # distinct + first-day agg + per-cell distinct count
     "retention_cohorts": (4, 1, 0),
+    # r6e TPC-H completion (measured at shuffle=32, AQE on).
+    "tpch_q2_mincost": (2, 4, 0),
+    "tpch_q4_latesemi": (1, 1, 0),
+    "tpch_q9_profit": (1, 3, 0),
+    "tpch_q11_value": (3, 8, 0),
+    "tpch_q12_latemode": (1, 1, 0),
+    "tpch_q15_topsupp": (3, 2, 0),
+    "tpch_q16_suppcnt": (3, 2, 0),
+    "tpch_q17_smallqty": (2, 2, 0),
+    "tpch_q20_potential": (1, 3, 0),
+    # per_supp feeds both the per-order rollup and the winner join;
+    # Catalyst recomputes that narrow (okey,skey,date) subtree rather
+    # than pinning it — 7 small keyed exchanges, deliberate (pinning
+    # a lineitem-scale intermediate would be worse at 100 TB)
+    "tpch_q21_waiting": (7, 3, 0),
+    # r6f time-series/graph batch
+    "ewma_series": (1, 0, 0),
+    "acf_lags": (2, 1, 1),
+    "cusum_changepoint": (4, 3, 0),
+    "seasonal_hours": (3, 1, 0),
+    "xcorr_daily": (3, 2, 0),
+    # edges pinned at construction; plan = two-hop join + three aggs
+    "triangle_counts": (6, 0, 1),
+    # r6g governance batch: many SINGLE-ROW agg exchanges (one per
+    # constraint table / FK relation), each carrying a few bytes
+    "dq_checks": (16, 4, 4),
+    "fk_orphans": (18, 12, 0),
+    "sql_surface_q3": (1, 2, 0),
+    "control_chart_days": (7, 3, 0),
 }
 
 
@@ -176,6 +205,9 @@ CONSTRUCTION_JOB_CAPS = {
     # orders, customer, supplier, nation, region): one footer/schema
     # job per table read, all metadata-only (measured 7, stable).
     "tpch_q8_share": 7,
+    # edge-set localCheckpoint runs the bucket+pair stages at build
+    # time (measured 6; headroom for an AQE stage split)
+    "triangle_counts": 8,
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

@@ -584,11 +584,13 @@ def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     equally-late supplier) pair re-expressed on l_shipdate (the
     receipt/commit columns do not exist).
 
-    Plan shape: two hash aggs — (orderkey, suppkey) max-shipdate,
-    then per-order rollup (n suppliers, order max, winner count) —
-    joined back on orderkey; no window over the raw fact. Orders
-    ('F' filter) joins on orderkey before the first agg so pruning
-    happens early."""
+    Plan shape: three hash aggs — (orderkey, suppkey) max-shipdate,
+    per-order rollup (n suppliers, order max), then a per-order
+    winner rollup where min(l_suppkey) IS the sole winner whenever
+    the winner count is 1 — so no window ever touches per-supplier
+    rows. Orders ('F' filter) joins on orderkey before the first agg
+    so pruning happens early, and all three aggs + the join share
+    the orderkey partitioning (AQE reuses the exchange)."""
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -608,18 +610,19 @@ def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     winners = (
         per_supp.join(per_order, "l_orderkey")
-        .filter(F.col("s_max") == F.col("o_max"))
-        .withColumn(
-            "n_winners",
-            F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")),
+        .filter((F.col("s_max") == F.col("o_max")) & (F.col("n_supp") >= 2))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_winners"),
+            F.min("l_suppkey").alias("winner"),
         )
-        .filter((F.col("n_supp") >= 2) & (F.col("n_winners") == 1))
+        .filter(F.col("n_winners") == 1)
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        winners.groupBy("l_suppkey")
+        winners.groupBy("winner")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(supp), F.col("winner") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "numwait")
     )
 
@@ -636,19 +639,18 @@ per_order AS (
   FROM per_supp GROUP BY 1
 ),
 winners AS (
-  SELECT l_suppkey,
-         count(*) OVER (PARTITION BY l_orderkey) AS n_winners,
-         n_supp
+  SELECT l_orderkey, count(*) AS n_winners, min(l_suppkey) AS winner
   FROM per_supp JOIN per_order ON l_orderkey = ok
-  WHERE s_max = o_max
+  WHERE s_max = o_max AND n_supp >= 2
+  GROUP BY 1
 )
 SELECT s_suppkey, s_name, numwait
 FROM (
-  SELECT l_suppkey, count(*) AS numwait
-  FROM winners WHERE n_supp >= 2 AND n_winners = 1
+  SELECT winner, count(*) AS numwait
+  FROM winners WHERE n_winners = 1
   GROUP BY 1
 ) w
-JOIN supplier ON l_suppkey = s_suppkey"""
+JOIN supplier ON winner = s_suppkey"""
 
 
 QUERIES14: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -459,8 +459,12 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at scale: bucket agg (one shuffle) -> bounded
     per-bucket pair explosion -> edge distinct (shuffle on the pair
-    key) -> two-hop join partitioned by the shared vertex. No
-    CartesianProduct; every join is keyed."""
+    key), then the edge set is PINNED (localCheckpoint) because five
+    downstream branches read it (e1/e2/the closing semi-join/both
+    degree sides) — unpinned, Catalyst recomputes the whole edge
+    subtree per branch (measured E=30 vs E<=8 pinned). The two-hop
+    join partitions on the shared vertex. No CartesianProduct;
+    every join is keyed."""
     ev = _events(spark, sf_dir)
     bucket_users = (
         ev.select(
@@ -480,6 +484,7 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ua") < F.col("ub"))
         .select("ua", "ub")
         .distinct()
+        .localCheckpoint()
     )
     e1 = edges.select(F.col("ua").alias("a"), F.col("ub").alias("b"))
     e2 = edges.select(F.col("ua").alias("b2"), F.col("ub").alias("c"))
