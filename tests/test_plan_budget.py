@@ -173,6 +173,18 @@ BUDGETS = {
     "fk_orphans": (18, 12, 0),
     "sql_surface_q3": (1, 2, 0),
     "control_chart_days": (7, 3, 0),
+    # r6h retail/SQL-surface batch. market_basket re-reads the narrow
+    # deduped basket relation from four branches (counts, items, both
+    # self-join sides) — 9 keyed exchanges of 2-column rows,
+    # deliberate over pinning a lineitem-scale intermediate.
+    "market_basket": (9, 4, 0),
+    "rfm_segments": (3, 1, 0),
+    # the whole rank family shares one (partition, order) spec: ONE
+    # window exchange, zero extras
+    "window_funcs_suite": (1, 0, 0),
+    # intersect/except/union each plan as keyed aggs + semi/anti
+    # joins over the two distinct user sets; 12 tiny exchanges
+    "user_set_ops": (12, 1, 2),
 }
 
 

@@ -631,6 +631,7 @@ from wq_data_pipeline_spark.plans.queries_r6d import ORACLES13, QUERIES13  # noq
 from wq_data_pipeline_spark.plans.queries_r6e import ORACLES14, QUERIES14  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6f import ORACLES15, QUERIES15  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6g import ORACLES16, QUERIES16  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r6h import ORACLES17, QUERIES17  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -706,6 +707,8 @@ QUERIES.update(QUERIES15)
 ORACLES.update(ORACLES15)
 QUERIES.update(QUERIES16)
 ORACLES.update(ORACLES16)
+QUERIES.update(QUERIES17)
+ORACLES.update(ORACLES17)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
