@@ -185,6 +185,9 @@ BUDGETS = {
     # intersect/except/union each plan as keyed aggs + semi/anti
     # joins over the two distinct user sets; 12 tiny exchanges
     "user_set_ops": (12, 1, 2),
+    # as-of backward join (union+window, one user_id shuffle) + the
+    # bucket rollup
+    "attribution_last_touch": (2, 0, 0),
 }
 
 

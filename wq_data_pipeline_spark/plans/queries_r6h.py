@@ -297,3 +297,68 @@ ORACLES17: dict[str, str] = {
     "window_funcs_suite": SQL_WINDOW_FUNCS_SUITE,
     "user_set_ops": SQL_USER_SET_OPS,
 }
+
+
+# --------------------------------------------------------------------------
+# attribution_last_touch — as-of attribution of purchases to clicks
+# --------------------------------------------------------------------------
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase is attributed to the
+    user's most recent click AT OR BEFORE it (the as-of backward
+    join, operators/asof.py — one shuffle on user_id + one sorted
+    window over the unioned stream, no range explosion), then rolled
+    up by time-to-convert bucket.
+
+    Buckets are integer-microsecond threshold compares (<=1h, <=6h,
+    <=24h, >24h, none) — no float time arithmetic anywhere."""
+    from wq_data_pipeline_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = asof_join_backward(
+        purchases, clicks, on=["user_id"], right_value_cols=(),
+    )
+    hour_us = 3_600_000_000
+    delta = F.unix_micros("ts") - F.unix_micros("matched_ts")
+    bucket = (
+        F.when(F.col("matched_ts").isNull(), "none")
+        .when(delta <= hour_us, "<=1h")
+        .when(delta <= 6 * hour_us, "<=6h")
+        .when(delta <= 24 * hour_us, "<=24h")
+        .otherwise(">24h")
+    )
+    return (
+        j.groupBy(bucket.alias("convert_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.user_id, p.ts, c.ts AS matched_ts
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT CASE
+         WHEN matched_ts IS NULL THEN 'none'
+         WHEN epoch_us(ts) - epoch_us(matched_ts) <= 3600000000 THEN '<=1h'
+         WHEN epoch_us(ts) - epoch_us(matched_ts) <= 21600000000 THEN '<=6h'
+         WHEN epoch_us(ts) - epoch_us(matched_ts) <= 86400000000 THEN '<=24h'
+         ELSE '>24h' END AS convert_bucket,
+       count(*) AS n_purchases,
+       count(DISTINCT user_id) AS n_users
+FROM j GROUP BY 1"""
+
+
+QUERIES17["attribution_last_touch"] = q_attribution_last_touch
+ORACLES17["attribution_last_touch"] = SQL_ATTRIBUTION_LAST_TOUCH
