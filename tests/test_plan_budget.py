@@ -188,6 +188,9 @@ BUDGETS = {
     # as-of backward join (union+window, one user_id shuffle) + the
     # bucket rollup
     "attribution_last_touch": (2, 0, 0),
+    # BFS rounds ran at construction (pinned frontier); final plan =
+    # one hash agg over the checkpointed reached set
+    "khop_reach": (1, 0, 0),
 }
 
 
@@ -223,6 +226,9 @@ CONSTRUCTION_JOB_CAPS = {
     # edge-set localCheckpoint runs the bucket+pair stages at build
     # time (measured 6; headroom for an AQE stage split)
     "triangle_counts": 8,
+    # edge pin + undirected pin + 3 bounded BFS rounds, each a
+    # frontier join/anti-join checkpoint (measured 30, fixed rounds)
+    "khop_reach": 34,
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

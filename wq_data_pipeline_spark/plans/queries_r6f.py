@@ -446,6 +446,35 @@ FROM a"""
 _TRI_BUCKET_CAP = 20
 
 
+def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared user co-occurrence graph: distinct (ua < ub) pairs
+    of users acting in the same (event_type, hour) bucket, with
+    buckets over the hot cap dropped BEFORE the pair self-join.
+    Returned PINNED (localCheckpoint) because every consumer fans
+    out over it multiple times."""
+    ev = _events(spark, sf_dir)
+    bucket_users = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "user_id",
+        )
+        .distinct()
+    )
+    sized = bucket_users.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("event_type", "h"))
+    ).filter(F.col("_bn") <= _TRI_BUCKET_CAP)
+    a = sized.select("event_type", "h", F.col("user_id").alias("ua"))
+    b = sized.select("event_type", "h", F.col("user_id").alias("ub"))
+    return (
+        a.join(b, ["event_type", "h"])
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user triangle participation: users are linked when they
     act in the same (event_type, hour) bucket; triangles are the
@@ -465,27 +494,7 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree per branch (measured E=30 vs E<=8 pinned). The two-hop
     join partitions on the shared vertex. No CartesianProduct;
     every join is keyed."""
-    ev = _events(spark, sf_dir)
-    bucket_users = (
-        ev.select(
-            "event_type",
-            F.date_trunc("hour", F.col("ts")).alias("h"),
-            "user_id",
-        )
-        .distinct()
-    )
-    sized = bucket_users.withColumn(
-        "_bn", F.count(F.lit(1)).over(Window.partitionBy("event_type", "h"))
-    ).filter(F.col("_bn") <= _TRI_BUCKET_CAP)
-    a = sized.select("event_type", "h", F.col("user_id").alias("ua"))
-    b = sized.select("event_type", "h", F.col("user_id").alias("ub"))
-    edges = (
-        a.join(b, ["event_type", "h"])
-        .filter(F.col("ua") < F.col("ub"))
-        .select("ua", "ub")
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = cooccurrence_edges(spark, sf_dir)
     e1 = edges.select(F.col("ua").alias("a"), F.col("ub").alias("b"))
     e2 = edges.select(F.col("ua").alias("b2"), F.col("ub").alias("c"))
     e3 = edges.select(F.col("ua").alias("a3"), F.col("ub").alias("c3"))

@@ -362,3 +362,91 @@ FROM j GROUP BY 1"""
 
 QUERIES17["attribution_last_touch"] = q_attribution_last_touch
 ORACLES17["attribution_last_touch"] = SQL_ATTRIBUTION_LAST_TOUCH
+
+
+# --------------------------------------------------------------------------
+# khop_reach — bounded BFS from the max-degree seed
+# --------------------------------------------------------------------------
+
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS reachability over the hourly co-occurrence graph
+    from a deterministic seed (the max-degree user, min user_id on
+    ties): how many users are FIRST reached at each hop.
+
+    The iterative-traversal pattern at scale: per round, the
+    frontier joins the pinned edge set (keyed join), new nodes are
+    anti-joined against the reached set, and the reached set is
+    localCheckpoint'ed so plans stay flat across rounds — the same
+    discipline as dedup_clusters' label propagation. Rounds are
+    bounded (3), so construction cost is fixed.
+
+    Oracle: a DuckDB RECURSIVE CTE replays the identical BFS with
+    min-distance semantics."""
+    from wq_data_pipeline_spark.plans.queries_r6f import cooccurrence_edges
+
+    edges = cooccurrence_edges(spark, sf_dir)
+    undir = edges.unionAll(
+        edges.select(F.col("ub").alias("ua"), F.col("ua").alias("ub"))
+    ).localCheckpoint()
+    deg = undir.groupBy("ua").agg(F.count(F.lit(1)).alias("degree"))
+    mx = deg.agg(F.max("degree").alias("mxd"))
+    seed = (
+        deg.join(F.broadcast(mx))
+        .filter(F.col("degree") == F.col("mxd"))
+        .agg(F.min("ua").alias("user_id"))
+        .select("user_id", F.lit(0).cast("long").alias("dist"))
+    )
+    reached = seed.localCheckpoint()
+    for hop in range(1, 4):
+        frontier = reached.filter(F.col("dist") == hop - 1).select(
+            F.col("user_id").alias("ua")
+        )
+        new = (
+            frontier.join(undir, "ua")
+            .select(F.col("ub").alias("user_id"))
+            .distinct()
+            .join(reached.select("user_id"), "user_id", "left_anti")
+            .select("user_id", F.lit(hop).cast("long").alias("dist"))
+        )
+        reached = reached.unionAll(new).localCheckpoint()
+    return reached.groupBy(F.col("dist").alias("hop")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+SQL_KHOP_REACH = """
+WITH RECURSIVE bu AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM events
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY event_type, h) AS _bn FROM bu
+),
+ok AS (SELECT * FROM sized WHERE _bn <= 20),
+edges AS (
+  SELECT DISTINCT x.user_id AS ua, y.user_id AS ub
+  FROM ok x JOIN ok y
+    ON x.event_type = y.event_type AND x.h = y.h AND x.user_id < y.user_id
+),
+undir AS (
+  SELECT ua, ub FROM edges UNION ALL SELECT ub, ua FROM edges
+),
+deg AS (SELECT ua, count(*) AS degree FROM undir GROUP BY 1),
+seed AS (
+  SELECT min(ua) AS user_id FROM deg
+  WHERE degree = (SELECT max(degree) FROM deg)
+),
+reach(user_id, d) AS (
+  SELECT user_id, 0 FROM seed
+  UNION
+  SELECT u.ub, reach.d + 1
+  FROM reach JOIN undir u ON u.ua = reach.user_id
+  WHERE reach.d < 3
+)
+SELECT CAST(d AS BIGINT) AS hop, count(*) AS n_users
+FROM (SELECT user_id, min(d) AS d FROM reach GROUP BY 1)
+GROUP BY 1"""
+
+
+QUERIES17["khop_reach"] = q_khop_reach
+ORACLES17["khop_reach"] = SQL_KHOP_REACH
