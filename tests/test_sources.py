@@ -52,13 +52,40 @@ def test_jsonl_round_trip(spark, sf_dir, tmp_path):
 
 
 def test_orc_round_trip(spark, sf_dir, tmp_path):
+    from wq_data_pipeline_spark.sources.orc_source import read_orc, write_orc
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
     path = str(tmp_path / "events_orc")
-    ev.write.mode("overwrite").orc(path)
-    back = spark.read.orc(path)
+    write_orc(ev, path)
+    back = read_orc(spark, path)
     assert _agg(back) == _agg(ev)
+
+
+def test_orc_pushdown_and_partition_prune(spark, sf_dir, tmp_path):
+    """ORC scans must push filters and prune partitions exactly like
+    parquet — the format matrix doesn't trade away the 100-TB scan
+    disciplines."""
+    from wq_data_pipeline_spark.sources.orc_source import read_orc, write_orc
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    path = str(tmp_path / "events_orc_part")
+    write_orc(ev, path, partition_by=("event_type",))
+    back = read_orc(spark, path).filter(
+        (F.col("event_type") == "click") & (F.col("value") > 100.0)
+    ).select("event_id", "value")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "partitionFilters" in plan
+    assert "PushedFilters: [" in plan and "value" in plan.split(
+        "PushedFilters"
+    )[1][:120]
+    got = {r.event_type for r in read_orc(spark, path)
+           .filter(F.col("event_type") == "click")
+           .select("event_type").distinct().collect()}
+    assert got <= {"click"}
 
 
 def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
