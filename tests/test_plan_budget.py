@@ -191,6 +191,17 @@ BUDGETS = {
     # BFS rounds ran at construction (pinned frontier); final plan =
     # one hash agg over the checkpointed reached set
     "khop_reach": (1, 0, 0),
+    # r6i scale-join batch: intervals explode onto the bin grid (the
+    # one Generate) and join as a plain equi-join — AQE broadcasts at
+    # sf0.01, shuffles at scale; distinct-agg adds the extra exchange
+    "binned_range_join": (4, 2, 2),
+    # bitset build runs at construction (bounded by m); final plan =
+    # flagged scan agg + exact semi-join agg + result join
+    "bloom_prune_join": (5, 3, 0),
+    # distinct pairs agg -> per-type min-K window -> final agg
+    "kmv_distinct": (4, 1, 0),
+    # two chained hash aggs, map-side partials; no windows or joins
+    "linreg_daily": (4, 1, 0),
 }
 
 
@@ -229,6 +240,14 @@ CONSTRUCTION_JOB_CAPS = {
     # edge pin + undirected pin + 3 bounded BFS rounds, each a
     # frontier join/anti-join checkpoint (measured 30, fixed rounds)
     "khop_reach": 34,
+    # six FK relations span SEVEN tables (lineitem/part/supplier/
+    # orders/customer/nation/region): one footer job per table
+    # (measured 7 in isolation; the default cap of 6 only held when
+    # an earlier probe had warmed one footer)
+    "fk_orphans": 8,
+    # bitset construction runs the vip-keys distinct + positions
+    # collect at build time (bounded by m bits)
+    "bloom_prune_join": 8,
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 
