@@ -202,6 +202,12 @@ BUDGETS = {
     "kmv_distinct": (4, 1, 0),
     # two chained hash aggs, map-side partials; no windows or joins
     "linreg_daily": (4, 1, 0),
+    # r6j hypertable batch: one (series,day) window + agg (sort reused)
+    "twa_daily": (3, 0, 0),
+    "ohlc_hourly": (3, 0, 0),
+    # bounds agg + grid Generate + the union's series-partition sort;
+    # no joins — the as-of union formulation
+    "gap_lerp": (4, 1, 1),
 }
 
 

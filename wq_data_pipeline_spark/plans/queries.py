@@ -633,6 +633,7 @@ from wq_data_pipeline_spark.plans.queries_r6f import ORACLES15, QUERIES15  # noq
 from wq_data_pipeline_spark.plans.queries_r6g import ORACLES16, QUERIES16  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6h import ORACLES17, QUERIES17  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6i import ORACLES18, QUERIES18  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r6j import ORACLES19, QUERIES19  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -712,6 +713,8 @@ QUERIES.update(QUERIES17)
 ORACLES.update(ORACLES17)
 QUERIES.update(QUERIES18)
 ORACLES.update(ORACLES18)
+QUERIES.update(QUERIES19)
+ORACLES.update(ORACLES19)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
