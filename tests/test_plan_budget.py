@@ -208,6 +208,17 @@ BUDGETS = {
     # bounds agg + grid Generate + the union's series-partition sort;
     # no joins — the as-of union formulation
     "gap_lerp": (4, 1, 1),
+    # r6k reshaping batch: agg-first, melt after (Expand, no Generate)
+    "unpivot_metrics": (3, 0, 0),
+    # value-rank window + cut broadcast back onto the scan
+    "winsorize": (4, 2, 0),
+    # blocked (lang, length-bucket) self-join; AQE broadcasts the
+    # blocks at small SF, shuffles at scale; no CartesianProduct
+    "fuzzy_join": (2, 2, 0),
+    # per-user lag window + transition agg + per-state total window
+    "event_transitions": (5, 0, 0),
+    # daily partial agg -> weekly merge agg; both map-side combinable
+    "rollup_merge": (4, 0, 0),
 }
 
 

@@ -634,6 +634,7 @@ from wq_data_pipeline_spark.plans.queries_r6g import ORACLES16, QUERIES16  # noq
 from wq_data_pipeline_spark.plans.queries_r6h import ORACLES17, QUERIES17  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6i import ORACLES18, QUERIES18  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6j import ORACLES19, QUERIES19  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r6k import ORACLES20, QUERIES20  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -715,6 +716,8 @@ QUERIES.update(QUERIES18)
 ORACLES.update(ORACLES18)
 QUERIES.update(QUERIES19)
 ORACLES.update(ORACLES19)
+QUERIES.update(QUERIES20)
+ORACLES.update(ORACLES20)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
