@@ -219,6 +219,10 @@ BUDGETS = {
     "event_transitions": (5, 0, 0),
     # daily partial agg -> weekly merge agg; both map-side combinable
     "rollup_merge": (4, 0, 0),
+    # r6l embedding-algebra batch: pure per-row higher-order array
+    # functions; the single exchange is the presentation sort
+    "embed_feature_stats": (1, 0, 0),
+    "embed_int8_quant": (1, 0, 0),
 }
 
 
