@@ -181,15 +181,33 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     )
-    # bounded by _BLOOM_M regardless of |vip| — this is the filter
-    bitset = sorted({r["pos"] for r in pos_rows})
-    lit_bits = F.array(*[F.lit(p) for p in bitset])
+    # pack the positions into the actual m-bit bitset: m/64 longs,
+    # FIXED size regardless of |vip|. (A literal ARRAY of raw
+    # positions was measured at ~17 s/query from codegen alone —
+    # thousands of literal nodes in one expression tree; the packed
+    # form is 128 literals and three shift-and-mask probes.)
+    words = [0] * (_BLOOM_M // 64)
+    for r in pos_rows:
+        words[r["pos"] // 64] |= 1 << (r["pos"] % 64)
+    # two's-complement into signed int64 literals
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    _signed_masks = [
+        m - (1 << 64) if (m := 1 << b) >= (1 << 63) else m for b in range(64)
+    ]
+    lit_masks = F.array(*[F.lit(m).cast("long") for m in _signed_masks])
 
     ev = _events(spark, sf_dir)
-    probes = [F.array_contains(lit_bits, _bloom_pos(F.col("user_id"), i)) for i in range(_BLOOM_K)]
-    bloom_pass = probes[0]
-    for p in probes[1:]:
-        bloom_pass = bloom_pass & p
+
+    def _probe(i: int) -> F.Column:
+        pos = _bloom_pos(F.col("user_id"), i)
+        word = F.element_at(lit_words, (pos / 64).cast("int") + 1)
+        mask = F.element_at(lit_masks, (pos % 64).cast("int") + 1)
+        return word.bitwiseAND(mask) != 0
+
+    bloom_pass = _probe(0)
+    for i in range(1, _BLOOM_K):
+        bloom_pass = bloom_pass & _probe(i)
     flagged = ev.withColumn("_bloom", bloom_pass)
     survivors = flagged.filter(F.col("_bloom"))
     exact = survivors.join(vip, survivors["user_id"] == vip["k"], "left_semi")

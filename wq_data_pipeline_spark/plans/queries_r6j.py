@@ -224,17 +224,24 @@ def q_gap_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The forward neighbor runs as a BACKWARD scan over the reversed
+    # ordering: Spark evaluates last(ignorenulls) over
+    # [unboundedPreceding, currentRow] incrementally (O(n)), whereas
+    # first(ignorenulls) over [currentRow, unboundedFollowing]
+    # re-scans the frame tail per row — O(n^2) per partition
+    # (measured: 171 s vs 3 s on a 100k-row series). Same frame
+    # contents: rows at or after the current row in ascending order.
     wf = (
         Window.partitionBy("event_type")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*[c.desc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ev_ts = F.when(F.col("is_grid") == 0, F.col("ts_us"))
     d = (
         u.withColumn("pv", F.last("vc", ignorenulls=True).over(wb))
         .withColumn("pt", F.last(ev_ts, ignorenulls=True).over(wb))
-        .withColumn("nv", F.first("vc", ignorenulls=True).over(wf))
-        .withColumn("nt", F.first(ev_ts, ignorenulls=True).over(wf))
+        .withColumn("nv", F.last("vc", ignorenulls=True).over(wf))
+        .withColumn("nt", F.last(ev_ts, ignorenulls=True).over(wf))
         .filter((F.col("is_grid") == 1) & F.col("pv").isNotNull() & F.col("nv").isNotNull())
     )
     # Signed integer division: Spark's DIV and DuckDB's // BOTH
