@@ -223,6 +223,10 @@ BUDGETS = {
     # functions; the single exchange is the presentation sort
     "embed_feature_stats": (1, 0, 0),
     "embed_int8_quant": (1, 0, 0),
+    # r6m suffix array: final plan reads the checkpointed rank table
+    # (the doubling rounds pinned at construction) -> adjacency
+    # window + text join + LCP map + agg
+    "suffix_repeats": (5, 1, 0),
 }
 
 
@@ -269,6 +273,10 @@ CONSTRUCTION_JOB_CAPS = {
     # bitset construction runs the vip-keys distinct + positions
     # collect at build time (bounded by m bits)
     "bloom_prune_join": 8,
+    # prefix doubling pins each round's rank table (3 eager
+    # localCheckpoints at seed 8 / depth 64; measured 11 jobs
+    # including the checkpoint stage splits)
+    "suffix_repeats": 14,
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

@@ -1,0 +1,75 @@
+"""suffix_ranks / adjacent_lcp vs a pure-Python suffix sort on
+adversarial strings — periodic text, runs of one character, shared
+64+ prefixes (the depth-bound tie region)."""
+
+from __future__ import annotations
+
+import pytest
+
+from wq_data_pipeline_spark.operators.suffix import adjacent_lcp, suffix_ranks
+
+DOCS = [
+    (1, "banana"),
+    (2, "aaaaaaaaaaaa"),
+    (3, "abcabcabcabcabcabcabcabc"),
+    (4, "x" * 70 + "y" + "x" * 70),  # shared prefixes past depth 64
+    (5, "the quick brown fox jumps over the lazy dog the quick brown fox"),
+    (6, "ab"),
+]
+DEPTH = 64
+
+
+def _ref_order(text: str) -> list[int]:
+    """Positions in depth-bounded suffix order (first DEPTH chars,
+    ties by position)."""
+    return sorted(range(len(text)), key=lambda i: (text[i : i + DEPTH], i))
+
+
+def _ref_lcp(text: str, a: int, b: int, cap: int) -> int:
+    sa, sb = text[a : a + cap], text[b : b + cap]
+    n = 0
+    for x, y in zip(sa, sb):
+        if x != y:
+            break
+        n += 1
+    return n
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_suffix_ranks_match_reference(spark, docs_df):
+    rows = suffix_ranks(docs_df, "doc_id", "text", DEPTH).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in DOCS:
+        got = sorted(by_doc[doc_id], key=lambda r: (r["rank"], r["pos"]))
+        want = _ref_order(text)
+        assert [r["pos"] for r in got] == want, (doc_id, text)
+        # rank must be depth-bounded-order-preserving: equal 64-prefix
+        # suffixes share a dense rank
+        for r in got:
+            assert r["n"] == len(text)
+
+
+def test_adjacent_lcp_matches_reference(spark, docs_df):
+    rows = adjacent_lcp(docs_df, "doc_id", "text", DEPTH).collect()
+    got = {(r["doc_id"], r["prev_pos"], r["pos"]): r["lcp"] for r in rows}
+    for doc_id, text in DOCS:
+        order = _ref_order(text)
+        for prev, cur in zip(order, order[1:]):
+            want = _ref_lcp(text, prev, cur, DEPTH - 1)
+            assert got[(doc_id, prev, cur)] == want, (doc_id, prev, cur)
+    # every adjacency is covered exactly once
+    n_pairs = sum(len(t) - 1 for _, t in DOCS)
+    assert len(got) == n_pairs
+
+
+def test_depth_validation(docs_df):
+    with pytest.raises(ValueError):
+        suffix_ranks(docs_df, "doc_id", "text", depth=48)
+    with pytest.raises(ValueError):
+        suffix_ranks(docs_df, "doc_id", "text", depth=64, seed=3)

@@ -1,0 +1,107 @@
+"""Catalog batch 22 (round 6, tenth wave): suffix-array repetition
+profile — the genuine suffix-array operator family the gram-hash
+dedup entries approximate (Lee et al. 2022 §3 build a corpus suffix
+array for exact-substring dedup; dup_spans/dup_span_removal use
+fixed 8-gram hashing instead).
+
+* suffix_repeats — per-document suffix array by PREFIX DOUBLING
+                   (operators/suffix.py: log2(depth) dense-rank
+                   rounds, each one equi-join + one per-doc window,
+                   no UDFs, no global sort), then the adjacent-
+                   suffix LCP profile: longest internal repeat,
+                   total repeat mass, and the count of heavy
+                   adjacent repeats.
+
+The ORACLE builds the same suffix array by brute force — sorting
+every suffix's leading 64 characters directly — so a green row
+proves the doubling recurrence correct against the definition, not
+against a reimplementation of itself.
+
+Determinism: the order is depth-bounded (first 64 chars, ties by
+position) in BOTH engines; LCP is the monotone indicator sum capped
+at 63 — exact integers everywhere, no floats at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from wq_data_pipeline_spark.operators.suffix import adjacent_lcp
+from wq_data_pipeline_spark.sources.testdata import load_table
+
+_SA_DEPTH = 64
+_REP_MIN = 10
+
+
+def q_suffix_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile from the suffix array:
+    max_lcp = the longest internally repeated substring (capped at
+    {depth-1}), sum_lcp = total adjacent repeat mass (the suffix-
+    array statistic behind 'number of distinct substrings'), and
+    n_rep_pairs = adjacent suffix pairs sharing >= {rep_min} chars.
+
+    Scale: every stage — the doubling rounds, the adjacency window,
+    the LCP evaluation, the final agg — partitions by doc_id; corpus
+    size only widens the partition count. The corpus-GLOBAL variant
+    (cross-doc repeats) swaps the per-doc windows for range-
+    partitioned rank rounds, as documented in operators/suffix.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    adj = adjacent_lcp(docs, "doc_id", "text", depth=_SA_DEPTH)
+    return (
+        adj.groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("lcp").alias("max_lcp"),
+            F.sum("lcp").alias("sum_lcp"),
+            F.sum((F.col("lcp") >= _REP_MIN).cast("long")).alias("n_rep_pairs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lcp_sql(a: str, b: str, cap: int) -> str:
+    terms = " + ".join(
+        f"CAST(substr(text, {a} + 1, {k}) = substr(text, {b} + 1, {k}) AS BIGINT)"
+        for k in range(1, cap + 1)
+    )
+    return f"({terms})"
+
+
+SQL_SUFFIX_REPEATS = f"""
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n,
+         unnest(range(0, length(text))) AS pos
+  FROM documents
+),
+r AS (
+  SELECT doc_id, text, n, pos,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY substr(text, pos + 1, {_SA_DEPTH}), pos) AS rk
+  FROM p
+),
+a AS (
+  SELECT doc_id, text, n, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY rk) AS prev_pos
+  FROM r
+),
+l AS (
+  SELECT doc_id, n, {_lcp_sql("pos", "prev_pos", _SA_DEPTH - 1)} AS lcp
+  FROM a WHERE prev_pos IS NOT NULL
+)
+SELECT doc_id,
+       max(n) AS n,
+       max(lcp) AS max_lcp,
+       CAST(sum(lcp) AS BIGINT) AS sum_lcp,
+       CAST(sum(CAST(lcp >= {_REP_MIN} AS BIGINT)) AS BIGINT) AS n_rep_pairs
+FROM l GROUP BY 1 ORDER BY 1"""
+
+
+QUERIES22: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "suffix_repeats": q_suffix_repeats,
+}
+
+ORACLES22: dict[str, str] = {
+    "suffix_repeats": SQL_SUFFIX_REPEATS,
+}
