@@ -223,10 +223,15 @@ BUDGETS = {
     # functions; the single exchange is the presentation sort
     "embed_feature_stats": (1, 0, 0),
     "embed_int8_quant": (1, 0, 0),
-    # r6m suffix array: final plan reads the checkpointed rank table
-    # (the doubling rounds pinned at construction) -> adjacency
-    # window + text join + LCP map + agg
-    "suffix_repeats": (5, 1, 0),
+    # r6m suffix arrays: the doubling rounds are a LINEAR chain of
+    # per-doc windows (lead-shift + dense_rank), one doc_id exchange
+    # shared by all rounds; + positions Generate, adjacency window,
+    # text join, agg
+    "suffix_repeats": (4, 1, 1),
+    # global order: positions Generate pinned behind the range
+    # partitioner (construction); final = pair windows + two text
+    # joins + agg
+    "suffix_xdoc_repeats": (4, 2, 1),
 }
 
 
@@ -273,10 +278,9 @@ CONSTRUCTION_JOB_CAPS = {
     # bitset construction runs the vip-keys distinct + positions
     # collect at build time (bounded by m bits)
     "bloom_prune_join": 8,
-    # prefix doubling pins each round's rank table (3 eager
-    # localCheckpoints at seed 8 / depth 64; measured 11 jobs
-    # including the checkpoint stage splits)
-    "suffix_repeats": 14,
+    # global suffix order: the range-partition localCheckpoint + the
+    # boundary first/last collect run at construction (measured 6)
+    "suffix_xdoc_repeats": 8,
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

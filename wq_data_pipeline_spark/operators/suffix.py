@@ -51,7 +51,7 @@ def suffix_positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "_text",
         "n",
         F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("pos"),
-    )
+    ).withColumn("pos", F.col("pos").cast("long"))
 
 
 def suffix_ranks(
@@ -81,19 +81,15 @@ def suffix_ranks(
     ).select("doc_id", "n", "pos", "rank")
     k = seed
     while k < depth:
-        # each round reads the previous round TWICE (itself + the
-        # pos+k shift); without pinning, the doubling chain re-executes
-        # the whole prefix 2^rounds times (the dual-subtree rule in
-        # BASELINE.md) — measured 34 s vs 9 s at sf0.01
-        r = r.localCheckpoint(eager=True)
-        shifted = r.select(
-            "doc_id",
-            (F.col("pos") - k).alias("pos"),
-            F.col("rank").alias("_r2"),
-        )
+        # the rank of the suffix k positions ahead IS lead(rank, k)
+        # in position order — the shift is a window, NOT a self-join.
+        # (The join formulation reads each round's output twice, so
+        # the chain re-executes 2^rounds times unless every round is
+        # checkpointed — measured 34 s + an OOM at 10x replicas; the
+        # lead form is one linear window chain, nothing cached.)
+        wp = wd.orderBy("pos")
         r = (
-            r.join(shifted, ["doc_id", "pos"], "left")
-            .withColumn("_r2", F.coalesce("_r2", F.lit(0)))
+            r.withColumn("_r2", F.coalesce(F.lead("rank", k).over(wp), F.lit(0)))
             .withColumn(
                 "rank",
                 F.dense_rank()
@@ -140,6 +136,130 @@ def _lcp_capped(a: Column, b: Column, text: Column, cap: int) -> Column:
         ext = pa.substr(lcp + 1, F.lit(step)) == pb.substr(lcp + 1, F.lit(step))
         lcp = lcp + F.when(ext, F.lit(step)).otherwise(F.lit(0))
     return lcp
+
+
+def _lcp_capped2(ta: Column, a: Column, tb: Column, b: Column, cap: int) -> Column:
+    """LCP of suffix ``a`` of ``ta`` vs suffix ``b`` of ``tb`` (both
+    0-based), capped at ``cap`` — the cross-document form. Same
+    greedy binary descent as ``_lcp_capped``, made exact for
+    arbitrary inputs by right-padding the two windows with DISTINCT
+    sentinels (chr(1)/chr(2), outside the text alphabet): equal
+    truncated tails then mismatch at the first pad position instead
+    of over-counting."""
+    pa = F.rpad(ta.substr(a + 1, F.lit(cap)), cap, "\x01")
+    pb = F.rpad(tb.substr(b + 1, F.lit(cap)), cap, "\x02")
+    steps: list[int] = []
+    rem = cap
+    p = 1
+    while p * 2 <= cap:
+        p *= 2
+    while p:
+        if rem >= p:
+            steps.append(p)
+            rem -= p
+        p //= 2
+    lcp: Column = F.lit(0).cast("long")
+    for step in steps:
+        ext = pa.substr(lcp + 1, F.lit(step)) == pb.substr(lcp + 1, F.lit(step))
+        lcp = lcp + F.when(ext, F.lit(step)).otherwise(F.lit(0))
+    return lcp
+
+
+def global_adjacent_lcp(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    depth: int = 64,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """CORPUS-GLOBAL suffix adjacency: every position of every
+    document, ordered by its depth-bounded suffix across the WHOLE
+    corpus (key = first ``depth`` chars, ties by (doc, pos)), paired
+    with its predecessor — including pairs that cross documents,
+    which is what exact-substring dedup needs (Lee et al. 2022 §3).
+
+    Shape (the distributed_prefix_sum pattern, operators/scale.py):
+    range-repartition on the sort key — never a single-partition
+    window — then per-partition lag windows keyed by the Spark
+    partition id, then the ≤ #partitions boundary pairs stitched via
+    a driver collect of each partition's first/last row (bounded by
+    partition count, like the prefix-sum's totals).
+
+    Each position ships its ``depth``-char key ONCE (the document
+    text itself never shuffles; texts re-join only onto the adjacent
+    PAIRS). At extreme scale the key column compresses to an int64
+    seed prefix + doubling rounds with two-level ranks — documented,
+    not needed at bench scale.
+
+    Returns (doc_id, pos, prev_doc, prev_pos, lcp), lcp capped at
+    depth-1, one row per globally adjacent pair."""
+    n = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    p = suffix_positions(docs, id_col, text_col).select(
+        "doc_id",
+        "pos",
+        F.col("_text").substr(F.col("pos") + 1, F.lit(depth)).alias("_key"),
+    )
+    d = (
+        p.repartitionByRange(n, "_key", "doc_id", "pos")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("_pid").orderBy("_key", "doc_id", "pos")
+    inner = (
+        d.withColumn("prev_doc", F.lag("doc_id").over(w))
+        .withColumn("prev_pos", F.lag("pos").over(w))
+        .filter(F.col("prev_doc").isNotNull())
+        .select("doc_id", "pos", "prev_doc", "prev_pos")
+    )
+    # boundary stitch: first/last row of each non-empty partition
+    # (<= 2 * n rows — bounded by partition count, not data)
+    wa = Window.partitionBy("_pid").orderBy("_key", "doc_id", "pos")
+    wd = Window.partitionBy("_pid").orderBy(
+        F.col("_key").desc(), F.col("doc_id").desc(), F.col("pos").desc()
+    )
+    ends = (
+        d.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rd", F.row_number().over(wd))
+        .filter((F.col("_ra") == 1) | (F.col("_rd") == 1))
+        .select("_pid", "_ra", "_rd", "doc_id", "pos")
+        .collect()
+    )
+    firsts = {r["_pid"]: r for r in ends if r["_ra"] == 1}
+    # a single-row partition is both its own first and last
+    lasts = {r["_pid"]: r for r in ends if r["_rd"] == 1}
+    pids = sorted(firsts)
+    boundary = [
+        (
+            firsts[q]["doc_id"],
+            firsts[q]["pos"],
+            lasts[pp]["doc_id"],
+            lasts[pp]["pos"],
+        )
+        for pp, q in zip(pids, pids[1:])
+    ]
+    spark = docs.sparkSession
+    pairs = inner
+    if boundary:
+        bdf = spark.createDataFrame(
+            boundary, "doc_id BIGINT, pos BIGINT, prev_doc BIGINT, prev_pos BIGINT"
+        )
+        pairs = inner.unionByName(bdf)
+    ta = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_ta")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("prev_doc"), F.col(text_col).alias("_tb")
+    )
+    j = pairs.join(ta, "doc_id").join(tb, "prev_doc")
+    return j.select(
+        "doc_id",
+        "pos",
+        "prev_doc",
+        "prev_pos",
+        _lcp_capped2(
+            F.col("_ta"), F.col("pos"), F.col("_tb"), F.col("prev_pos"), depth - 1
+        ).alias("lcp"),
+    )
 
 
 def adjacent_lcp(

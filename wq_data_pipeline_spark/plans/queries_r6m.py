@@ -98,10 +98,72 @@ SELECT doc_id,
 FROM l GROUP BY 1 ORDER BY 1"""
 
 
+_XDOC_MIN = 20
+
+
+def q_suffix_xdoc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document repeats from the corpus-GLOBAL suffix order
+    (operators/suffix.py:global_adjacent_lcp): per document, how many
+    of its positions have their global suffix-order predecessor in a
+    DIFFERENT document, the longest such shared prefix, and the
+    count sharing >= {_XDOC_MIN} chars — the exact-substring overlap
+    signal Lee et al. 2022 §3 derive from a corpus suffix array and
+    the gram-hash dup_spans entry approximates with aligned 8-grams.
+
+    Scale: range-partitioned global order (never a single-partition
+    window), per-partition adjacency, boundary pairs stitched from a
+    driver collect bounded by the partition count; each position
+    ships its 64-char key once and texts re-join only onto the
+    adjacent pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from wq_data_pipeline_spark.operators.suffix import global_adjacent_lcp
+
+    adj = global_adjacent_lcp(docs, "doc_id", "text", depth=_SA_DEPTH)
+    x = adj.filter(F.col("prev_doc") != F.col("doc_id"))
+    return (
+        x.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_xpairs"),
+            F.max("lcp").alias("max_xlcp"),
+            F.sum((F.col("lcp") >= _XDOC_MIN).cast("long")).alias("n_xdoc20"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_SUFFIX_XDOC_REPEATS = f"""
+WITH p AS (
+  SELECT doc_id, text, unnest(range(0, length(text))) AS pos FROM documents
+),
+r AS (
+  SELECT doc_id, pos,
+         substr(text, pos + 1, {_SA_DEPTH}) AS k,
+         lag(doc_id) OVER w AS prev_doc,
+         lag(substr(text, pos + 1, {_SA_DEPTH})) OVER w AS pk
+  FROM p WINDOW w AS (ORDER BY substr(text, pos + 1, {_SA_DEPTH}), doc_id, pos)
+),
+x AS (
+  SELECT doc_id,
+         ({" + ".join(
+             f"CAST(substr(rpad(substr(k, 1, {_SA_DEPTH - 1}), {_SA_DEPTH - 1}, chr(1)), 1, {j}) = "
+             f"substr(rpad(substr(pk, 1, {_SA_DEPTH - 1}), {_SA_DEPTH - 1}, chr(2)), 1, {j}) AS BIGINT)"
+             for j in range(1, _SA_DEPTH)
+         )}) AS lcp
+  FROM r WHERE prev_doc IS NOT NULL AND prev_doc <> doc_id
+)
+SELECT doc_id,
+       count(*) AS n_xpairs,
+       max(lcp) AS max_xlcp,
+       CAST(sum(CAST(lcp >= {_XDOC_MIN} AS BIGINT)) AS BIGINT) AS n_xdoc20
+FROM x GROUP BY 1 ORDER BY 1"""
+
+
 QUERIES22: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suffix_repeats": q_suffix_repeats,
+    "suffix_xdoc_repeats": q_suffix_xdoc_repeats,
 }
 
 ORACLES22: dict[str, str] = {
     "suffix_repeats": SQL_SUFFIX_REPEATS,
+    "suffix_xdoc_repeats": SQL_SUFFIX_XDOC_REPEATS,
 }
