@@ -232,6 +232,11 @@ BUDGETS = {
     # partitioner (construction); final = pair windows + two text
     # joins + agg
     "suffix_xdoc_repeats": (4, 2, 1),
+    # r6n: d map-side-combinable sketch aggs + exact top-k rank +
+    # d broadcast point lookups
+    "cms_user_counts": (6, 5, 0),
+    # hourly pre-agg + one lag window per series + score agg
+    "seasonal_naive_mae": (4, 1, 0),
 }
 
 
