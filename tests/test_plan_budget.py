@@ -212,9 +212,9 @@ BUDGETS = {
     "unpivot_metrics": (3, 0, 0),
     # value-rank window + cut broadcast back onto the scan
     "winsorize": (4, 2, 0),
-    # blocked (lang, length-bucket) self-join; AQE broadcasts the
-    # blocks at small SF, shuffles at scale; no CartesianProduct
-    "fuzzy_join": (2, 2, 0),
+    # blocked (lang, length-bucket) self-join behind the hot-block
+    # cap window; AQE broadcasts at small SF, shuffles at scale
+    "fuzzy_join": (4, 2, 0),
     # per-user lag window + transition agg + per-state total window
     "event_transitions": (5, 0, 0),
     # daily partial agg -> weekly merge agg; both map-side combinable
