@@ -73,3 +73,35 @@ def test_depth_validation(docs_df):
         suffix_ranks(docs_df, "doc_id", "text", depth=48)
     with pytest.raises(ValueError):
         suffix_ranks(docs_df, "doc_id", "text", depth=64, seed=3)
+
+
+def test_global_adjacency_matches_reference(spark, docs_df):
+    """Corpus-global order with MORE partitions than rows per range
+    bucket — exercises the boundary stitch (every partition edge is a
+    stitched pair) and empty-partition handling."""
+    from wq_data_pipeline_spark.operators.suffix import global_adjacent_lcp
+
+    got = {
+        (r["prev_doc"], r["prev_pos"], r["doc_id"], r["pos"]): r["lcp"]
+        for r in global_adjacent_lcp(
+            docs_df, "doc_id", "text", DEPTH, num_partitions=16
+        ).collect()
+    }
+    texts = dict(DOCS)
+    allpos = [
+        (texts[d][p : p + DEPTH], d, p)
+        for d, t in DOCS
+        for p in range(len(t))
+    ]
+    allpos.sort()
+    want = {}
+    for (ka, da, pa), (kb, db, pb) in zip(allpos, allpos[1:]):
+        # LCP on the padded depth-1 windows (cross-doc semantics)
+        sa, sb = texts[da][pa : pa + DEPTH - 1], texts[db][pb : pb + DEPTH - 1]
+        n = 0
+        for x, y in zip(sa, sb):
+            if x != y:
+                break
+            n += 1
+        want[(da, pa, db, pb)] = n
+    assert got == want
