@@ -232,6 +232,9 @@ BUDGETS = {
     # partitioner (construction); final = pair windows + two text
     # joins + agg
     "suffix_xdoc_repeats": (4, 2, 1),
+    # r6o: gram group + pinned marks; ONE binned interval join
+    # resolves both coverages (two boolean aggs), report joins
+    "keepone_removal": (7, 3, 2),
     # r6n: d map-side-combinable sketch aggs + exact top-k rank +
     # d broadcast point lookups
     "cms_user_counts": (6, 5, 0),
@@ -286,6 +289,8 @@ CONSTRUCTION_JOB_CAPS = {
     # global suffix order: the range-partition localCheckpoint + the
     # boundary first/last collect run at construction (measured 6)
     "suffix_xdoc_repeats": 8,
+    # the marks localCheckpoint (measured 4)
+    "keepone_removal": 6,
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

@@ -638,6 +638,7 @@ from wq_data_pipeline_spark.plans.queries_r6k import ORACLES20, QUERIES20  # noq
 from wq_data_pipeline_spark.plans.queries_r6l import ORACLES21, QUERIES21  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6m import ORACLES22, QUERIES22  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6n import ORACLES23, QUERIES23  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r6o import ORACLES24, QUERIES24  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -727,6 +728,8 @@ QUERIES.update(QUERIES22)
 ORACLES.update(ORACLES22)
 QUERIES.update(QUERIES23)
 ORACLES.update(ORACLES23)
+QUERIES.update(QUERIES24)
+ORACLES.update(ORACLES24)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's

@@ -1,0 +1,223 @@
+"""Catalog batch 24 (round 6, twelfth wave): keeper-protected
+exact-substring removal — the strict keep-one semantics the gram-
+island operators could not guarantee.
+
+Background (ADVICE r4/r5, COVERAGE handoff #2): dup_span_removal and
+its island-text-keeper variant can remove EVERY occurrence of a
+duplicated substring when distinct duplicate runs merge into one
+island — keep-one holds per island, not per duplicated string. This
+entry makes the text-level guarantee:
+
+  for every duplicated L-gram in the corpus, the KEEPER occurrence's
+  characters are NEVER removed — removal coverage is computed as
+  (non-keeper span coverage) MINUS (keeper span coverage).
+
+Construction (all equi-joins and hash aggregates):
+  1. every character offset contributes its L-char gram;
+  2. grams occurring >= 2 times form groups; the group keeper is the
+     minimum (doc, pos) in corpus order — aligned copies of a longer
+     duplicate therefore pick ALL their keepers in the same (first)
+     occurrence, so full spans survive intact in the aligned case;
+  3. non-keeper occurrences mark [pos, pos+L) for removal, keeper
+     occurrences mark [pos, pos+L) as protected;
+  4. a character is removed iff covered by some removal span AND NOT
+     covered by any protection span — coverage resolved with the
+     binned interval join (span -> <= 2 L-bins, char -> 1 bin), the
+     same no-broadcast shape as binned_range_join.
+
+Scale: gram grouping is explode + hash agg (dup_spans' measured
+shape); coverage is two binned equi-joins with distinct-semantics —
+nothing quadratic, nothing broadcast-dependent.
+
+The oracle mirrors every step in SQL; the keep-one guarantee itself
+is pinned by tests/test_keepone.py on the exact merged-island
+scenario that breaks the island-keeper rule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from wq_data_pipeline_spark.sources.testdata import load_table
+
+_KP_L = 20
+# composite corpus-order key: doc_id * 2^24 + pos (pos < 2^24 always
+# at our doc sizes; doc_id stays < 2^39 even with replica offsets)
+_KP_POSBITS = 1 << 24
+
+
+def keepone_marks_and_removed(
+    docs: DataFrame, L: int = _KP_L
+) -> tuple[DataFrame, DataFrame]:
+    """Internal pieces of the keeper-protected removal, exposed for
+    the keep-one invariant test: (marked, removed) where marked =
+    (doc_id, s, is_keeper) per duplicated-gram occurrence and
+    removed = (doc_id, x) per erased character."""
+    d = docs.select(
+        F.col("doc_id"), F.col("text"), F.length("text").alias("n")
+    )
+    pos = d.select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("x"),
+        "text",
+    ).withColumn("x", F.col("x").cast("long"))
+    grams = pos.filter(F.col("x") + L <= F.col("n")).select(
+        "doc_id",
+        F.col("x").alias("s"),
+        F.col("text").substr(F.col("x") + 1, F.lit(L)).alias("g"),
+    )
+    groups = (
+        grams.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.col("doc_id") * _KP_POSBITS + F.col("s")).alias("kkey"),
+        )
+        .filter(F.col("cnt") >= 2)
+    )
+    # pinned: marked feeds the span explode AND the per-doc occurrence
+    # agg; without it the gram explode + group join re-execute per
+    # consumer (the dual-subtree rule)
+    marked = grams.join(groups, "g").select(
+        "doc_id",
+        "s",
+        (F.col("doc_id") * _KP_POSBITS + F.col("s") == F.col("kkey")).alias(
+            "is_keeper"
+        ),
+    ).localCheckpoint(eager=True)
+    spans = marked.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                (F.col("s") / L).cast("long"),
+                ((F.col("s") + L - 1) / L).cast("long"),
+            )
+        ),
+    ).dropDuplicates(["doc_id", "s", "is_keeper", "bin"])
+    chars = pos.select(
+        "doc_id", "n", "x", (F.col("x") / L).cast("long").alias("bin")
+    )
+    # ONE binned interval join resolves both coverages; a char is
+    # removed iff some non-keeper span covers it and no keeper span
+    # does (two boolean aggs over the joined rows)
+    sp = spans.select(F.col("doc_id").alias("sdoc"), "s", "bin", "is_keeper")
+    cov = (
+        chars.join(
+            sp,
+            (chars["doc_id"] == sp["sdoc"])
+            & (chars["bin"] == sp["bin"])
+            & (chars["x"] >= sp["s"])
+            & (chars["x"] < sp["s"] + L),
+        )
+        .groupBy("doc_id", "x")
+        .agg(
+            F.max(~F.col("is_keeper")).alias("any_rm"),
+            F.max(F.col("is_keeper")).alias("any_kp"),
+        )
+    )
+    removed = cov.filter(F.col("any_rm") & ~F.col("any_kp")).select("doc_id", "x")
+    return marked, removed
+
+
+def keepone_removal_report(docs: DataFrame, L: int = _KP_L) -> DataFrame:
+    """Per-document report of keeper-protected removal: duplicate /
+    keeper occurrence counts and exactly how many characters the
+    protected removal erases."""
+    d = docs.select(F.col("doc_id"), F.length("text").alias("n"))
+    marked, removed = keepone_marks_and_removed(docs, L)
+    per_doc_occ = marked.groupBy("doc_id").agg(
+        F.sum((~F.col("is_keeper")).cast("long")).alias("dup_occ"),
+        F.sum(F.col("is_keeper").cast("long")).alias("keep_occ"),
+    )
+    per_doc_rm = removed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("chars_removed")
+    )
+    return (
+        d.select("doc_id", "n")
+        .join(per_doc_occ, "doc_id", "left")
+        .join(per_doc_rm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n",
+            F.coalesce("dup_occ", F.lit(0)).alias("dup_occ"),
+            F.coalesce("keep_occ", F.lit(0)).alias("keep_occ"),
+            F.coalesce("chars_removed", F.lit(0)).alias("chars_removed"),
+            F.expr("1000000 * coalesce(chars_removed, 0) DIV n").alias(
+                "removed_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_keepone_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See keepone_removal_report — the catalog form over the
+    documents table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return keepone_removal_report(docs, _KP_L)
+
+
+SQL_KEEPONE_REMOVAL = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+p AS (
+  SELECT doc_id, n, unnest(range(0, n)) AS x, text FROM d
+),
+grams AS (
+  SELECT doc_id, x AS s, substr(text, x + 1, {_KP_L}) AS g
+  FROM p WHERE x + {_KP_L} <= n
+),
+groups AS (
+  SELECT g, count(*) AS cnt,
+         min(doc_id * {_KP_POSBITS} + s) AS kkey
+  FROM grams GROUP BY 1 HAVING count(*) >= 2
+),
+marked AS (
+  SELECT grams.doc_id, grams.s,
+         (grams.doc_id * {_KP_POSBITS} + grams.s = groups.kkey) AS is_keeper
+  FROM grams JOIN groups USING (g)
+),
+spans AS (
+  SELECT DISTINCT doc_id, s, is_keeper, bin FROM (
+    SELECT *, s // {_KP_L} AS bin FROM marked
+    UNION ALL
+    SELECT *, (s + {_KP_L} - 1) // {_KP_L} AS bin FROM marked
+  )
+),
+chars AS (SELECT doc_id, n, x, x // {_KP_L} AS bin FROM p),
+cov AS (
+  SELECT c.doc_id, c.x,
+         max(NOT sp.is_keeper) AS any_rm,
+         max(sp.is_keeper) AS any_kp
+  FROM chars c JOIN spans sp
+    ON c.doc_id = sp.doc_id AND c.bin = sp.bin
+   AND c.x >= sp.s AND c.x < sp.s + {_KP_L}
+  GROUP BY 1, 2
+),
+removed AS (
+  SELECT doc_id, x FROM cov WHERE any_rm AND NOT any_kp
+),
+occ AS (
+  SELECT doc_id,
+         CAST(sum(CAST(NOT is_keeper AS BIGINT)) AS BIGINT) AS dup_occ,
+         CAST(sum(CAST(is_keeper AS BIGINT)) AS BIGINT) AS keep_occ
+  FROM marked GROUP BY 1
+),
+rm AS (SELECT doc_id, count(*) AS chars_removed FROM removed GROUP BY 1)
+SELECT d.doc_id, d.n,
+       coalesce(dup_occ, 0) AS dup_occ,
+       coalesce(keep_occ, 0) AS keep_occ,
+       coalesce(chars_removed, 0) AS chars_removed,
+       (1000000 * coalesce(chars_removed, 0)) // d.n AS removed_micro
+FROM d LEFT JOIN occ USING (doc_id) LEFT JOIN rm USING (doc_id)
+ORDER BY 1"""
+
+
+QUERIES24: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "keepone_removal": q_keepone_removal,
+}
+
+ORACLES24: dict[str, str] = {
+    "keepone_removal": SQL_KEEPONE_REMOVAL,
+}
