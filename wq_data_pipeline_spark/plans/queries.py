@@ -743,12 +743,18 @@ ORACLES.update(ORACLES24)
 #      (distributed-state k-means trainer; dynamic-k oracle),
 #      embed_near_dup (bands widened 4 -> 8 bits), corpus_shuffle +
 #      length_buckets (new r6 entries),
-#   4. 29 of the 44 entries last green in r4. Deferred to r7 (each
-#      green in 2+ rounds AND carrying an independent pytest
-#      invariant): a2_sentinels, p2_time_slice, p16_pivot,
-#      qc_full_suite, w15_band_support, the six rel_* relational
-#      queries, salted_user_stats, stratified_sample, corpus_rollup,
-#      chunk_documents, table_profile, line_dedup.
+#   4. 24 of the 44 entries last green in r4, plus 5 of this
+#      session's flagship new operator families (suffix_repeats,
+#      suffix_xdoc_repeats, keepone_removal, binned_range_join,
+#      bloom_prune_join) so the genuinely NEW machinery gets a
+#      driver-green row this round. Deferred to r7 (each green in
+#      2+ rounds AND carrying an independent pytest invariant):
+#      a2_sentinels, p2_time_slice, p16_pivot, qc_full_suite,
+#      w15_band_support, the six rel_* relational queries,
+#      salted_user_stats, stratified_sample, corpus_rollup,
+#      chunk_documents, table_profile, line_dedup, and the five
+#      displaced r4 veterans dedup_report, event_dedup_window,
+#      pack_assignments, vocab_coverage, heavy_hitters.
 # All tail entries remain covered by the local sf0.01 pytest oracle
 # mirror (test_oracle.py).
 _DRIVER_WINDOW = [
@@ -779,15 +785,15 @@ _DRIVER_WINDOW = [
     "bpe_pair_counts",
     "ccnet_buckets",
     "curation_funnel",
-    "dedup_report",
+    "suffix_repeats",
     "dsir_weights",
     "dup_span_removal",
     "dup_spans",
     "embed_lsh_ann",
-    "event_dedup_window",
-    "heavy_hitters",
+    "suffix_xdoc_repeats",
+    "keepone_removal",
     "ivf_pq_search",
-    "pack_assignments",
+    "binned_range_join",
     "pii_scan",
     "pq_encode",
     "pq_search",
@@ -800,7 +806,7 @@ _DRIVER_WINDOW = [
     "stream_tumbling_rollup",
     "corpus_shuffle",
     "tfidf_terms",
-    "vocab_coverage",
+    "bloom_prune_join",
     "length_buckets",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
