@@ -84,6 +84,26 @@ def test_bucketed_agg_no_shuffle(spark, bucketed_tables):
     assert agg.count() > 0
 
 
+def test_bucket_pruning_on_key_filter(spark, bucketed_tables):
+    """An equality filter on the bucket column must prune the scan to
+    a single bucket (SelectedBucketsCount: 1 out of 8)."""
+    lt, _ = bucketed_tables
+    some_key = read_bucketed(spark, lt).select("l_orderkey").first()[0]
+    # autoBucketedScan would drop the bucketed layout for a bare
+    # filter+count (no join/agg to exploit it) and with it the
+    # pruning; disable it to assert the pruning path itself
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        df = read_bucketed(spark, lt).filter(f"l_orderkey = {some_key}")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+
+
 def test_bucketed_matches_plain_join(spark, sf_dir, bucketed_tables):
     lt, rt = bucketed_tables
     j = cobucketed_join(spark, lt, rt, ["l_orderkey"])
