@@ -240,6 +240,10 @@ BUDGETS = {
     "cms_user_counts": (6, 5, 0),
     # hourly pre-agg + one lag window per series + score agg
     "seasonal_naive_mae": (4, 1, 0),
+    # r6p: ONE conditional struct-max agg diffs both snapshots
+    "snapshot_diff": (3, 0, 0),
+    # per-(user,day) gather agg + journey count + global top-k rank
+    "top_paths": (3, 0, 0),
 }
 
 

@@ -639,6 +639,7 @@ from wq_data_pipeline_spark.plans.queries_r6l import ORACLES21, QUERIES21  # noq
 from wq_data_pipeline_spark.plans.queries_r6m import ORACLES22, QUERIES22  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6n import ORACLES23, QUERIES23  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6o import ORACLES24, QUERIES24  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r6p import ORACLES25, QUERIES25  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -730,6 +731,8 @@ QUERIES.update(QUERIES23)
 ORACLES.update(ORACLES23)
 QUERIES.update(QUERIES24)
 ORACLES.update(ORACLES24)
+QUERIES.update(QUERIES25)
+ORACLES.update(ORACLES25)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
