@@ -228,10 +228,12 @@ BUDGETS = {
     # shared by all rounds; + positions Generate, adjacency window,
     # text join, agg
     "suffix_repeats": (4, 1, 1),
-    # global order: positions Generate pinned behind the range
-    # partitioner (construction); final = pair windows + two text
-    # joins + agg
-    "suffix_xdoc_repeats": (4, 2, 1),
+    # global order: one window shuffle on the quantile-assigned range
+    # id, LCP from the keys (no text re-join), boundary union, agg.
+    # The persisted pass's build plan (2 Generates: ascii/non-ascii
+    # key paths, 1 shuffle) is PRINTED TWICE inside InMemoryRelation,
+    # so the text counter sees 2x the real nodes.
+    "suffix_xdoc_repeats": (4, 2, 4),
     # r6o: gram group + pinned marks; ONE binned interval join
     # resolves both coverages (two boolean aggs), report joins
     "keepone_removal": (7, 3, 2),

@@ -41,7 +41,11 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def suffix_positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per (doc, 0-based position): (id, pos, n)."""
+    """One row per (doc, 0-based position): (id, pos, n).
+
+    Empty documents yield ZERO rows: sequence(0, -1) with no step
+    would infer step -1 and emit phantom positions [0, -1], so the
+    sequence is guarded (same pattern as operators/text.py)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_text"),
@@ -50,7 +54,11 @@ def suffix_positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "doc_id",
         "_text",
         "n",
-        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("pos"),
+        F.explode(
+            F.when(
+                F.col("n") > 0, F.sequence(F.lit(0), F.col("n") - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
     ).withColumn("pos", F.col("pos").cast("long"))
 
 
@@ -165,6 +173,86 @@ def _lcp_capped2(ta: Column, a: Column, tb: Column, b: Column, cap: int) -> Colu
     return lcp
 
 
+def _packed_seed_key(key: Column) -> Column:
+    """The first 7 UTF-8 BYTES of ``key`` (NUL right-padded) packed
+    into ONE non-negative int64 — an order-CONSISTENT coarsening of
+    the string: pack(a) < pack(b) implies a < b under UTF-8 byte
+    order (which is exactly how both Spark's UTF8String and DuckDB
+    compare VARCHARs), and pack ties fall through to the full string
+    comparison. 7 bytes = 56 bits keeps the sign bit clear; padding
+    with 0x00 (the minimal byte) preserves prefix order.
+
+    Purpose: the corpus-global suffix sort resolves almost every
+    comparison on this single long instead of a depth-char string —
+    both in the range partitioner and the per-partition sorts."""
+    b7 = F.substring(F.encode(F.rpad(key, 7, "\x00"), "UTF-8"), 1, 7)
+    return F.conv(F.hex(b7), 16, 10).cast("long")
+
+
+def suffix_window_keys(
+    docs: DataFrame, id_col: str, text_col: str, depth: int
+) -> DataFrame:
+    """(doc_id, pos, _key, _k0): the ``depth``-char window starting
+    at every 0-based character position, plus its packed int64 seed.
+
+    The hot path BYTE-slices: Spark's char-indexed substr must scan
+    from byte 0 to locate the start offset — O(pos) per call, O(n²)
+    per document (measured: 29 s of pure offset scanning over 22M
+    positions regardless of window length) — so ASCII documents
+    (octet_length == length, byte positions == char positions) take
+    encode once + O(depth) binary substr per position. Non-ASCII
+    documents keep the exact char-indexed path; the union preserves
+    per-position semantics for any input."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.length(text_col).alias("n"),
+        F.octet_length(text_col).alias("nb"),
+    )
+    posed = F.explode(
+        F.when(F.col("n") > 0, F.sequence(F.lit(0), F.col("n") - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+    ).alias("pos")
+    fast = (
+        d.filter(F.col("n") == F.col("nb"))
+        .withColumn("_bin", F.encode("_text", "UTF-8"))
+        .select("doc_id", "_bin", posed)
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.decode(
+                F.col("_bin").substr(F.col("pos") + 1, F.lit(depth)), "UTF-8"
+            ).alias("_key"),
+            # packed seed straight off the bytes (hex-string right-pad
+            # '0' == 0x00 byte pad) so a _k0-only consumer — the range
+            # bounds pass — prunes the whole key build
+            F.conv(
+                F.rpad(
+                    F.hex(F.col("_bin").substr(F.col("pos") + 1, F.lit(7))),
+                    14,
+                    "0",
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("_k0"),
+        )
+    )
+    slow = (
+        d.filter(F.col("n") != F.col("nb"))
+        .select("doc_id", "_text", posed)
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("_text").substr(F.col("pos") + 1, F.lit(depth)).alias("_key"),
+        )
+        .withColumn("_k0", _packed_seed_key(F.col("_key")))
+    )
+    return fast.unionByName(slow)
+
+
 def global_adjacent_lcp(
     docs: DataFrame,
     id_col: str,
@@ -179,87 +267,148 @@ def global_adjacent_lcp(
     which is what exact-substring dedup needs (Lee et al. 2022 §3).
 
     Shape (the distributed_prefix_sum pattern, operators/scale.py):
-    range-repartition on the sort key — never a single-partition
-    window — then per-partition lag windows keyed by the Spark
-    partition id, then the ≤ #partitions boundary pairs stitched via
-    a driver collect of each partition's first/last row (bounded by
-    partition count, like the prefix-sum's totals).
+    a cheap approxQuantile pass over the packed int64 seed key picks
+    range bounds; a binary when-tree assigns each position its range
+    id; then ONE window pass partitioned by that id (never a single-
+    partition window) yields the adjacent pairs, their LCPs, and
+    each range's first/last rows in the same sort; the ≤ #ranges
+    boundary pairs are stitched via a driver collect bounded by the
+    range count, like the prefix-sum's totals.
 
-    Each position ships its ``depth``-char key ONCE (the document
-    text itself never shuffles; texts re-join only onto the adjacent
-    PAIRS). At extreme scale the key column compresses to an int64
-    seed prefix + doubling rounds with two-level ranks — documented,
-    not needed at bench scale.
+    Each position ships its ``depth``-char key ONCE, through the one
+    window shuffle; the sorted pass is cached AFTER the key is
+    dropped, so only narrow (long) columns persist. The document
+    text itself never shuffles and never re-joins.
+
+    The capped LCP is computed FROM THE KEYS THEMSELVES — the LCP of
+    two suffixes capped at depth-1 is exactly the LCP of their
+    depth-char keys capped at depth-1 — so the document texts never
+    re-join onto the pairs (the previous form joined both texts onto
+    every adjacent pair; at 22M pairs that was two extra shuffle
+    joins plus per-pair full-text substrs).
+
+    LCP alphabet assumption: the cross-document LCP pads with the
+    sentinel bytes chr(1)/chr(2); documents whose text contains
+    those control bytes can over/under-count the capped LCP.
 
     Returns (doc_id, pos, prev_doc, prev_pos, lcp), lcp capped at
     depth-1, one row per globally adjacent pair."""
-    n = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
-    p = suffix_positions(docs, id_col, text_col).select(
-        "doc_id",
-        "pos",
-        F.col("_text").substr(F.col("pos") + 1, F.lit(depth)).alias("_key"),
+    spark = docs.sparkSession
+    n = num_partitions or 2 * spark.sparkContext.defaultParallelism
+    p = suffix_window_keys(docs, id_col, text_col, depth)
+    # Range bounds from ONE cheap pass: approxQuantile over the
+    # pruned _k0-only projection (the depth-char key build is never
+    # evaluated for it). repartitionByRange would instead re-evaluate
+    # the FULL key build twice — its sampling runs on the child's
+    # complete output rows (measured at 10x replicas: the double
+    # evaluation was half the operator's wall time).
+    qs = [i / n for i in range(1, n)]
+    bounds = sorted(
+        {int(b) for b in p.select("_k0").approxQuantile("_k0", qs, 0.001)}
     )
+
+    def _pid_tree(lo: int, hi: int) -> Column:
+        """Binary-search when-tree: index of the first bound >= _k0
+        (== count of bounds < _k0) — equal keys always land in the
+        same logical partition, so ranges stay contiguous."""
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            F.col("_k0") > F.lit(bounds[mid]), _pid_tree(mid + 1, hi)
+        ).otherwise(_pid_tree(lo, mid))
+
+    order = ["_k0", "_key", "doc_id", "pos"]
+    w = Window.partitionBy("_pid").orderBy(*order)
+    cap = depth - 1
+    # first/last-row detection shares the ONE window spec the lags
+    # use (lead == NULL marks the partition's last row), so the whole
+    # pass is a single window exec — a count-over-partition column
+    # would force a second full buffering pass
+    is_end = (F.col("_first") == 1) | F.col("_last")
     d = (
-        p.repartitionByRange(n, "_key", "doc_id", "pos")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    w = Window.partitionBy("_pid").orderBy("_key", "doc_id", "pos")
-    inner = (
-        d.withColumn("prev_doc", F.lag("doc_id").over(w))
+        p.withColumn("_pid", _pid_tree(0, len(bounds)))
+        .withColumn("prev_doc", F.lag("doc_id").over(w))
         .withColumn("prev_pos", F.lag("pos").over(w))
-        .filter(F.col("prev_doc").isNotNull())
-        .select("doc_id", "pos", "prev_doc", "prev_pos")
+        .withColumn("_pk", F.lag("_key").over(w))
+        .withColumn("_first", F.row_number().over(w))
+        .withColumn("_last", F.lead("doc_id").over(w).isNull())
+        .withColumn(
+            "lcp",
+            _lcp_capped2(
+                F.col("_key"), F.lit(0), F.col("_pk"), F.lit(0), cap
+            ),
+        )
+        # keys survive the checkpoint only on partition-end rows (for
+        # the boundary stitch) — everywhere else they drop to NULL so
+        # the materialized pass stays narrow
+        .withColumn("_bkey", F.when(is_end, F.col("_key")))
+        .select(
+            "_pid", "doc_id", "pos", "prev_doc", "prev_pos",
+            "_first", "_last", "lcp", "_bkey",
+        )
+        # persist, not localCheckpoint: consumed twice (boundary
+        # collect + the returned pairs), lineage stays intact so an
+        # eviction recomputes instead of failing, and the narrow
+        # cache is droppable — checkpoint blocks accumulated across
+        # catalog runs until the JVM GC'd the RDD handles (measured:
+        # back-to-back 10x runs degraded 87 -> 170 s)
+        .persist()
+    )
+    inner = d.filter(F.col("prev_doc").isNotNull()).select(
+        "doc_id", "pos", "prev_doc", "prev_pos", "lcp"
     )
     # boundary stitch: first/last row of each non-empty partition
-    # (<= 2 * n rows — bounded by partition count, not data)
-    wa = Window.partitionBy("_pid").orderBy("_key", "doc_id", "pos")
-    wd = Window.partitionBy("_pid").orderBy(
-        F.col("_key").desc(), F.col("doc_id").desc(), F.col("pos").desc()
-    )
+    # (<= 2 * n rows — bounded by partition count, not data); the
+    # cross-boundary LCPs are computed driver-side on the collected
+    # depth-char keys (<= n-1 string pairs)
     ends = (
-        d.withColumn("_ra", F.row_number().over(wa))
-        .withColumn("_rd", F.row_number().over(wd))
-        .filter((F.col("_ra") == 1) | (F.col("_rd") == 1))
-        .select("_pid", "_ra", "_rd", "doc_id", "pos")
+        d.filter(is_end)
+        .select("_pid", "_first", "_last", "doc_id", "pos", "_bkey")
         .collect()
     )
-    firsts = {r["_pid"]: r for r in ends if r["_ra"] == 1}
+    firsts = {r["_pid"]: r for r in ends if r["_first"] == 1}
     # a single-row partition is both its own first and last
-    lasts = {r["_pid"]: r for r in ends if r["_rd"] == 1}
+    lasts = {r["_pid"]: r for r in ends if r["_last"]}
     pids = sorted(firsts)
+
+    def _lcp_py(a: str, b: str) -> int:
+        m = 0
+        for x, y in zip(a[:cap], b[:cap]):
+            if x != y:
+                break
+            m += 1
+        return m
+
     boundary = [
         (
             firsts[q]["doc_id"],
             firsts[q]["pos"],
             lasts[pp]["doc_id"],
             lasts[pp]["pos"],
+            _lcp_py(firsts[q]["_bkey"], lasts[pp]["_bkey"]),
         )
         for pp, q in zip(pids, pids[1:])
     ]
-    spark = docs.sparkSession
     pairs = inner
     if boundary:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        id_type = docs.schema[id_col].dataType
         bdf = spark.createDataFrame(
-            boundary, "doc_id BIGINT, pos BIGINT, prev_doc BIGINT, prev_pos BIGINT"
+            boundary,
+            StructType(
+                [
+                    StructField("doc_id", id_type),
+                    StructField("pos", LongType()),
+                    StructField("prev_doc", id_type),
+                    StructField("prev_pos", LongType()),
+                    StructField("lcp", LongType()),
+                ]
+            ),
         )
         pairs = inner.unionByName(bdf)
-    ta = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_ta")
-    )
-    tb = docs.select(
-        F.col(id_col).alias("prev_doc"), F.col(text_col).alias("_tb")
-    )
-    j = pairs.join(ta, "doc_id").join(tb, "prev_doc")
-    return j.select(
-        "doc_id",
-        "pos",
-        "prev_doc",
-        "prev_pos",
-        _lcp_capped2(
-            F.col("_ta"), F.col("pos"), F.col("_tb"), F.col("prev_pos"), depth - 1
-        ).alias("lcp"),
-    )
+    return pairs
 
 
 def adjacent_lcp(

@@ -197,14 +197,19 @@ def q_gap_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.groupBy("event_type").agg(
         F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
     )
+    # A series whose samples all land inside one hour bucket has
+    # grid start > stop; Spark's sequence() with a positive step
+    # raises on that, while the oracle's range() returns no rows —
+    # guard so degenerate series yield zero grid points either way.
+    g_start = (F.floor(F.col("lo") / _HOUR_US).cast("long") + 1) * _HOUR_US
+    g_stop = F.floor(F.col("hi") / _HOUR_US).cast("long") * _HOUR_US
     grid = bounds.select(
         "event_type",
         F.explode(
-            F.sequence(
-                (F.floor(F.col("lo") / _HOUR_US).cast("long") + 1) * _HOUR_US,
-                F.floor(F.col("hi") / _HOUR_US).cast("long") * _HOUR_US,
-                F.lit(_HOUR_US),
-            )
+            F.when(
+                g_start <= g_stop,
+                F.sequence(g_start, g_stop, F.lit(_HOUR_US)),
+            ).otherwise(F.array().cast("array<long>"))
         ).alias("ts_us"),
     )
     g = grid.select(

@@ -139,22 +139,31 @@ _BT_LAST_DAYS = 7
 def q_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtest the seasonal-naive forecaster on the hourly series:
     prediction for hour h = the series' value sum at hour h - 24
-    (one day earlier); score per series over the last {_BT_LAST_DAYS}
-    days as MAE and mean bias in integer centi-units.
+    (the SAME hour one day earlier, not 24 observed rows back — the
+    hourly grids have gaps, so this is a calendar self-join on
+    h - 24, not a lag window); score per series over the last
+    {_BT_LAST_DAYS} days as MAE and mean bias in integer centi-units.
+    Hours whose previous-day hour is unobserved have no prediction
+    and are excluded from the score.
 
-    Scale: hourly pre-agg (map-side combinable) then ONE lag window
-    per series over its hour grid — the forecaster itself is free;
-    this is the baseline every heavier model must beat, so the
-    engine ships its evaluation as a one-pass query."""
+    Scale: hourly pre-agg (map-side combinable) then ONE per-series
+    equi-join on (event_type, h-24) — shuffle-keyed, no densify
+    materialization; the cutoff scalar stays a lazy 1-row broadcast
+    cross-join (no driver collect)."""
     ev = _events(spark, sf_dir)
     hourly = ev.groupBy(
         "event_type", (F.col("ts_us") / _HOUR_US).cast("long").alias("h")
     ).agg(F.sum("vc").alias("v"))
-    w = Window.partitionBy("event_type").orderBy("h")
-    d = hourly.withColumn("pred", F.lag("v", 24).over(w))
-    hmax = d.groupBy().agg(F.max("h").alias("hmax")).collect()[0]["hmax"]
-    cut = hmax - _BT_LAST_DAYS * 24
-    scored = d.filter((F.col("h") > cut) & F.col("pred").isNotNull())
+    prev_day = hourly.select(
+        "event_type", (F.col("h") + 24).alias("h"), F.col("v").alias("pred")
+    )
+    d = hourly.join(prev_day, ["event_type", "h"], "left")
+    cut = d.groupBy().agg(
+        (F.max("h") - F.lit(_BT_LAST_DAYS * 24)).alias("h_cut")
+    )
+    scored = d.crossJoin(F.broadcast(cut)).filter(
+        (F.col("h") > F.col("h_cut")) & F.col("pred").isNotNull()
+    )
     return (
         scored.groupBy("event_type")
         .agg(
@@ -179,8 +188,9 @@ WITH hourly AS (
   FROM events GROUP BY 1, 2
 ),
 d AS (
-  SELECT *, lag(v, 24) OVER (PARTITION BY event_type ORDER BY h) AS pred
-  FROM hourly
+  SELECT a.event_type, a.h, a.v, b.v AS pred
+  FROM hourly a
+  LEFT JOIN hourly b ON b.event_type = a.event_type AND b.h = a.h - 24
 ),
 cut AS (SELECT max(h) - {_BT_LAST_DAYS * 24} AS c FROM d)
 SELECT event_type,

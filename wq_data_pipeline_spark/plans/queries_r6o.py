@@ -58,10 +58,16 @@ def keepone_marks_and_removed(
     d = docs.select(
         F.col("doc_id"), F.col("text"), F.length("text").alias("n")
     )
+    # guarded: sequence(0, -1) on an empty text would infer step -1
+    # and emit phantom positions [0, -1] (operators/text.py pattern)
     pos = d.select(
         "doc_id",
         "n",
-        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("x"),
+        F.explode(
+            F.when(
+                F.col("n") > 0, F.sequence(F.lit(0), F.col("n") - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("x"),
         "text",
     ).withColumn("x", F.col("x").cast("long"))
     grams = pos.filter(F.col("x") + L <= F.col("n")).select(

@@ -77,7 +77,11 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     confs = dict(DEFAULT_CONFS)
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
-    confs.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # local[32] runs driver + all executor threads in ONE JVM: 8g
+    # starved the 32-way sorts into spill at replica scale (measured:
+    # suffix_xdoc x10 86 s at 8g); 32g ≈ 1 GB/core, still conservative
+    # against a real executor's per-core budget.
+    confs.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     if extra_conf:
         confs.update(extra_conf)
     for k, v in confs.items():
