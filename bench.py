@@ -10,6 +10,13 @@ deployment would do). Construction is inside the timer because
 iterative operators (connected components, k-means) run their
 driver-side rounds eagerly at build time — excluding it (the r1/r2
 protocol) under-reported exactly the queries most likely to regress.
+
+Drift-proofing (r7 protocol): each query's recorded number is the
+MEDIAN of three in-process executions — the first includes plan
+construction, the next two re-execute the same DataFrame — so one
+machine stall can no longer distort a trivial query's number (the r6
+intermediate anchor charged 28 s of drift to a ~1 s query). The
+total is the sum of the medians.
 """
 
 from __future__ import annotations
@@ -56,10 +63,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
+        runs: list[float] = []
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs.append(time.perf_counter() - t0)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -70,6 +83,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "protocol": "median-of-3, construction in run 1",
             }
         )
     )

@@ -736,81 +736,79 @@ ORACLES.update(ORACLES25)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
-# latest driver-green row fresh (<= ~2 rounds stale). Round-6 head:
-#   1. the 15 veterans last driver-green in r3 (deferred from the r5
-#      window per the r5 note; each pytest-oracle-mirrored since),
-#   2. domain_rebalance (r5's one red row — oracle HUGEINT cast fixed),
-#   3. the entries NEW or materially CHANGED this round:
-#      semdedup_ann (new ANN-assignment entry), sketch_profile_exact
-#      (new oracled companion), semdedup_trained + embed_kmeans_ivf
-#      (distributed-state k-means trainer; dynamic-k oracle),
-#      embed_near_dup (bands widened 4 -> 8 bits), corpus_shuffle +
-#      length_buckets (new r6 entries),
-#   4. 24 of the 44 entries last green in r4, plus 5 of this
-#      session's flagship new operator families (suffix_repeats,
-#      suffix_xdoc_repeats, keepone_removal, binned_range_join,
-#      bloom_prune_join) so the genuinely NEW machinery gets a
-#      driver-green row this round. Deferred to r7 (each green in
-#      2+ rounds AND carrying an independent pytest invariant):
-#      a2_sentinels, p2_time_slice, p16_pivot, qc_full_suite,
-#      w15_band_support, the six rel_* relational queries,
-#      salted_user_stats, stratified_sample, corpus_rollup,
-#      chunk_documents, table_profile, line_dedup, and the five
-#      displaced r4 veterans dedup_report, event_dedup_window,
-#      pack_assignments, vocab_coverage, heavy_hitters.
+# latest driver-green row fresh (<= ~2 rounds stale). Round-7 head
+# (per the r6 verdict's #1 order: drain the never-driver-checked
+# backlog, never-checked before re-greening): ALL 50 slots are drawn
+# from the 68 entries that have never appeared in a driver window —
+# the TPC-H block (13 of its 17 unchecked queries), the time-series
+# family (incl. the r7-FIXED seasonal_naive_mae and gap_lerp), the
+# graph family, the relational/SQL-surface block, snapshot/CDC, and
+# the r6 scale/embedding additions.
+# Deferred to the r8 window (18 remaining never-checked, each with
+# family siblings checked here: tpch_q8/q13/q16/q20/q22,
+# seasonal_hours, xcorr_daily, linreg_daily, event_transitions,
+# top_paths, value_percentiles, quality_deciles, weighted_sample,
+# user_set_ops, unpivot_metrics, latest_snapshot, merge_upsert,
+# rollup_merge) plus the 26 r4-stale veterans (a2_sentinels,
+# p2_time_slice, p16_pivot, qc_full_suite, w15_band_support, the six
+# rel_*, salted_user_stats, stratified_sample, corpus_rollup,
+# chunk_documents, table_profile, heavy_hitters, line_dedup,
+# dedup_report, event_dedup_window, pack_assignments,
+# vocab_coverage, sketch_profile, multimodal_decode, wrtds pair) —
+# 44 entries, fits one window with slack.
 # All tail entries remain covered by the local sf0.01 pytest oracle
 # mirror (test_oracle.py).
 _DRIVER_WINDOW = [
-    "a1_dup_median",
-    "a4_decimal_hist",
-    "a5_mode_cents",
-    "a7_seasonal",
-    "w17_resample_hourly",
-    "w1_jumps",
-    "w2_gaps",
-    "w4_binary_switches",
-    "w5_flat_runs",
-    "w6_flat_slopes",
-    "w7_rolling_var",
-    "w8_robust_z",
-    "w9_isolated",
-    "winnow_fingerprints",
-    "winnow_matches",
-    "domain_rebalance",
-    "semdedup_ann",
-    "sketch_profile_exact",
-    "semdedup_trained",
-    "embed_kmeans_ivf",
-    "embed_near_dup",
-    "a6_quant_step",
-    "blocklist_filter",
-    "bm25_search",
-    "bpe_pair_counts",
-    "ccnet_buckets",
-    "curation_funnel",
-    "suffix_repeats",
-    "dsir_weights",
-    "dup_span_removal",
-    "dup_spans",
-    "embed_lsh_ann",
-    "suffix_xdoc_repeats",
-    "keepone_removal",
-    "ivf_pq_search",
-    "binned_range_join",
-    "pii_scan",
-    "pq_encode",
-    "pq_search",
-    "quality_classifier",
-    "semdedup",
-    "sequence_pack",
-    "source_mixture",
-    "stream_interval_join",
-    "stream_session_rollup",
-    "stream_tumbling_rollup",
-    "corpus_shuffle",
-    "tfidf_terms",
-    "bloom_prune_join",
-    "length_buckets",
+    "tpch_q2_mincost",
+    "tpch_q4_latesemi",
+    "tpch_q7_volume",
+    "tpch_q9_profit",
+    "tpch_q10_returns",
+    "tpch_q11_value",
+    "tpch_q12_latemode",
+    "tpch_q14_promo",
+    "tpch_q15_topsupp",
+    "tpch_q17_smallqty",
+    "tpch_q18_large",
+    "tpch_q19_brand",
+    "tpch_q21_waiting",
+    "ohlc_hourly",
+    "twa_daily",
+    "ewma_series",
+    "acf_lags",
+    "cusum_changepoint",
+    "control_chart_days",
+    "gap_lerp",
+    "seasonal_naive_mae",
+    "pagerank_purchases",
+    "triangle_counts",
+    "khop_reach",
+    "event_funnel",
+    "retention_cohorts",
+    "attribution_last_touch",
+    "rel_cube",
+    "dq_checks",
+    "fk_orphans",
+    "sql_surface_q3",
+    "window_funcs_suite",
+    "winsorize",
+    "market_basket",
+    "rfm_segments",
+    "scd2_intervals",
+    "snapshot_diff",
+    "time_grid_ffill",
+    "interval_merge",
+    "salted_join",
+    "fuzzy_join",
+    "kmv_distinct",
+    "cms_user_counts",
+    "embed_feature_stats",
+    "embed_int8_quant",
+    "embed_dup_clusters",
+    "image_ahash",
+    "dup_span_removal_keepone",
+    "token_kl_drift",
+    "zipf_slope",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))
