@@ -1,0 +1,140 @@
+"""Round-7 unit invariants, independent of the oracle mirror:
+
+- supplementary-plane character indexing: Spark's length/substr
+  count CODE POINTS (same as DuckDB), so the BPE pairing stays in
+  lockstep with the oracle for emoji / rare-CJK input — pinning the
+  r6 docstring caveat as RESOLVED rather than dormant;
+- the corpus-global suffix order on empty / degenerate / non-ASCII
+  documents (guard + byte-fast/char-exact path split);
+- gap_lerp's single-hour-bucket series yields zero grid rows
+  instead of an Illegal-sequence-boundaries crash;
+- seasonal_naive_mae predicts from the SAME HOUR one day earlier,
+  skipping hours whose previous-day hour is unobserved.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import Row, functions as F
+
+
+def test_bpe_pairs_supplementary_plane(spark):
+    """Engine and oracle produce identical adjacent-code-point pairs
+    for tokens containing emoji (U+1F600, outside the BMP)."""
+    toks = ["a\U0001f600b", "\U0001f600\U0001f600", "naïve", "中文abc"]
+    df = spark.createDataFrame([Row(tok=t, freq=i + 1) for i, t in enumerate(toks)])
+    pairs = (
+        df.filter(F.length("tok") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.col("tok").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("c"))
+    )
+    got = {r["pair"]: r["c"] for r in pairs.collect()}
+
+    pdf = pd.DataFrame({"tok": toks, "freq": range(1, len(toks) + 1)})
+    con = duckdb.connect()
+    con.register("v", pdf)
+    want = dict(
+        con.execute(
+            """SELECT pair, sum(freq) FROM (
+                 SELECT substr(tok, i, 2) AS pair, freq
+                 FROM (SELECT tok, freq, unnest(generate_series(1, len(tok) - 1)) AS i
+                       FROM v WHERE len(tok) >= 2))
+               GROUP BY pair"""
+        ).fetchall()
+    )
+    assert got == want
+    # the emoji pair itself must be a single two-code-point string
+    assert "a\U0001f600" in got and got["a\U0001f600"] == 1
+
+
+def test_global_suffix_order_empty_and_non_ascii(spark):
+    """Empty docs contribute zero positions (no phantom [0, -1]);
+    non-ASCII docs take the exact char path and interleave correctly
+    with byte-sliced ASCII docs in one global order."""
+    from wq_data_pipeline_spark.operators.suffix import global_adjacent_lcp
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="banana"),
+            Row(doc_id=2, text=""),
+            Row(doc_id=3, text="bananas"),
+            Row(doc_id=4, text="bánana"),  # non-ASCII: slow path
+        ]
+    )
+    adj = global_adjacent_lcp(docs, "doc_id", "text", depth=8).collect()
+    n_pos = 6 + 0 + 7 + 6  # empty doc -> zero rows
+    assert len(adj) == n_pos - 1  # adjacency pairs = positions - 1
+    # cross-doc banana/bananas suffixes share "banana" (lcp 6) once
+    best = max(
+        (r for r in adj if {r["doc_id"], r["prev_doc"]} == {1, 3}),
+        key=lambda r: r["lcp"],
+    )
+    assert best["lcp"] == 6
+    # suffix "nana" of doc 4 matches "nana" of doc 1/3 exactly
+    m = [
+        r
+        for r in adj
+        if 4 in (r["doc_id"], r["prev_doc"]) and r["lcp"] >= 4
+    ]
+    assert m, "non-ASCII doc must interleave into the global order"
+
+
+def test_gap_lerp_single_bucket_series(spark):
+    """A series whose samples all land inside one hour bucket yields
+    zero interpolated rows (oracle range() semantics), not a Spark
+    Illegal-sequence-boundaries error."""
+    from wq_data_pipeline_spark.plans.queries_r6j import q_gap_lerp
+
+    import wq_data_pipeline_spark.plans.queries_r6j as mod
+
+    rows = [
+        Row(event_type="solo", ts_us=100_000_000, event_id=1, vc=100),
+        Row(event_type="solo", ts_us=200_000_000, event_id=2, vc=200),
+    ]
+    ev = spark.createDataFrame(rows)
+    # drive the operator body directly on the constructed frame
+    orig = mod._events
+    mod._events = lambda s, d: ev
+    try:
+        out = q_gap_lerp(spark, "unused").collect()
+    finally:
+        mod._events = orig
+    assert out == []
+
+
+def test_seasonal_naive_skips_gap_hours(spark):
+    """pred must be NULL (row excluded) when hour h-24 is unobserved,
+    and must equal the h-24 value when it is."""
+    import wq_data_pipeline_spark.plans.queries_r6n as mod
+    from wq_data_pipeline_spark.plans.queries_r6n import q_seasonal_naive_mae
+
+    H = mod._HOUR_US
+    rows = []
+    # series: hours 0..200 observed EXCEPT hour 100; value = hour
+    for h in range(201):
+        if h == 100:
+            continue
+        rows.append(Row(event_type="s", ts_us=h * H + 1, vc=h))
+    ev = spark.createDataFrame(rows)
+    orig = mod._events
+    mod._events = lambda s, d: ev
+    try:
+        out = {r["event_type"]: r for r in q_seasonal_naive_mae(spark, "x").collect()}
+    finally:
+        mod._events = orig
+    r = out["s"]
+    # last 7*24=168 hours = hours 33..200; hour 124 has no h-24
+    # (hour 100 missing) and hour 100 itself is absent -> 168 - 2
+    assert r["n_hours"] == 166
+    # seasonal-naive on value==hour: error is exactly 24 everywhere
+    assert r["mae_c"] == 24.0 and r["bias_c"] == 24.0

@@ -713,12 +713,12 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-word char work never touches corpus-sized data again.
     Top-k lands in a single TakeOrderedAndProject.
 
-    Character-indexing caveat: Spark ``length``/``substr`` index
-    UTF-16 code units while the DuckDB oracle's ``len``/``substr``
-    index code points, so supplementary-plane characters (emoji,
-    rare CJK) would desynchronize the two engines. The documents
-    corpus is ASCII; a production tokenizer would pre-normalize to
-    byte-level (GPT-2 style) or code-point units before pairing."""
+    Character indexing: Spark's ``length``/``substr`` index CODE
+    POINTS (UTF8String counts whole code points, not UTF-16 units),
+    exactly like DuckDB's ``len``/``substr`` — verified empirically
+    for supplementary-plane input (emoji) and pinned by
+    tests/test_round7_entries.py::test_bpe_pairs_supplementary_plane,
+    so the pairing stays in lockstep with the oracle on any input."""
     d = _docs_parallel(spark, sf_dir)
     vocab = (
         d.select(F.explode(tokens("text")).alias("tok"))
