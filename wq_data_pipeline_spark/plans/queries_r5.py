@@ -259,15 +259,15 @@ def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     k = max(1, math.ceil(emb.count() / _SDT_TARGET))
-    # broadcast-join trainer mode (literal_centroids_max=0): k grows
-    # with the corpus here, and the literal-array plan pays analysis
-    # cost per literal per round (measured at k=32/dim=64: 8.3 s
-    # literal vs 3.7 s broadcast at sf0.1). With integer-quantized
-    # vectors the two modes are bit-identical — mean numerators are
-    # order-free integer sums and the assignment dot is the same
-    # left-to-right fold — so the oracle is mode-independent.
+    # BANDED distributed trainer (k ∝ n here): per-round assignment
+    # through the shared-LSH candidate join — no broadcast hint
+    # anywhere in the Lloyd loop, so nothing forces k×dim bytes onto
+    # every executor per round (the r6 verdict's remaining k∝n
+    # envelope). The oracle replays the banded rounds bit-for-bit
+    # (_kmeans_banded_prefix_sql: integer plane dots on rounded
+    # means); the exact modes remain for small fixed k.
     cent = kmeans_centroids(
-        emb, k=k, iters=_KM_ITERS, vec_col="q", literal_centroids_max=0
+        emb, k=k, iters=_KM_ITERS, vec_col="q", assignment="banded"
     )
     c = cent.select(F.col("centroid_id").alias("_cid"), F.col("q").alias("_cv"))
     # final assignment via NARROW max_by, NOT a per-vector row_number
@@ -300,12 +300,14 @@ def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_trained_sql() -> str:
-    """DuckDB replay: the shared Lloyd-round prefix (ends at ``av`` =
+    """DuckDB replay: the BANDED Lloyd-round prefix (ends at ``av`` =
     final bucket per vector; k is derived IN-SQL as
     ceil(count(*)/target) so the oracle's clustering tracks the
     engine's runtime k at any scale factor — ADVICE r5), then the
     within-cluster earlier-id pairwise tail of SQL_SEMDEDUP."""
-    from wq_data_pipeline_spark.plans.queries_ext import _kmeans_prefix_sql
+    from wq_data_pipeline_spark.plans.queries_ext import (
+        _kmeans_banded_prefix_sql,
+    )
 
     dot = (
         "CAST(list_sum(list_transform(generate_series(1, len(a.q)), "
@@ -315,7 +317,7 @@ def _semdedup_trained_sql() -> str:
     k_sql = (
         f"SELECT CAST(ceil(count(*) / {_SDT_TARGET}.0) AS BIGINT) FROM embeddings"
     )
-    return f"""{_kmeans_prefix_sql(k_sql)},
+    return f"""{_kmeans_banded_prefix_sql(k_sql)},
 sims AS (
   SELECT a.vec_id,
          {dot} / ({nrm.format(v="a.q")} * {nrm.format(v="b.q")}) AS sim

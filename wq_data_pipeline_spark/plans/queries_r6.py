@@ -37,7 +37,10 @@ from wq_data_pipeline_spark.sources.testdata import load_table
 _SDA_TAU = 0.44  # same stress threshold as semdedup / semdedup_trained
 _SDA_TARGET = 64  # target cluster size; k = ceil(n / target)
 _SDA_BANDS = 8
-_SDA_PLANES = 4  # bits per band — see the tuning note in q_semdedup_ann
+# bits per band are AUTO-SIZED: planes = max(1, ceil(log2(k))) — the
+# auto_planes_per_band law (VERDICT r6 #4), enforced in code for both
+# the in-loop trainer assignment and the final assignment here, and
+# derived identically in-SQL by the oracle.
 
 
 def q_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,20 +61,22 @@ def q_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is linear in n for fixed bucket occupancy — the O(n·k)
     exact-assignment term is gone.
 
-    Tuning law: candidates/vector ≈ k·bands/2^planes, so
-    ``planes_per_band`` must grow ~log2(k) (band buckets ≳ centroid
-    count) for the per-vector candidate set to stay O(bands). The
-    constants here (8 bands × 4 bits) are sized to the synthetic
-    bench corpus, where vector-to-own-centroid cosine is low (median
-    ~0.25 → per-plane agreement ~0.58): 8-bit bands drove 87% of
-    vectors to singletons, while 4-bit bands leave <1% singletons at
-    16 buckets ≥ k=8. A real embedding corpus clusters far tighter
-    (cos ≥ 0.7 → agreement ≥ 0.75), which is what lets production
-    configs run 8–12 bits/band at large k."""
+    Tuning law (ENFORCED, not prose): candidates/vector ≈
+    k·bands/2^planes, so planes/band = max(1, ceil(log2(k))) —
+    ``auto_planes_per_band`` — keeping per-band buckets ≳ the
+    centroid count and the per-vector candidate set O(bands) at any
+    k. On the synthetic bench corpus (vector-to-own-centroid cosine
+    low, median ~0.25 → per-plane agreement ~0.58) this yields
+    planes=3 at k=8 with a low singleton rate; a real embedding
+    corpus clusters far tighter (cos ≥ 0.7 → agreement ≥ 0.75),
+    which keeps the same law workable at large k (8–12 bits/band).
+    Bucket occupancy and singleton rate on both corpus shapes are
+    pinned by tests/test_round7_entries.py."""
     from wq_data_pipeline_spark.operators.similarity import (
+        auto_planes_per_band,
+        banded_signatures,
         cosine,
         kmeans_centroids,
-        rp_lsh_signature,
         semdedup_within,
     )
     from wq_data_pipeline_spark.plans.queries_ext import _KM_ITERS, _quantized
@@ -93,42 +98,25 @@ def q_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     k = max(1, math.ceil(emb.count() / _SDA_TARGET))
+    planes = auto_planes_per_band(k)
     cent = kmeans_centroids(
-        emb, k=k, iters=_KM_ITERS, vec_col="q", literal_centroids_max=0
+        emb, k=k, iters=_KM_ITERS, vec_col="q", assignment="banded"
     )
-    # quantize the (double) centroid means to BIGINT before signing:
-    # integer plane dots are exact in both engines, so every signature
-    # bit is portable (round() is half-away-from-zero on both)
-    cq = cent.select(
-        "centroid_id",
-        F.transform("q", lambda x: F.round(x).cast("long")).alias("cq"),
-    )
-
-    def banded(df: DataFrame, id_out: str, vec: str) -> DataFrame:
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    rp_lsh_signature(
-                        vec, _SDA_PLANES, plane_offset=b * _SDA_PLANES, dim=dim
-                    ).alias("sig"),
-                )
-                for b in range(_SDA_BANDS)
-            ]
-        )
-        return df.select(
-            F.col(df.columns[0]).alias(id_out), F.explode(sigs).alias("bs")
-        ).select(id_out, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-
+    # banded_signatures signs the half-away-from-zero-ROUNDED vector,
+    # so the (double) centroid means sign as integers — every
+    # signature bit is portable across engines
     cand = (
-        banded(emb, "vec_id", "q")
-        .join(F.broadcast(banded(cq, "_cid", "cq")), on=["band", "sig"])
+        banded_signatures(emb, "vec_id", "q", _SDA_BANDS, planes, dim)
+        .join(
+            banded_signatures(cent, "_cid", "q", _SDA_BANDS, planes, dim),
+            on=["band", "sig"],
+        )
         .select("vec_id", "_cid")
         .distinct()
     )
     c = cent.select(F.col("centroid_id").alias("_cid"), F.col("q").alias("_cv"))
     best = (
-        cand.join(F.broadcast(c), "_cid")
+        cand.join(c, "_cid")
         .join(emb, "vec_id")
         .select("vec_id", "_cid", cosine("q", "_cv").alias("_cs"))
         .groupBy("vec_id")
@@ -153,21 +141,23 @@ def q_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_ann_sql() -> str:
-    """DuckDB replay: the shared dynamic-k Lloyd prefix (final
-    centroids CTE ``c{_KM_ITERS}``), centroid quantization, the SAME
-    md5 hyperplane construction as SQL_EMBED_NEAR_DUP for both sides,
-    band-join candidates, exact-cosine best-candidate assignment with
-    the (cs DESC, cid ASC) tie rule, singleton fallback, then the
-    within-cluster earlier-id tail of SQL_SEMDEDUP_TRAINED."""
+    """DuckDB replay: the BANDED dynamic-k Lloyd prefix (final
+    centroids CTE ``c{_KM_ITERS}``; its ``pp``/``planes``/``vsig``
+    CTEs are REUSED for the final assignment — one plane set, one
+    vector-signature table, exactly like the engine), centroid
+    quantization, band-join candidates, exact-cosine best-candidate
+    assignment with the (cs DESC, cid ASC) tie rule, singleton
+    fallback, then the within-cluster earlier-id tail of
+    SQL_SEMDEDUP_TRAINED."""
     from wq_data_pipeline_spark.plans.queries_ext import (
         _KM_ITERS,
-        _kmeans_prefix_sql,
+        _kmeans_banded_prefix_sql,
         _lr_dots,
         _lr_sq,
     )
 
     last = f"c{_KM_ITERS}"
-    n_planes = _SDA_BANDS * _SDA_PLANES
+    pl = "(SELECT pl FROM pp)"
     k_sql = (
         f"SELECT CAST(ceil(count(*) / {_SDA_TARGET}.0) AS BIGINT) FROM embeddings"
     )
@@ -176,44 +166,22 @@ def _semdedup_ann_sql() -> str:
         "i -> a.q[i] * b.q[i])) AS DOUBLE)"
     )
     nrm = "sqrt(CAST(list_sum(list_transform({v}, x -> x * x)) AS DOUBLE))"
-    return f"""{_kmeans_prefix_sql(k_sql)},
+    return f"""{_kmeans_banded_prefix_sql(k_sql)},
 cquant AS (
   SELECT cid, list_transform(c, x -> CAST(round(x) AS BIGINT)) AS cqv FROM {last}
-),
-dims AS (SELECT unnest(generate_series(0, (SELECT max(len(q)) - 1 FROM q))) AS i),
-pls AS (SELECT unnest(generate_series(0, {n_planes - 1})) AS p),
-planes AS (
-  SELECT pls.p, dims.i,
-         CASE WHEN substr(md5(CAST(pls.p AS VARCHAR) || ':' || CAST(dims.i AS VARCHAR)), 1, 1)
-                   IN ('0','2','4','6','8','a','c','e')
-              THEN 1 ELSE -1 END AS h
-  FROM pls CROSS JOIN dims
-),
-vdim AS (
-  SELECT vec_id, i, q[i + 1] AS xi
-  FROM (SELECT vec_id, q, unnest(generate_series(0, len(q) - 1)) AS i FROM q)
-),
-vdot AS (
-  SELECT v.vec_id, pl.p, sum(v.xi * pl.h) AS s
-  FROM vdim v JOIN planes pl ON v.i = pl.i GROUP BY v.vec_id, pl.p
-),
-vsig AS (
-  SELECT vec_id, p // {_SDA_PLANES} AS band,
-         CAST(sum(CASE WHEN s > 0 THEN 1 << (p % {_SDA_PLANES}) ELSE 0 END) AS BIGINT) AS sig
-  FROM vdot GROUP BY vec_id, p // {_SDA_PLANES}
 ),
 cdim AS (
   SELECT cid, i, cqv[i + 1] AS xi
   FROM (SELECT cid, cqv, unnest(generate_series(0, len(cqv) - 1)) AS i FROM cquant)
 ),
 cdot AS (
-  SELECT c.cid, pl.p, sum(c.xi * pl.h) AS s
-  FROM cdim c JOIN planes pl ON c.i = pl.i GROUP BY c.cid, pl.p
+  SELECT c.cid, pl2.p, sum(c.xi * pl2.h) AS s
+  FROM cdim c JOIN planes pl2 ON c.i = pl2.i GROUP BY c.cid, pl2.p
 ),
 csig AS (
-  SELECT cid, p // {_SDA_PLANES} AS band,
-         CAST(sum(CASE WHEN s > 0 THEN 1 << (p % {_SDA_PLANES}) ELSE 0 END) AS BIGINT) AS sig
-  FROM cdot GROUP BY cid, p // {_SDA_PLANES}
+  SELECT cid, p // {pl} AS band,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << (p % {pl}) ELSE 0 END) AS BIGINT) AS sig
+  FROM cdot GROUP BY cid, p // {pl}
 ),
 cand AS (
   SELECT DISTINCT v.vec_id, c.cid
