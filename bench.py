@@ -11,16 +11,26 @@ iterative operators (connected components, k-means) run their
 driver-side rounds eagerly at build time — excluding it (the r1/r2
 protocol) under-reported exactly the queries most likely to regress.
 
-Drift-proofing (r7 protocol): each query's recorded number is the
-MEDIAN of three in-process executions — the first includes plan
-construction, the next two re-execute the same DataFrame — so one
-machine stall can no longer distort a trivial query's number (the r6
-intermediate anchor charged 28 s of drift to a ~1 s query). The
-total is the sum of the medians.
+Drift-proofing (r8 protocol, VERDICT r7 #2): each query's recorded
+number is the MEDIAN of three FULL construct+execute runs — the
+DataFrame is REBUILT from scratch each run, so driver-side rounds,
+localCheckpoint materializations, and plan analysis are counted every
+time (the r7 median-of-{construct+exec, exec, exec} reduced to the
+warm exec tail and hid a 3-4x construction regression). The median
+still rejects a single machine stall; the total is the sum of the
+medians. Old references from a completed run are dropped and gc'd
+before the next one so Spark's ContextCleaner can free its checkpoint
+blocks instead of letting them pressure later queries' storage memory.
+
+The full per-query JSON is ALSO written to $SPARK_GRAFT_BENCH_OUT
+(default BENCH_LOCAL.json next to this file): the driver's recorded
+BENCH_rN.json has arrived tail-truncated two rounds running, and the
+in-repo copy is the durable record (VERDICT r7 what's-wrong #5).
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -33,7 +43,8 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
     from wq_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="wq-bench")
@@ -64,29 +75,36 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(queries):
         runs: list[float] = []
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        runs.append(time.perf_counter() - t0)
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            # drop the run's plan/checkpoint references before the
+            # next rebuild so ContextCleaner can reclaim its blocks
+            del df
+            gc.collect()
         timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "protocol": "median-of-3, construction in run 1",
-            }
-        )
+    payload = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "protocol": "median-of-3 full construct+execute runs",
+    }
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(here, "BENCH_LOCAL.json")
     )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # stdout line below is still the contract
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -240,8 +240,15 @@ BUDGETS = {
     # r6n: d map-side-combinable sketch aggs + exact top-k rank +
     # d broadcast point lookups
     "cms_user_counts": (6, 5, 0),
-    # hourly pre-agg + one lag window per series + score agg
-    "seasonal_naive_mae": (4, 1, 0),
+    # hourly pre-agg + the calendar self-join on (event_type, h-24)
+    # (the r7 gap-semantics fix: lag-24 was wrong on gappy grids) +
+    # score agg. The legitimate keyed join re-executes the hourly
+    # aggregate for the prev-day side (a 5th exchange; the pre-agg is
+    # map-side combinable so the extra leg shuffles only (series,
+    # hour) groups, not events rows). Broadcasts: the lazy cut scalar
+    # + the prev-day side, which Spark's size estimate broadcasts at
+    # sf0.01 (it would shuffle-join at scale — no hint forces it).
+    "seasonal_naive_mae": (5, 2, 0),
     # r6p: ONE conditional struct-max agg diffs both snapshots
     "snapshot_diff": (3, 0, 0),
     # per-(user,day) gather agg + journey count + global top-k rank
@@ -261,10 +268,14 @@ CONSTRUCTION_JOB_CAPS = {
     "sequence_pack": 8,  # distributed prefix sum: per-partition bases
     "pack_assignments": 8,
     "token_budget_fill": 8,  # distributed prefix sum: per-partition bases
-    # r6 distributed-state trainer: +1 job/round (the k-row centroid
-    # localCheckpoint replacing the driver means-collect) + dim probe
-    "semdedup_trained": 42,  # count + Lloyd rounds + assignment checkpoint
-    "semdedup_ann": 48,  # same trainer + dim probe + candidate checkpoint (measured 45)
+    # r8 size-gated trainer ("auto" -> exact/broadcast at bench k;
+    # banded only past k*dim > 1e6): count + Lloyd-round centroid
+    # localCheckpoints + assignment checkpoint. The final-assignment
+    # joins carry no broadcast hints (AQE decides), so AQE stage jobs
+    # inflate the count vs the r6 hinted form (measured 45-46 / 50-51
+    # across sf0.01/sf0.1 on an idle machine).
+    "semdedup_trained": 50,
+    "semdedup_ann": 55,
     "bpe_train": 24,  # vocab build + per-round top-1 + sparse checkpoints
     "bpe_apply": 24,  # same trainer rounds at construction
     "bigram_lm_score": 8,  # two pre-agg checkpoints (bigram, vocab)

@@ -126,7 +126,15 @@ def _lcp_capped(a: Column, b: Column, text: Column, cap: int) -> Column:
     always true for distinct positions of one document. (When a
     comparison window runs past both string ends, truncated-equal
     prefixes would over-count; different lengths make truncated
-    tails unequal, so the descent stops exactly at the true LCP.)"""
+    tails unequal, so the descent stops exactly at the true LCP.)
+
+    ``cap`` must be all-ones binary (2**m - 1, e.g. depth-1 for a
+    power-of-two depth): the greedy descent through cap's binary
+    decomposition is exact only then — cap=5 descends [4, 1] and
+    returns 1 for a true LCP of 3 because the 2-step is missing
+    (ADVICE r7). Guarded here rather than at each caller."""
+    if cap & (cap + 1):
+        raise ValueError(f"cap must be 2**m - 1 (all-ones binary), got {cap}")
     pa = text.substr(a + 1, F.lit(cap))
     pb = text.substr(b + 1, F.lit(cap))
     steps: list[int] = []
@@ -153,7 +161,10 @@ def _lcp_capped2(ta: Column, a: Column, tb: Column, b: Column, cap: int) -> Colu
     arbitrary inputs by right-padding the two windows with DISTINCT
     sentinels (chr(1)/chr(2), outside the text alphabet): equal
     truncated tails then mismatch at the first pad position instead
-    of over-counting."""
+    of over-counting. Same all-ones ``cap`` precondition as
+    :func:`_lcp_capped` (the descent is exact only for 2**m - 1)."""
+    if cap & (cap + 1):
+        raise ValueError(f"cap must be 2**m - 1 (all-ones binary), got {cap}")
     pa = F.rpad(ta.substr(a + 1, F.lit(cap)), cap, "\x01")
     pb = F.rpad(tb.substr(b + 1, F.lit(cap)), cap, "\x02")
     steps: list[int] = []
@@ -251,6 +262,11 @@ def suffix_window_keys(
         .withColumn("_k0", _packed_seed_key(F.col("_key")))
     )
     return fast.unionByName(slow)
+
+
+# previous global_adjacent_lcp invocations' cached sorted passes —
+# see the unpersist note inside the function
+_PERSISTED_PASSES: list[DataFrame] = []
 
 
 def global_adjacent_lcp(
@@ -355,6 +371,14 @@ def global_adjacent_lcp(
         # back-to-back 10x runs degraded 87 -> 170 s)
         .persist()
     )
+    # the cache must outlive this function (the returned pairs plan
+    # reads it lazily), so it can't be unpersisted here — instead
+    # each invocation releases the PREVIOUS one's pass, bounding the
+    # operator's storage footprint at one cached pass regardless of
+    # how many catalog queries run in the session (ADVICE r7)
+    while _PERSISTED_PASSES:
+        _PERSISTED_PASSES.pop().unpersist(blocking=False)
+    _PERSISTED_PASSES.append(d)
     inner = d.filter(F.col("prev_doc").isNotNull()).select(
         "doc_id", "pos", "prev_doc", "prev_pos", "lcp"
     )

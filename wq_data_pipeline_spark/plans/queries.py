@@ -736,79 +736,71 @@ ORACLES.update(ORACLES25)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
-# latest driver-green row fresh (<= ~2 rounds stale). Round-7 head
-# (per the r6 verdict's #1 order: drain the never-driver-checked
-# backlog, never-checked before re-greening): ALL 50 slots are drawn
-# from the 68 entries that have never appeared in a driver window —
-# the TPC-H block (13 of its 17 unchecked queries), the time-series
-# family (incl. the r7-FIXED seasonal_naive_mae and gap_lerp), the
-# graph family, the relational/SQL-surface block, snapshot/CDC, and
-# the r6 scale/embedding additions.
-# Deferred to the r8 window (18 remaining never-checked, each with
-# family siblings checked here: tpch_q8/q13/q16/q20/q22,
-# seasonal_hours, xcorr_daily, linreg_daily, event_transitions,
-# top_paths, value_percentiles, quality_deciles, weighted_sample,
-# user_set_ops, unpivot_metrics, latest_snapshot, merge_upsert,
-# rollup_merge) plus the 26 r4-stale veterans (a2_sentinels,
-# p2_time_slice, p16_pivot, qc_full_suite, w15_band_support, the six
-# rel_*, salted_user_stats, stratified_sample, corpus_rollup,
-# chunk_documents, table_profile, heavy_hitters, line_dedup,
-# dedup_report, event_dedup_window, pack_assignments,
-# vocab_coverage, sketch_profile, multimodal_decode, wrtds pair) —
-# 44 entries, fits one window with slack.
-# All tail entries remain covered by the local sf0.01 pytest oracle
-# mirror (test_oracle.py).
+# latest driver-green row fresh (<= ~2 rounds stale). Round-8 window
+# (VERDICT r7 #3): the 18 remaining never-driver-checked entries —
+# after this round every oracled entry has been driver-checked at
+# least once — plus the 26 r4-stale veterans (oldest rows in the
+# rotation), plus the 6 entries whose driver-green rows describe
+# superseded code: the r7 suffix/keepone/BPE redesigns and the two
+# semdedup entries re-trained this round through the size-gated
+# "auto" k-means mode (exact/broadcast below k*dim=1e6, banded past
+# it). wrtds_residuals/wrtds_residuals_q/sketch_profile are
+# rows-only by nature (the driver records the weaker check);
+# multimodal_decode gained a DuckDB oracle this round (its fake-
+# decoder branch is md5-byte arithmetic, SQL-replayable). All tail
+# entries remain covered by the local sf0.01 pytest oracle mirror
+# (test_oracle.py).
 _DRIVER_WINDOW = [
-    "tpch_q2_mincost",
-    "tpch_q4_latesemi",
-    "tpch_q7_volume",
-    "tpch_q9_profit",
-    "tpch_q10_returns",
-    "tpch_q11_value",
-    "tpch_q12_latemode",
-    "tpch_q14_promo",
-    "tpch_q15_topsupp",
-    "tpch_q17_smallqty",
-    "tpch_q18_large",
-    "tpch_q19_brand",
-    "tpch_q21_waiting",
-    "ohlc_hourly",
-    "twa_daily",
-    "ewma_series",
-    "acf_lags",
-    "cusum_changepoint",
-    "control_chart_days",
-    "gap_lerp",
-    "seasonal_naive_mae",
-    "pagerank_purchases",
-    "triangle_counts",
-    "khop_reach",
-    "event_funnel",
-    "retention_cohorts",
-    "attribution_last_touch",
-    "rel_cube",
-    "dq_checks",
-    "fk_orphans",
-    "sql_surface_q3",
-    "window_funcs_suite",
-    "winsorize",
-    "market_basket",
-    "rfm_segments",
-    "scd2_intervals",
-    "snapshot_diff",
-    "time_grid_ffill",
-    "interval_merge",
-    "salted_join",
-    "fuzzy_join",
-    "kmv_distinct",
-    "cms_user_counts",
-    "embed_feature_stats",
-    "embed_int8_quant",
-    "embed_dup_clusters",
-    "image_ahash",
-    "dup_span_removal_keepone",
-    "token_kl_drift",
-    "zipf_slope",
+    "tpch_q8_share",
+    "tpch_q13_custdist",
+    "tpch_q16_suppcnt",
+    "tpch_q20_potential",
+    "tpch_q22_idle",
+    "seasonal_hours",
+    "xcorr_daily",
+    "linreg_daily",
+    "event_transitions",
+    "top_paths",
+    "value_percentiles",
+    "quality_deciles",
+    "weighted_sample",
+    "user_set_ops",
+    "unpivot_metrics",
+    "latest_snapshot",
+    "merge_upsert",
+    "rollup_merge",
+    "a2_sentinels",
+    "p2_time_slice",
+    "p16_pivot",
+    "qc_full_suite",
+    "w15_band_support",
+    "rel_distinct_agg",
+    "rel_anti_join",
+    "rel_semi_join",
+    "rel_rollup",
+    "rel_union_having",
+    "rel_corr_subquery",
+    "salted_user_stats",
+    "stratified_sample",
+    "corpus_rollup",
+    "chunk_documents",
+    "table_profile",
+    "heavy_hitters",
+    "line_dedup",
+    "dedup_report",
+    "event_dedup_window",
+    "pack_assignments",
+    "vocab_coverage",
+    "sketch_profile",
+    "multimodal_decode",
+    "wrtds_residuals",
+    "wrtds_residuals_q",
+    "suffix_repeats",
+    "suffix_xdoc_repeats",
+    "semdedup_trained",
+    "semdedup_ann",
+    "keepone_removal",
+    "bpe_pair_counts",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

@@ -852,14 +852,33 @@ FROM documents"""
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode plumbing over binary media (deterministic
-    fake decoder — the real decode is stubbed, SURVEY §7 stage 8).
-    Rows-only check: the Arrow batch boundary isn't SQL-expressible."""
+    """mapInPandas decode plumbing over binary media (SURVEY §7 stage
+    8): the full Arrow-batch pipeline — binary column in, magic-byte
+    dispatch, DECODED_SCHEMA out. The text payloads are never
+    PNG/WAV, so every row takes the deterministic fake-decoder branch
+    (md5-byte-derived height/width/luma) — which IS SQL-expressible,
+    so this entry is DuckDB-ORACLED (VERDICT r7 #5): the oracle
+    re-derives each fake dimension from md5(text) byte arithmetic,
+    checking media_id passthrough, Arrow batch integrity, schema, and
+    the derivation bit-for-bit. The REAL stdlib PNG/WAV codec branch
+    is covered by tests/test_codecs.py round-trips (binary fixtures
+    aren't constructible in SQL)."""
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
     )
     return decode_media(d, fake=True)
+
+
+# the fake decoder's derivation, replayed byte-for-byte: digest byte
+# i of md5(utf8(text)) == hex pair [2i+1, 2i+2] of DuckDB's md5();
+# 1 + b%64 dims, b/255.0 luma are identical integer/IEEE ops
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id AS media_id,
+       CAST(1 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS INT) AS height,
+       CAST(1 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS INT) AS width,
+       ('0x' || substr(md5(text), 5, 2))::INT / 255.0 AS mean_luma
+FROM documents"""
 
 
 _KM_K = 8
@@ -1639,5 +1658,7 @@ ORACLES3: dict[str, str] = {
     "bm25_search": SQL_BM25,
     "embed_lsh_ann": SQL_EMBED_LSH_ANN,
     "embed_kmeans_ivf": SQL_EMBED_KMEANS_IVF,
-    # multimodal_decode: rows-only (binary codec paths)
+    # oracled in r8: every documents payload takes the deterministic
+    # fake-decoder branch, which SQL replays from md5-byte arithmetic
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
 }

@@ -99,8 +99,20 @@ def q_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = max(1, math.ceil(emb.count() / _SDA_TARGET))
     planes = auto_planes_per_band(k)
+    # SIZE-GATED trainer (VERDICT r7 #1): exact distributed/broadcast
+    # rounds while k×dim fits the broadcast budget (the r7 all-banded
+    # trainer measured 34.7 s vs 11.1 s at sf0.1), banded LSH rounds
+    # only past k*dim > 1e6 (n > 64M vectors at dim=64). The entry's
+    # ANN identity — the banded FINAL assignment below, linear in n —
+    # is unchanged; only the trainer's per-round assignment is gated.
+    # literal_centroids_max=0: k ∝ n, keep centroid state a DataFrame.
     cent = kmeans_centroids(
-        emb, k=k, iters=_KM_ITERS, vec_col="q", assignment="banded"
+        emb,
+        k=k,
+        iters=_KM_ITERS,
+        vec_col="q",
+        assignment="auto",
+        literal_centroids_max=0,
     )
     # banded_signatures signs the half-away-from-zero-ROUNDED vector,
     # so the (double) centroid means sign as integers — every
@@ -141,17 +153,20 @@ def q_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_ann_sql() -> str:
-    """DuckDB replay: the BANDED dynamic-k Lloyd prefix (final
-    centroids CTE ``c{_KM_ITERS}``; its ``pp``/``planes``/``vsig``
-    CTEs are REUSED for the final assignment — one plane set, one
-    vector-signature table, exactly like the engine), centroid
-    quantization, band-join candidates, exact-cosine best-candidate
-    assignment with the (cs DESC, cid ASC) tie rule, singleton
-    fallback, then the within-cluster earlier-id tail of
-    SQL_SEMDEDUP_TRAINED."""
+    """DuckDB replay: the shared EXACT dynamic-k Lloyd prefix (final
+    centroids CTE ``c{_KM_ITERS}`` — the engine's "auto" trainer
+    resolves to the bit-identical exact mode at every oracle scale,
+    crossover k*dim > 1e6), then the BANDED final assignment exactly
+    as the engine runs it: the auto-planes law evaluated in-SQL
+    (planes/band = greatest(1, ceil(log2(k)))), one md5 ±1 plane
+    table shared by both sides, vector signatures over the quantized
+    corpus, centroid signatures over the ROUNDED means, band-join
+    candidates, exact-cosine best-candidate assignment with the
+    (cs DESC, cid ASC) tie rule, singleton fallback, then the
+    within-cluster earlier-id tail of SQL_SEMDEDUP_TRAINED."""
     from wq_data_pipeline_spark.plans.queries_ext import (
         _KM_ITERS,
-        _kmeans_banded_prefix_sql,
+        _kmeans_prefix_sql,
         _lr_dots,
         _lr_sq,
     )
@@ -166,7 +181,31 @@ def _semdedup_ann_sql() -> str:
         "i -> a.q[i] * b.q[i])) AS DOUBLE)"
     )
     nrm = "sqrt(CAST(list_sum(list_transform({v}, x -> x * x)) AS DOUBLE))"
-    return f"""{_kmeans_banded_prefix_sql(k_sql)},
+    return f"""{_kmeans_prefix_sql(k_sql)},
+kk AS (SELECT ({k_sql}) AS k),
+pp AS (SELECT greatest(1, CAST(ceil(log2(k)) AS INT)) AS pl FROM kk),
+dims AS (SELECT unnest(generate_series(0, (SELECT max(len(q)) - 1 FROM q))) AS i),
+pls AS (SELECT unnest(generate_series(0, (SELECT {_SDA_BANDS} * pl - 1 FROM pp))) AS p),
+planes AS (
+  SELECT pls.p, dims.i,
+         CASE WHEN substr(md5(CAST(pls.p AS VARCHAR) || ':' || CAST(dims.i AS VARCHAR)), 1, 1)
+                   IN ('0','2','4','6','8','a','c','e')
+              THEN 1 ELSE -1 END AS h
+  FROM pls CROSS JOIN dims
+),
+vdim AS (
+  SELECT vec_id, i, q[i + 1] AS xi
+  FROM (SELECT vec_id, q, unnest(generate_series(0, len(q) - 1)) AS i FROM q)
+),
+vdot AS (
+  SELECT v.vec_id, pl2.p, sum(v.xi * pl2.h) AS s
+  FROM vdim v JOIN planes pl2 ON v.i = pl2.i GROUP BY v.vec_id, pl2.p
+),
+vsig AS (
+  SELECT vec_id, p // {pl} AS band,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << (p % {pl}) ELSE 0 END) AS BIGINT) AS sig
+  FROM vdot GROUP BY vec_id, p // {pl}
+),
 cquant AS (
   SELECT cid, list_transform(c, x -> CAST(round(x) AS BIGINT)) AS cqv FROM {last}
 ),

@@ -57,6 +57,22 @@ def ship_package(spark: SparkSession) -> None:
     sc._wq_pkg_shipped = True
 
 
+def _default_driver_mem(cap_gb: int = 32, floor_gb: int = 2) -> str:
+    """Heap default for the single-JVM local session: ~half of the
+    machine's available memory, capped / floored — a 32g heap on a
+    16 GB host gets OOM-killed instead of spilling (ADVICE r7).
+    MemAvailable is Linux-only; fall back to the cap elsewhere."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(floor_gb, min(cap_gb, avail_gb // 2))}g"
+    except OSError:
+        pass
+    return f"{cap_gb}g"
+
+
 def get_spark(
     app_name: str = "wq-engine",
     shuffle_partitions: int | None = None,
@@ -80,8 +96,15 @@ def get_spark(
     # local[32] runs driver + all executor threads in ONE JVM: 8g
     # starved the 32-way sorts into spill at replica scale (measured:
     # suffix_xdoc x10 86 s at 8g); 32g ≈ 1 GB/core, still conservative
-    # against a real executor's per-core budget.
-    confs.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+    # against a real executor's per-core budget. On smaller hosts /
+    # cgroup-limited containers a fixed 32g heap risks an OOM-kill
+    # instead of a spill (ADVICE r7), so the default is derived from
+    # the machine: ~half of available memory, capped at 32g, floored
+    # at 2g. SPARK_GRAFT_DRIVER_MEM always wins.
+    confs.setdefault(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+    )
     if extra_conf:
         confs.update(extra_conf)
     for k, v in confs.items():
