@@ -249,6 +249,17 @@ BUDGETS = {
     # + the prev-day side, which Spark's size estimate broadcasts at
     # sf0.01 (it would shuffle-join at scale — no hint forces it).
     "seasonal_naive_mae": (5, 2, 0),
+    # r8 curation batch: explode -> two chained hash aggs, no joins
+    "token_entropy": (1, 0, 1),
+    # distinct-gram explode + min-agg + skinny join back + per-doc agg
+    "ngram_novelty": (3, 1, 2),
+    # the minhash_lsh_pairs chain + jaccard verify joins + source
+    # rollup; AQE broadcasts the doc-side projections at small SF
+    "dup_source_matrix": (11, 5, 4),
+    # ONE window sort per series carries all FIR lags + rn + lead
+    "des_forecast_mae": (2, 0, 0),
+    # (series, digit) hash agg + per-series total window + final sort
+    "benford_digits": (3, 0, 0),
     # r6p: ONE conditional struct-max agg diffs both snapshots
     "snapshot_diff": (3, 0, 0),
     # per-(user,day) gather agg + journey count + global top-k rank

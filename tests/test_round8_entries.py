@@ -127,3 +127,69 @@ def test_banded_prefix_sql_still_matches_engine(spark):
     sql = _kmeans_banded_prefix_sql(str(k)) + "\nSELECT vec_id, bucket FROM av"
     want = dict(con.execute(sql).fetchall())
     assert got == want
+
+
+def test_des_kernel_composition_invariants():
+    """The composed S2 kernel must be the self-convolution of the S1
+    kernel: sum(w2) == sum(w1)^2 and w2[m] == sum_{j+k=m} w1[j]w1[k]
+    — the identity that makes the truncated double smoothing a real
+    second EWMA pass, not an arbitrary FIR."""
+    from wq_data_pipeline_spark.plans.queries_r8 import _DES_TAPS, _des_coeffs
+
+    w1, w2 = _des_coeffs()
+    assert len(w1) == _DES_TAPS and len(w2) == 2 * _DES_TAPS - 1
+    assert sum(w2) == sum(w1) ** 2  # exact dyadic arithmetic
+    for m in range(len(w2)):
+        conv = sum(
+            w1[j] * w1[m - j]
+            for j in range(len(w1))
+            if 0 <= m - j < len(w1)
+        )
+        assert w2[m] == conv, (m, w2[m], conv)
+
+
+def test_ngram_novelty_first_doc_semantics(spark):
+    """A gram's first corpus occurrence is charged to the LOWEST
+    doc_id; later docs repeating it lose novelty, the first keeps it
+    — pinned on a hand-built corpus where doc 3 repeats doc 1's
+    grams entirely and doc 2 is fresh."""
+    import wq_data_pipeline_spark.plans.queries_r8 as R8
+
+    base = "a b c d e f g h i j"  # 10 tokens -> 3 distinct 8-grams
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s0", len(base)),
+         (2, "p q r s t u v w x y", "en", "s1", 19),
+         (3, base, "en", "s2", len(base))],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = {
+            r["doc_id"]: r
+            for r in R8.q_ngram_novelty(spark, td).collect()
+        }
+    assert out[1]["n_grams"] == 3 and out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 1.0
+    assert out[3]["n_grams"] == 3 and out[3]["n_seen_earlier"] == 3
+    assert out[3]["novelty"] == 0.0
+
+
+def test_token_entropy_extremes(spark):
+    """Entropy 0 for a single repeated token; log2(n) for all-distinct
+    tokens (normalized entropy 1)."""
+    import tempfile
+
+    import wq_data_pipeline_spark.plans.queries_r8 as R8
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x", "en", "s0", 7),
+         (2, "a b c d", "en", "s1", 7)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = {r["doc_id"]: r for r in R8.q_token_entropy(spark, td).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["norm_entropy"] == 0.0
+    assert out[2]["entropy"] == 2.0 and out[2]["norm_entropy"] == 1.0

@@ -640,6 +640,7 @@ from wq_data_pipeline_spark.plans.queries_r6m import ORACLES22, QUERIES22  # noq
 from wq_data_pipeline_spark.plans.queries_r6n import ORACLES23, QUERIES23  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6o import ORACLES24, QUERIES24  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6p import ORACLES25, QUERIES25  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r8 import ORACLES26, QUERIES26  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -733,6 +734,8 @@ QUERIES.update(QUERIES24)
 ORACLES.update(ORACLES24)
 QUERIES.update(QUERIES25)
 ORACLES.update(ORACLES25)
+QUERIES.update(QUERIES26)
+ORACLES.update(ORACLES26)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
