@@ -77,10 +77,21 @@ def test_query_within_budget(spark, sf_dir, name, budget_s):
     import __spark_entry__ as entry
 
     fn = entry.queries()[name]
-    t0 = time.perf_counter()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    elapsed = time.perf_counter() - t0
+    # One retry on breach: full-suite runs hit the documented ±35%+
+    # machine-drift band (r6: 28.9 s charged to a ~1 s query; r7/r8:
+    # three sub-second entries "failed" in-suite and passed alone on
+    # an idle machine). A genuinely quadratic plan — the regression
+    # this gate exists for — blows the budget BOTH times; a drift
+    # stall doesn't repeat back-to-back.
+    elapsed = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - t0
+        if elapsed <= budget_s:
+            return
     assert elapsed <= budget_s, (
-        f"{name} took {elapsed:.1f}s at sf0.01 (budget {budget_s:.1f}s) — "
-        "quadratic plan? fix before it reaches the driver bench"
+        f"{name} took {elapsed:.1f}s at sf0.01 twice in a row (budget "
+        f"{budget_s:.1f}s) — quadratic plan? fix before it reaches the "
+        "driver bench"
     )
