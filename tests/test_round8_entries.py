@@ -193,3 +193,61 @@ def test_token_entropy_extremes(spark):
         out = {r["doc_id"]: r for r in R8.q_token_entropy(spark, td).collect()}
     assert out[1]["entropy"] == 0.0 and out[1]["norm_entropy"] == 0.0
     assert out[2]["entropy"] == 2.0 and out[2]["norm_entropy"] == 1.0
+
+
+def test_lcp_capped_randomized_against_brute_force(spark):
+    """Property check over 300 seeded random cases on a 2-letter
+    alphabet (forces long shared prefixes): the greedy-binary-descent
+    LCP columns match a Python brute force exactly at cap=63 — and
+    the all-ones cap guard rejects the decomposition-inexact cap=5
+    (ADVICE r7)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wq_data_pipeline_spark.operators.suffix import (
+        _lcp_capped,
+        _lcp_capped2,
+    )
+
+    rng = random.Random(8)
+    rows = []
+    for i in range(300):
+        ta = "".join(rng.choice("ab") for _ in range(rng.randint(2, 120)))
+        tb = "".join(rng.choice("ab") for _ in range(rng.randint(2, 120)))
+        a = rng.randrange(len(ta))
+        b = rng.randrange(len(tb))
+        # same-text case needs distinct positions (the documented
+        # different-suffix-length precondition of _lcp_capped)
+        p, q = sorted(rng.sample(range(len(ta)), 2))
+        rows.append((i, ta, tb, a, b, p, q))
+
+    def brute(x: str, y: str, cap: int = 63) -> int:
+        m = 0
+        for cx, cy in zip(x[:cap], y[:cap]):
+            if cx != cy:
+                break
+            m += 1
+        return m
+
+    df = spark.createDataFrame(
+        rows, "i INT, ta STRING, tb STRING, a INT, b INT, p INT, q INT"
+    )
+    got = {
+        r["i"]: (r["x"], r["s"])
+        for r in df.select(
+            "i",
+            _lcp_capped2(
+                F.col("ta"), F.col("a"), F.col("tb"), F.col("b"), 63
+            ).alias("x"),
+            _lcp_capped(F.col("p"), F.col("q"), F.col("ta"), 63).alias("s"),
+        ).collect()
+    }
+    for i, ta, tb, a, b, p, q in rows:
+        assert got[i][0] == brute(ta[a:], tb[b:]), (i, ta[a:], tb[b:])
+        assert got[i][1] == brute(ta[p:], ta[q:]), (i, ta[p:], ta[q:])
+
+    with pytest.raises(ValueError, match="all-ones"):
+        _lcp_capped(F.col("p"), F.col("q"), F.col("ta"), 5)
+    with pytest.raises(ValueError, match="all-ones"):
+        _lcp_capped2(F.col("ta"), F.col("a"), F.col("tb"), F.col("b"), 5)
