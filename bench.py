@@ -16,11 +16,16 @@ number is the MEDIAN of three FULL construct+execute runs — the
 DataFrame is REBUILT from scratch each run, so driver-side rounds,
 localCheckpoint materializations, and plan analysis are counted every
 time (the r7 median-of-{construct+exec, exec, exec} reduced to the
-warm exec tail and hid a 3-4x construction regression). The median
-still rejects a single machine stall; the total is the sum of the
-medians. Old references from a completed run are dropped and gc'd
-before the next one so Spark's ContextCleaner can free its checkpoint
-blocks instead of letting them pressure later queries' storage memory.
+warm exec tail and hid a 3-4x construction regression). The three
+runs are collected PASS-MAJOR (three sweeps over the whole catalog,
+middle sweep in reverse order), not back-to-back per query: the r8
+cross-run comparison caught a multi-minute machine stall sitting on
+an alphabetically contiguous window of entries, and back-to-back runs
+would have fed all three samples of those queries into the same stall
+— interleaving makes the median actually reject it. Old references
+from a completed run are dropped and gc'd before the next one so
+Spark's ContextCleaner can free its checkpoint blocks instead of
+letting them pressure later queries' storage memory.
 
 The full per-query JSON is ALSO written to $SPARK_GRAFT_BENCH_OUT
 (default BENCH_LOCAL.json next to this file): the driver's recorded
@@ -72,19 +77,20 @@ def main() -> None:
         .save()
     )
 
-    timings: dict[str, float] = {}
-    for name in sorted(queries):
-        runs: list[float] = []
-        for _ in range(3):
+    order = sorted(queries)
+    runs: dict[str, list[float]] = {name: [] for name in order}
+    for sweep in range(3):
+        seq = list(reversed(order)) if sweep == 1 else order
+        for name in seq:
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            runs[name].append(time.perf_counter() - t0)
             # drop the run's plan/checkpoint references before the
             # next rebuild so ContextCleaner can reclaim its blocks
             del df
             gc.collect()
-        timings[name] = round(sorted(runs)[1], 3)
+    timings = {name: round(sorted(rs)[1], 3) for name, rs in runs.items()}
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -93,7 +99,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "protocol": "median-of-3 full construct+execute runs",
+        "protocol": "median-of-3 full construct+execute runs, pass-major interleaved",
     }
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT", os.path.join(here, "BENCH_LOCAL.json")
