@@ -103,10 +103,14 @@ def q_tpch_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (adapted): each supplier nation's share of PROMO-part
     revenue sold to ASIA-region customers, per ship year.
 
-    The share divides two already-rounded revenue sums, so the window
-    division is bit-deterministic on both sides. part is filtered
-    then broadcast; the per-(year, nation) agg is tiny, so the share
-    window costs nothing."""
+    Revenue accumulates as EXACT integer cents (per-row product +
+    one round is bit-identical across engines; the BIGINT sum is
+    order-free) — the r8 sf0.1 insurance sweep caught the previous
+    round-after-double-sum form landing a group on opposite sides of
+    a cent boundary (5701761.14 vs .15). The share divides two exact
+    integers, so the window division is bit-deterministic too. part
+    is filtered then broadcast; the per-(year, nation) agg is tiny,
+    so the share window costs nothing."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
         "l_shipdate",
@@ -139,21 +143,27 @@ def q_tpch_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .groupBy("supp_nation", F.year("l_shipdate").cast("long").alias("ship_year"))
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(
+            F.sum(F.round(_rev() * 100).cast("long")).alias("_cents")
+        )
     )
     w = Window.partitionBy("ship_year")
     return rev.select(
         "supp_nation",
         "ship_year",
-        "revenue",
-        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("mkt_share"),
+        (F.col("_cents") / F.lit(100.0)).alias("revenue"),
+        F.round(
+            F.col("_cents").cast("double")
+            / F.sum("_cents").over(w).cast("double"),
+            6,
+        ).alias("mkt_share"),
     )
 
 
 SQL_TPCH_Q8_SHARE = """
 WITH rev AS (
-  SELECT ns.n_name AS supp_nation, year(l_shipdate) AS ship_year,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  SELECT ns.n_name AS supp_nation, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   JOIN orders ON l_orderkey = o_orderkey
@@ -164,8 +174,9 @@ WITH rev AS (
   JOIN nation ns ON s_nationkey = ns.n_nationkey
   WHERE p_type = 'PROMO' AND r_name = 'ASIA'
   GROUP BY 1, 2)
-SELECT supp_nation, ship_year, revenue,
-       round(revenue / sum(revenue) OVER (PARTITION BY ship_year), 6) AS mkt_share
+SELECT supp_nation, ship_year, cents / 100.0 AS revenue,
+       round(CAST(cents AS DOUBLE)
+             / CAST(sum(cents) OVER (PARTITION BY ship_year) AS DOUBLE), 6) AS mkt_share
 FROM rev"""
 
 
