@@ -260,6 +260,10 @@ BUDGETS = {
     "des_forecast_mae": (2, 0, 0),
     # (series, digit) hash agg + per-series total window + final sort
     "benford_digits": (3, 0, 0),
+    # daily pre-agg (computed for both self-join sides) + pair agg +
+    # tie agg + the tiny per-series join + final sort; AQE broadcasts
+    # the 5-row sides at small SF
+    "theil_sen_trend": (7, 2, 0),
     # r6p: ONE conditional struct-max agg diffs both snapshots
     "snapshot_diff": (3, 0, 0),
     # per-(user,day) gather agg + journey count + global top-k rank

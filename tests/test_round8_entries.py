@@ -251,3 +251,34 @@ def test_lcp_capped_randomized_against_brute_force(spark):
         _lcp_capped(F.col("p"), F.col("q"), F.col("ta"), 5)
     with pytest.raises(ValueError, match="all-ones"):
         _lcp_capped2(F.col("ta"), F.col("a"), F.col("tb"), F.col("b"), 5)
+
+
+def test_theil_sen_trend_hand_computed(spark):
+    """Sen slope and Mann–Kendall S/z on a hand-computed 4-day
+    series: days [0,1,2,3], daily centi-sums [10,20,15,40] ->
+    slopes {10, 2.5, 10, -5, 10, 25} (median 10), S = 4, no ties ->
+    var = 4*3*13/18, z = 3/sqrt(var)."""
+    import datetime as dt
+    import math
+    import tempfile
+
+    import wq_data_pipeline_spark.plans.queries_r8 as R8
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + d, 12, 0, 0), 1, "a", v / 100.0)
+        for i, (d, v) in enumerate([(0, 10), (1, 20), (2, 15), (3, 40)])
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        out = R8.q_theil_sen_trend(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 4 and r["n_pairs"] == 6
+    assert r["sen_slope_c"] == 10.0
+    assert r["mk_s"] == 4
+    var_s = 4 * 3 * (2 * 4 + 5) / 18.0
+    assert r["mk_z"] == round(3.0 / math.sqrt(var_s), 6)

@@ -753,9 +753,10 @@ ORACLES.update(ORACLES26)
 # decoder branch is md5-byte arithmetic, SQL-replayable). All tail
 # entries remain covered by the local sf0.01 pytest oracle mirror
 # (test_oracle.py).
-# r9 window plan: head with the 5 never-checked batch-26 entries
+# r9 window plan: head with the 6 never-checked batch-26 entries
 # (token_entropy, ngram_novelty, dup_source_matrix, des_forecast_mae,
-# benford_digits), then return to the <=2-round staleness rotation —
+# benford_digits, theil_sen_trend), then return to the <=2-round
+# staleness rotation —
 # the QC core (a*/w*/p*/qc_*) and the r5-green veterans will be the
 # oldest rows after r8 clears the backlog.
 _DRIVER_WINDOW = [
