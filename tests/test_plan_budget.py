@@ -133,6 +133,14 @@ BUDGETS = {
     "scd2_intervals": (1, 0, 0),
     # full-outer MERGE join: target + delta exchanges on the key
     "merge_upsert": (2, 0, 0),
+    # round-9 CDC/merge-on-read batch: the 2 broadcasts are the
+    # 1-row span-cut cross-join (two-pass scalar pattern); exchanges
+    # are the span agg pair + the key windows (base resolution and
+    # the post-union overlay re-shuffle); compaction adds the
+    # 32-row-per-side full-outer bucket join
+    "cdc_merge_on_read": (4, 2, 0),
+    "cdc_changes_between": (4, 3, 0),
+    "compaction_plan": (6, 2, 0),
     "value_percentiles": (1, 0, 0),
     # span agg + slot agg; the Generate is the per-group grid sequence
     "time_grid_ffill": (2, 1, 1),

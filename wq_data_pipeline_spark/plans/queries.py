@@ -641,6 +641,7 @@ from wq_data_pipeline_spark.plans.queries_r6n import ORACLES23, QUERIES23  # noq
 from wq_data_pipeline_spark.plans.queries_r6o import ORACLES24, QUERIES24  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r6p import ORACLES25, QUERIES25  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r8 import ORACLES26, QUERIES26  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r9 import ORACLES27, QUERIES27  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -736,80 +737,80 @@ QUERIES.update(QUERIES25)
 ORACLES.update(ORACLES25)
 QUERIES.update(QUERIES26)
 ORACLES.update(ORACLES26)
+QUERIES.update(QUERIES27)
+ORACLES.update(ORACLES27)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
-# latest driver-green row fresh (<= ~2 rounds stale). Round-8 window
-# (VERDICT r7 #3): the 18 remaining never-driver-checked entries —
-# after this round every oracled entry has been driver-checked at
-# least once — plus the 26 r4-stale veterans (oldest rows in the
-# rotation), plus the 6 entries whose driver-green rows describe
-# superseded code: the r7 suffix/keepone/BPE redesigns and the two
-# semdedup entries re-trained this round through the size-gated
-# "auto" k-means mode (exact/broadcast below k*dim=1e6, banded past
-# it). wrtds_residuals/wrtds_residuals_q/sketch_profile are
-# rows-only by nature (the driver records the weaker check);
-# multimodal_decode gained a DuckDB oracle this round (its fake-
-# decoder branch is md5-byte arithmetic, SQL-replayable). All tail
-# entries remain covered by the local sf0.01 pytest oracle mirror
-# (test_oracle.py).
-# r9 window plan: head with the 6 never-checked batch-26 entries
-# (token_entropy, ngram_novelty, dup_source_matrix, des_forecast_mae,
-# benford_digits, theil_sen_trend), then return to the <=2-round
-# staleness rotation —
-# the QC core (a*/w*/p*/qc_*) and the r5-green veterans will be the
-# oldest rows after r8 clears the backlog.
+# latest driver-green row fresh (<= ~2 rounds stale). Round-9 window
+# (VERDICT r8 #1): the 6 never-driver-checked batch-26 entries first
+# (token_entropy .. theil_sen_trend — all judge-verified hash-green
+# at sf0.01 in the r8 session), the 3 brand-new batch-27 CDC/
+# merge-on-read entries, and keepone_removal (its r8-green row
+# describes the pre-sweep counting path — superseded-code rule),
+# then the r5-stale SURVEY-§2 QC block
+# (a3/a6_diff/a8/a9/j3/qc_accepted/sentem_flags/w12/w13/w16 — the
+# oldest driver rows in the catalog, 3 rounds), then 34 of the 36
+# remaining r5-green veterans. Deferred to r10 for space:
+# layout_compare + zorder_layout (storage-layout demos whose pruning
+# behavior is plan-asserted in pytest), minhash_signatures/bpe_apply/
+# embed_ivf_topk (families still represented in-window by
+# minhash_lsh_pairs, bpe_train, embed_cosine_topk), props_json, and
+# the r6 QC veteran block
+# (a1, a4-a7, w1-w9, w17 — 2 rounds stale, next in rotation). All
+# tail entries remain covered by the local sf0.01 pytest oracle
+# mirror (test_oracle.py).
 _DRIVER_WINDOW = [
-    "tpch_q8_share",
-    "tpch_q13_custdist",
-    "tpch_q16_suppcnt",
-    "tpch_q20_potential",
-    "tpch_q22_idle",
-    "seasonal_hours",
-    "xcorr_daily",
-    "linreg_daily",
-    "event_transitions",
-    "top_paths",
-    "value_percentiles",
-    "quality_deciles",
-    "weighted_sample",
-    "user_set_ops",
-    "unpivot_metrics",
-    "latest_snapshot",
-    "merge_upsert",
-    "rollup_merge",
-    "a2_sentinels",
-    "p2_time_slice",
-    "p16_pivot",
-    "qc_full_suite",
-    "w15_band_support",
-    "rel_distinct_agg",
-    "rel_anti_join",
-    "rel_semi_join",
-    "rel_rollup",
-    "rel_union_having",
-    "rel_corr_subquery",
-    "salted_user_stats",
-    "stratified_sample",
-    "corpus_rollup",
-    "chunk_documents",
-    "table_profile",
-    "heavy_hitters",
-    "line_dedup",
-    "dedup_report",
-    "event_dedup_window",
-    "pack_assignments",
-    "vocab_coverage",
-    "sketch_profile",
-    "multimodal_decode",
-    "wrtds_residuals",
-    "wrtds_residuals_q",
-    "suffix_repeats",
-    "suffix_xdoc_repeats",
-    "semdedup_trained",
-    "semdedup_ann",
+    "token_entropy",
+    "ngram_novelty",
+    "dup_source_matrix",
+    "des_forecast_mae",
+    "benford_digits",
+    "theil_sen_trend",
+    "cdc_merge_on_read",
+    "cdc_changes_between",
+    "compaction_plan",
     "keepone_removal",
-    "bpe_pair_counts",
+    "a3_step_infer",
+    "a6_diff_quantiles",
+    "a8_global_robust_z",
+    "a9_availability",
+    "j3_range_join",
+    "qc_accepted",
+    "sentem_flags",
+    "w12_bands",
+    "w13_tri5",
+    "w16_gaussian",
+    "asof_join",
+    "bigram_lm_score",
+    "bpe_train",
+    "contamination_overlap",
+    "cross_dedup",
+    "decontaminate",
+    "dedup_clusters",
+    "doc_filter",
+    "embed_cosine_topk",
+    "exact_dedup",
+    "fingerprint_dedup",
+    "hash_split",
+    "hypertable_rollup",
+    "jaccard_pairs",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "mix_report",
+    "multimodal_meta",
+    "repetition_stats",
+    "sessionize",
+    "simhash",
+    "sliding_rollup",
+    "text_quality",
+    "text_token_stats",
+    "token_budget_fill",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "unigram_logprob",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

@@ -1,0 +1,379 @@
+"""Catalog batch 27 (round 9): incremental / merge-on-read CDC
+surface over the events change stream — the depth item VERDICT r8 #7
+asked for next to the existing snapshot pair (``latest_snapshot`` =
+copy-on-write snapshot read, ``merge_upsert`` = MERGE INTO,
+``scd2_intervals`` = history build, ``event_dedup_window`` =
+idempotent ingest). These three are the *merge-on-read* half of the
+lakehouse story (Hudi MoR / Delta change-data-feed / Iceberg v2
+position-delete reads, expressed engine-neutrally):
+
+- ``cdc_merge_on_read``  — read-time resolution of base snapshot +
+  change log (upserts AND deletes), the MoR query path;
+- ``cdc_changes_between`` — net change set between two table
+  versions (the ``table_changes(lo, hi)`` incremental read);
+- ``compaction_plan``    — the planner that decides which file
+  groups the compactor should rewrite, from log/base amplification.
+
+CDC framing, deterministic from the driver's events table: every
+event row is a change record on key (user_id, event_type) with
+sequence = (ts, event_id); rows whose event_id % 5 == 0 are DELETE
+markers, the rest upserts. "Table versions" are µs cut points at
+fixed fractions of the observed ts span — exact BIGINT arithmetic,
+identical in both dialects.
+
+Exactness: values pass through per-row (no distributed double
+accumulation); the one ratio (compaction amplification) divides two
+exact BIGINT counts, rounded 6dp in both dialects. Timestamps emit
+as epoch-µs BIGINT per repo convention.
+
+Scale: all three are one-shuffle-per-key-window / hash-agg shapes.
+The span cut is a 1-row global agg broadcast back (the two-pass
+scalar pattern from SURVEY §4.1); raw rows shuffle once on the key;
+nothing quadratic, nothing collected. At 100 TB the key window is
+the same shuffle a MERGE INTO or CDF read performs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from wq_data_pipeline_spark.sources.testdata import load_table
+
+# version cut points, in tenths of the observed [min_ts, max_ts] µs
+# span: the base snapshot is "version as of 7/10"; the incremental
+# read consumes (4/10, 7/10]
+_CUT_NUM = 7
+_LO_NUM = 4
+_DEN = 10
+
+
+def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as CDC records: key (user_id, event_type), sequence
+    (ts_us, event_id), op ('D' delete marker / 'U' upsert), plus the
+    span cut points broadcast onto every row (1-row agg cross-join —
+    stays one lazy plan, no driver round-trip)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    # integer DIV, not float "/ then cast": DuckDB CASTs doubles to
+    # BIGINT by ROUNDING while Spark truncates — at µs resolution the
+    # two cuts could land 1 µs apart (oracle-exactness convention)
+    span = ev.agg(
+        F.min("ts_us").alias("_t0"), F.max("ts_us").alias("_t1")
+    ).select(
+        F.expr(
+            f"_t0 + (_t1 - _t0) * {_CUT_NUM} DIV {_DEN}"
+        ).alias("_cut_us"),
+        F.expr(
+            f"_t0 + (_t1 - _t0) * {_LO_NUM} DIV {_DEN}"
+        ).alias("_lo_us"),
+    )
+    return ev.join(F.broadcast(span))
+
+
+_KEY = ["user_id", "event_type"]
+
+
+def _latest(w_cols: list[str]) -> Window:
+    return Window.partitionBy(*w_cols).orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+
+
+def q_cdc_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read CDC view: the base snapshot (latest record per
+    key as of the 7/10 cut — what a compactor would have written)
+    overlaid at READ time with the change log (every record after
+    the cut, upserts and delete markers). For each key the winning
+    record is the latest by (ts, event_id) across base+log; a
+    winning delete marker removes the key from the view. Emits the
+    resolved row plus the read-amplification facts a MoR table
+    exposes per key: how many log records the read had to merge and
+    whether the winner came from the log.
+
+    Scale: base and log are filters of ONE scan; the overlay is a
+    single row_number window on the key — the same one shuffle the
+    copy-on-write ``latest_snapshot`` pays, plus zero extra joins.
+    This is exactly why MoR reads stay cheap when the log is thin
+    and why ``compaction_plan`` watches the ratio."""
+    r = _records(spark, sf_dir)
+    base = (
+        r.filter(F.col("ts_us") <= F.col("_cut_us"))
+        .withColumn("_rn", F.row_number().over(_latest(_KEY)))
+        .filter(F.col("_rn") == 1)
+        # the base file is a resolved snapshot: delete markers that
+        # "won" at compaction time simply left no row behind
+        .filter(F.col("op") == "U")
+        .select(*_KEY, "ts_us", "event_id", "value", "op")
+        .withColumn("from_log", F.lit(False))
+    )
+    log = (
+        r.filter(F.col("ts_us") > F.col("_cut_us"))
+        .select(*_KEY, "ts_us", "event_id", "value", "op")
+        .withColumn("from_log", F.lit(True))
+    )
+    merged = base.unionByName(log)
+    kw = Window.partitionBy(*_KEY)
+    return (
+        merged.withColumn("_rn", F.row_number().over(_latest(_KEY)))
+        .withColumn(
+            "n_log_records", F.sum(F.col("from_log").cast("long")).over(kw)
+        )
+        .filter((F.col("_rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            "event_type",
+            "ts_us",
+            "value",
+            "n_log_records",
+            "from_log",
+        )
+    )
+
+
+SQL_CDC_MERGE_ON_READ = f"""
+WITH r AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+         CASE WHEN event_id % 5 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+span AS (
+  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) * {_CUT_NUM} // {_DEN} AS cut_us
+  FROM r
+),
+base AS (
+  SELECT user_id, event_type, ts_us, event_id, value, op, FALSE AS from_log
+  FROM (
+    SELECT r.*, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM r, span WHERE ts_us <= cut_us
+  ) WHERE rn = 1 AND op = 'U'
+),
+log AS (
+  SELECT user_id, event_type, ts_us, event_id, value, op, TRUE AS from_log
+  FROM r, span WHERE ts_us > cut_us
+),
+merged AS (SELECT * FROM base UNION ALL SELECT * FROM log)
+SELECT user_id, event_type, ts_us, value, n_log_records, from_log FROM (
+  SELECT user_id, event_type, ts_us, value, op, from_log,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts_us DESC, event_id DESC) AS rn,
+         CAST(sum(CASE WHEN from_log THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, event_type) AS BIGINT)
+           AS n_log_records
+  FROM merged
+) WHERE rn = 1 AND op = 'U'"""
+
+
+def q_cdc_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read between two table versions — the
+    ``table_changes(lo, hi)`` / CDF consumer pattern: for every key
+    with activity in (lo, hi] (µs cuts at 4/10 and 7/10 of the ts
+    span), emit its NET change: the pre-image (resolved state as of
+    lo), the post-image (resolved state as of hi), and the change
+    type a downstream incremental materialization would apply
+    (insert / update / delete; keys whose net effect is a no-op —
+    absent before AND deleted within the window — drop out). This is
+    how a 100-TB pipeline avoids full-table reprocessing: consumers
+    see |changed keys| rows, not |table| rows.
+
+    Scale: two resolved states ride the SAME key-window shuffle on
+    filtered subsets of one scan; the pre/post stitch is a per-key
+    equi-join of two already-aggregated (one row per key) sides."""
+    r = _records(spark, sf_dir)
+    pre = (
+        r.filter(F.col("ts_us") <= F.col("_lo_us"))
+        .withColumn("_rn", F.row_number().over(_latest(_KEY)))
+        .filter((F.col("_rn") == 1) & (F.col("op") == "U"))
+        .select(*_KEY, F.col("value").alias("pre_value"))
+    )
+    win = r.filter(
+        (F.col("ts_us") > F.col("_lo_us")) & (F.col("ts_us") <= F.col("_cut_us"))
+    )
+    post = (
+        win.withColumn("_rn", F.row_number().over(_latest(_KEY)))
+        .withColumn(
+            "n_changes",
+            F.count(F.lit(1)).over(Window.partitionBy(*_KEY)),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            *_KEY,
+            F.col("ts_us").alias("post_ts_us"),
+            F.col("value").alias("post_raw"),
+            "op",
+            "n_changes",
+        )
+    )
+    j = post.join(pre, _KEY, "left")
+    deleted = F.col("op") == "D"
+    change_type = (
+        F.when(deleted & F.col("pre_value").isNotNull(), F.lit("delete"))
+        .when(~deleted & F.col("pre_value").isNotNull(), F.lit("update"))
+        .when(~deleted, F.lit("insert"))
+    )  # pre-absent delete -> NULL -> filtered: net no-op
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            "change_type",
+            "pre_value",
+            F.when(~deleted, F.col("post_raw")).alias("post_value"),
+            "post_ts_us",
+            "n_changes",
+        )
+    )
+
+
+SQL_CDC_CHANGES_BETWEEN = f"""
+WITH r AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+         CASE WHEN event_id % 5 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+span AS (
+  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) * {_LO_NUM} // {_DEN} AS lo_us,
+         min(ts_us) + (max(ts_us) - min(ts_us)) * {_CUT_NUM} // {_DEN} AS cut_us
+  FROM r
+),
+pre AS (
+  SELECT user_id, event_type, value AS pre_value FROM (
+    SELECT r.*, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM r, span WHERE ts_us <= lo_us
+  ) WHERE rn = 1 AND op = 'U'
+),
+post AS (
+  SELECT user_id, event_type, ts_us AS post_ts_us, value AS post_raw, op,
+         n_changes
+  FROM (
+    SELECT r.*, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn,
+           CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
+             AS n_changes
+    FROM r, span WHERE ts_us > lo_us AND ts_us <= cut_us
+  ) WHERE rn = 1
+)
+SELECT user_id, event_type, change_type, pre_value,
+       CASE WHEN change_type <> 'delete' THEN post_raw END AS post_value,
+       post_ts_us, n_changes
+FROM (
+  SELECT post.user_id, post.event_type, post_ts_us, post_raw, n_changes,
+         pre_value,
+         CASE WHEN op = 'D' AND pre_value IS NOT NULL THEN 'delete'
+              WHEN op <> 'D' AND pre_value IS NOT NULL THEN 'update'
+              WHEN op <> 'D' THEN 'insert' END AS change_type
+  FROM post LEFT JOIN pre USING (user_id, event_type)
+) WHERE change_type IS NOT NULL"""
+
+
+_N_BUCKETS = 32
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read compaction planner: file groups (keys hash-
+    bucketed by user_id % 32, standing in for the table's physical
+    bucketing — see sources/bucketed.py for the real layout) are
+    ranked by read amplification = log records per resolved base
+    row. Buckets where the log has outgrown the base (ratio >= 1)
+    are flagged for rewrite — the exact scheduling input Hudi's
+    compactor and Iceberg's rewrite_data_files act on; delete-marker
+    counts ride along because a delete-heavy log shrinks the rewrite
+    output. Pure hash aggregation: one shuffle for the per-key base
+    resolution (shared shape with q_cdc_merge_on_read), one map-side
+    combinable rollup to 32 rows."""
+    r = _records(spark, sf_dir)
+    base_rows = (
+        r.filter(F.col("ts_us") <= F.col("_cut_us"))
+        .withColumn("_rn", F.row_number().over(_latest(_KEY)))
+        .filter((F.col("_rn") == 1) & (F.col("op") == "U"))
+        .groupBy((F.col("user_id") % _N_BUCKETS).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("base_rows"))
+    )
+    log_rows = (
+        r.filter(F.col("ts_us") > F.col("_cut_us"))
+        .groupBy((F.col("user_id") % _N_BUCKETS).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("log_rows"),
+            F.sum((F.col("op") == "D").cast("long")).alias("delete_rows"),
+        )
+    )
+    j = base_rows.join(log_rows, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("base_rows", F.lit(0)).alias("base_rows"),
+        F.coalesce("log_rows", F.lit(0)).alias("log_rows"),
+        F.coalesce("delete_rows", F.lit(0)).alias("delete_rows"),
+    )
+    amp = F.round(
+        F.col("log_rows").cast("double")
+        / F.greatest(F.col("base_rows"), F.lit(1)).cast("double"),
+        6,
+    )
+    return j.select(
+        "bucket",
+        "base_rows",
+        "log_rows",
+        "delete_rows",
+        amp.alias("amplification"),
+        (F.col("log_rows") >= F.col("base_rows")).alias("needs_compaction"),
+    ).orderBy("bucket")
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH r AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN event_id % 5 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+span AS (
+  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) * {_CUT_NUM} // {_DEN} AS cut_us
+  FROM r
+),
+base AS (
+  SELECT user_id % {_N_BUCKETS} AS bucket, count(*) AS base_rows FROM (
+    SELECT r.*, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM r, span WHERE ts_us <= cut_us
+  ) WHERE rn = 1 AND op = 'U' GROUP BY 1
+),
+log AS (
+  SELECT user_id % {_N_BUCKETS} AS bucket,
+         count(*) AS log_rows,
+         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+           AS delete_rows
+  FROM r, span WHERE ts_us > cut_us GROUP BY 1
+)
+SELECT bucket,
+       CAST(coalesce(base_rows, 0) AS BIGINT) AS base_rows,
+       CAST(coalesce(log_rows, 0) AS BIGINT) AS log_rows,
+       CAST(coalesce(delete_rows, 0) AS BIGINT) AS delete_rows,
+       round(CAST(coalesce(log_rows, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(base_rows, 0), 1) AS DOUBLE), 6)
+         AS amplification,
+       coalesce(log_rows, 0) >= coalesce(base_rows, 0) AS needs_compaction
+FROM base FULL OUTER JOIN log USING (bucket)
+ORDER BY bucket"""
+
+
+QUERIES27: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_merge_on_read": q_cdc_merge_on_read,
+    "cdc_changes_between": q_cdc_changes_between,
+    "compaction_plan": q_compaction_plan,
+}
+
+ORACLES27: dict[str, str] = {
+    "cdc_merge_on_read": SQL_CDC_MERGE_ON_READ,
+    "cdc_changes_between": SQL_CDC_CHANGES_BETWEEN,
+    "compaction_plan": SQL_COMPACTION_PLAN,
+}
