@@ -8,6 +8,7 @@ them. The protected form must never erase a keeper character."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from wq_data_pipeline_spark.plans.queries_r6o import (
     _KP_L,
@@ -83,3 +84,51 @@ def test_report_consistency(spark):
     # originals hold the keepers; copies hold the duplicates
     assert rows[1]["keep_occ"] > 0
     assert rows[2]["dup_occ"] > 0 and rows[2]["chars_removed"] > 0
+
+
+def test_sweep_counts_match_per_char_form(spark, frames):
+    """The r9 interval-sweep counter (production path in
+    keepone_removal_report) must count EXACTLY the chars the per-char
+    binned-join form removes — per document, on the merged-island
+    scenario."""
+    from wq_data_pipeline_spark.plans.queries_r6o import (
+        keepone_marked,
+        keepone_removed_counts,
+    )
+
+    _, removed = frames
+    exact: dict[int, int] = {}
+    for d, _x in removed:
+        exact[d] = exact.get(d, 0) + 1
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    swept = {
+        r["doc_id"]: r["chars_removed"]
+        for r in keepone_removed_counts(keepone_marked(docs, _KP_L), _KP_L).collect()
+    }
+    assert swept == exact
+
+
+def test_sweep_parity_on_testdata(spark):
+    """Sweep-vs-per-char parity on real data (sf0.001 documents):
+    the strongest form of the unchanged-oracle acceptance bar."""
+    from wq_data_pipeline_spark.plans.queries_r6o import (
+        keepone_marked,
+        keepone_marks_and_removed,
+        keepone_removed_counts,
+    )
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    _, removed = keepone_marks_and_removed(docs, _KP_L)
+    exact = {
+        r["doc_id"]: r["c"]
+        for r in removed.groupBy("doc_id").agg(F.count("*").alias("c")).collect()
+    }
+    swept = {
+        r["doc_id"]: r["chars_removed"]
+        for r in keepone_removed_counts(keepone_marked(docs, _KP_L), _KP_L).collect()
+    }
+    assert swept == exact
+    assert exact, "fixture must contain duplicated grams"

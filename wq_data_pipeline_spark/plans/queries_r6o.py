@@ -21,13 +21,19 @@ Construction (all equi-joins and hash aggregates):
   3. non-keeper occurrences mark [pos, pos+L) for removal, keeper
      occurrences mark [pos, pos+L) as protected;
   4. a character is removed iff covered by some removal span AND NOT
-     covered by any protection span — coverage resolved with the
-     binned interval join (span -> <= 2 L-bins, char -> 1 bin), the
-     same no-broadcast shape as binned_range_join.
+     covered by any protection span — COUNTED (the report needs
+     counts, not char rows) by an endpoint line sweep per document
+     (keepone_removed_counts, r9): cumulative +1/−1 coverage over
+     span boundaries, segment lengths where rm > 0 and kp = 0. The
+     exact per-char form (binned interval join: span -> <= 2 L-bins,
+     char -> 1 bin) survives in keepone_marks_and_removed for the
+     invariant tests and the sweep-parity pin.
 
 Scale: gram grouping is explode + hash agg (dup_spans' measured
-shape); coverage is two binned equi-joins with distinct-semantics —
-nothing quadratic, nothing broadcast-dependent.
+shape); the sweep is 4 event rows per duplicated occurrence + one
+per-doc window sort — span-density-bound, so documents without
+duplicates cost nothing past the gram scan (the replaced char-join
+form paid one join probe per corpus character regardless).
 
 The oracle mirrors every step in SQL; the keep-one guarantee itself
 is pinned by tests/test_keepone.py on the exact merged-island
@@ -38,7 +44,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from wq_data_pipeline_spark.sources.testdata import load_table
 
@@ -48,19 +54,14 @@ _KP_L = 20
 _KP_POSBITS = 1 << 24
 
 
-def keepone_marks_and_removed(
-    docs: DataFrame, L: int = _KP_L
-) -> tuple[DataFrame, DataFrame]:
-    """Internal pieces of the keeper-protected removal, exposed for
-    the keep-one invariant test: (marked, removed) where marked =
-    (doc_id, s, is_keeper) per duplicated-gram occurrence and
-    removed = (doc_id, x) per erased character."""
+def _positions(docs: DataFrame) -> DataFrame:
+    """One row per character offset: (doc_id, n, x, text)."""
     d = docs.select(
         F.col("doc_id"), F.col("text"), F.length("text").alias("n")
     )
     # guarded: sequence(0, -1) on an empty text would infer step -1
     # and emit phantom positions [0, -1] (operators/text.py pattern)
-    pos = d.select(
+    return d.select(
         "doc_id",
         "n",
         F.explode(
@@ -70,6 +71,13 @@ def keepone_marks_and_removed(
         ).alias("x"),
         "text",
     ).withColumn("x", F.col("x").cast("long"))
+
+
+def keepone_marked(docs: DataFrame, L: int = _KP_L) -> DataFrame:
+    """(doc_id, s, is_keeper) per duplicated-gram occurrence: every
+    L-gram occurring >= 2 times in the corpus, keeper = minimum
+    (doc, pos) in corpus order."""
+    pos = _positions(docs)
     grams = pos.filter(F.col("x") + L <= F.col("n")).select(
         "doc_id",
         F.col("x").alias("s"),
@@ -83,16 +91,29 @@ def keepone_marks_and_removed(
         )
         .filter(F.col("cnt") >= 2)
     )
-    # pinned: marked feeds the span explode AND the per-doc occurrence
-    # agg; without it the gram explode + group join re-execute per
-    # consumer (the dual-subtree rule)
-    marked = grams.join(groups, "g").select(
+    # pinned: marked feeds the sweep events (twice: +1/-1) AND the
+    # per-doc occurrence agg; without it the gram explode + group
+    # join re-execute per consumer (the dual-subtree rule)
+    return grams.join(groups, "g").select(
         "doc_id",
         "s",
         (F.col("doc_id") * _KP_POSBITS + F.col("s") == F.col("kkey")).alias(
             "is_keeper"
         ),
     ).localCheckpoint(eager=True)
+
+
+def keepone_marks_and_removed(
+    docs: DataFrame, L: int = _KP_L
+) -> tuple[DataFrame, DataFrame]:
+    """The exact PER-CHARACTER form, kept for the keep-one invariant
+    and sweep-parity tests: (marked, removed) where removed =
+    (doc_id, x) per erased character, resolved by the binned
+    char × span interval join. Production counting goes through
+    keepone_removed_counts (the endpoint sweep) — same result,
+    span-density cost instead of corpus-size cost."""
+    pos = _positions(docs)
+    marked = keepone_marked(docs, L)
     spans = marked.withColumn(
         "bin",
         F.explode(
@@ -127,19 +148,71 @@ def keepone_marks_and_removed(
     return marked, removed
 
 
+def keepone_removed_counts(marked: DataFrame, L: int = _KP_L) -> DataFrame:
+    """Interval-sweep count of removed characters per document (the
+    r8-VERDICT #4 optimization): a char is removed iff covered by a
+    non-keeper span and by NO keeper span, so |removed| per doc is a
+    classic line sweep over span ENDPOINTS — +1/−1 events at s and
+    s+L per occurrence, cumulative rm/kp counts ordered by position,
+    summing segment lengths where rm > 0 and kp = 0.
+
+    Cost: 4 event rows per duplicated-gram OCCURRENCE and one
+    per-doc window sort — span-density-bound. The char-explode form
+    it replaces ((doc,char) × span binned join + a corpus-sized
+    groupBy) is corpus-size-bound: every character becomes a join
+    probe even in documents with no duplicates at all. Measured at
+    sf0.1: 12.6 s → see BASELINE.md r9 row. Parity with the exact
+    per-char form is pinned by test_keepone.py.
+    """
+    rm = F.when(~F.col("is_keeper"), F.col("_d")).otherwise(F.lit(0))
+    kp = F.when(F.col("is_keeper"), F.col("_d")).otherwise(F.lit(0))
+    events = (
+        marked.select(
+            "doc_id", "is_keeper", F.col("s").alias("p"), F.lit(1).alias("_d")
+        )
+        .unionByName(
+            marked.select(
+                "doc_id",
+                "is_keeper",
+                (F.col("s") + L).alias("p"),
+                F.lit(-1).alias("_d"),
+            )
+        )
+        .groupBy("doc_id", "p")
+        .agg(F.sum(rm).alias("d_rm"), F.sum(kp).alias("d_kp"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    seg = events.select(
+        "doc_id",
+        "p",
+        F.sum("d_rm").over(w).alias("rm_cnt"),
+        F.sum("d_kp").over(w).alias("kp_cnt"),
+        (F.lead("p").over(w) - F.col("p")).alias("seg_len"),
+    )
+    return (
+        seg.filter(
+            (F.col("rm_cnt") > 0)
+            & (F.col("kp_cnt") == 0)
+            & F.col("seg_len").isNotNull()
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("seg_len").alias("chars_removed"))
+    )
+
+
 def keepone_removal_report(docs: DataFrame, L: int = _KP_L) -> DataFrame:
     """Per-document report of keeper-protected removal: duplicate /
     keeper occurrence counts and exactly how many characters the
-    protected removal erases."""
+    protected removal erases (counted by the interval sweep — see
+    keepone_removed_counts; the per-char form survives in
+    keepone_marks_and_removed for the invariant/parity tests)."""
     d = docs.select(F.col("doc_id"), F.length("text").alias("n"))
-    marked, removed = keepone_marks_and_removed(docs, L)
+    marked = keepone_marked(docs, L)
     per_doc_occ = marked.groupBy("doc_id").agg(
         F.sum((~F.col("is_keeper")).cast("long")).alias("dup_occ"),
         F.sum(F.col("is_keeper").cast("long")).alias("keep_occ"),
     )
-    per_doc_rm = removed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("chars_removed")
-    )
+    per_doc_rm = keepone_removed_counts(marked, L)
     return (
         d.select("doc_id", "n")
         .join(per_doc_occ, "doc_id", "left")
