@@ -37,6 +37,8 @@ the answer.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -264,9 +266,31 @@ def suffix_window_keys(
     return fast.unionByName(slow)
 
 
-# previous global_adjacent_lcp invocations' cached sorted passes —
-# see the unpersist note inside the function
-_PERSISTED_PASSES: list[DataFrame] = []
+# previous global_adjacent_lcp invocations' cached sorted passes,
+# keyed by the owning SparkContext's applicationId — see the
+# unpersist note inside the function. A stale handle whose session
+# has been stopped is DISCARDED, not unpersisted (calling .unpersist
+# on a stopped context raises and would break the next invocation —
+# ADVICE r8); the lock makes concurrent callers swap, not race.
+_PERSIST_LOCK = threading.Lock()
+_PERSISTED_PASSES: list[tuple[str, DataFrame]] = []
+
+
+def _swap_persisted_pass(app_id: str, new_df: DataFrame) -> None:
+    """Release every previously-stashed cached pass that belongs to
+    the SAME live application, drop handles from dead sessions, then
+    stash ``new_df`` — bounding the operator's storage footprint at
+    one cached pass per session lifetime."""
+    with _PERSIST_LOCK:
+        while _PERSISTED_PASSES:
+            old_app, old_df = _PERSISTED_PASSES.pop()
+            if old_app != app_id:
+                continue  # different/dead session: just drop the ref
+            try:
+                old_df.unpersist(blocking=False)
+            except Exception:
+                pass  # context stopped between check and call
+        _PERSISTED_PASSES.append((app_id, new_df))
 
 
 def global_adjacent_lcp(
@@ -375,10 +399,9 @@ def global_adjacent_lcp(
     # reads it lazily), so it can't be unpersisted here — instead
     # each invocation releases the PREVIOUS one's pass, bounding the
     # operator's storage footprint at one cached pass regardless of
-    # how many catalog queries run in the session (ADVICE r7)
-    while _PERSISTED_PASSES:
-        _PERSISTED_PASSES.pop().unpersist(blocking=False)
-    _PERSISTED_PASSES.append(d)
+    # how many catalog queries run in the session (ADVICE r7);
+    # session-keyed + exception-safe per ADVICE r8
+    _swap_persisted_pass(d.sparkSession.sparkContext.applicationId, d)
     inner = d.filter(F.col("prev_doc").isNotNull()).select(
         "doc_id", "pos", "prev_doc", "prev_pos", "lcp"
     )

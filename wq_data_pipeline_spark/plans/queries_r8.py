@@ -495,10 +495,11 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: daily values are exact centi-unit BIGINT sums; each
     pairwise slope is ONE division of two BIGINT diffs (deterministic
-    per pair); the Sen slope is an exact median selection (both
-    engines interpolate even counts identically); S is an integer
-    sum of signs; var(S) and z come from exact integer counts and
-    tie-group sizes, z rounded 6dp.
+    per pair); the Sen slope is a median selection rounded to 6dp in
+    BOTH dialects (ADVICE r8: the even-count midpoint interpolation
+    is engine-internal, so the raw double is not pinned bit-for-bit);
+    S is an integer sum of signs; var(S) and z come from exact
+    integer counts and tie-group sizes, z rounded 6dp.
 
     Scale: the pair set is quadratic in DAYS PER SERIES, not rows —
     bounded by (span_days choose 2) per key (a decade-long daily
@@ -517,7 +518,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     p = pairs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.median(slope).alias("sen_slope_c"),
+        F.round(F.median(slope), 6).alias("sen_slope_c"),
         F.sum(F.signum(F.col("vb") - F.col("va")).cast("long")).alias("mk_s"),
     )
     ties = (
@@ -562,7 +563,8 @@ WITH daily AS (
 p AS (
   SELECT a.event_type,
          count(*) AS n_pairs,
-         median(CAST(b.v - a.v AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)) AS sen_slope_c,
+         round(median(CAST(b.v - a.v AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)), 6)
+           AS sen_slope_c,
          CAST(sum(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT) AS mk_s
   FROM daily a JOIN daily b
     ON a.event_type = b.event_type AND a.d < b.d

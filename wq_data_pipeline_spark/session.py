@@ -57,20 +57,57 @@ def ship_package(spark: SparkSession) -> None:
     sc._wq_pkg_shipped = True
 
 
+_CGROUP_LIMIT_PATHS = (
+    "/sys/fs/cgroup/memory.max",
+    "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+)
+
+
+def _cgroup_limit_gb(paths: tuple[str, ...] = _CGROUP_LIMIT_PATHS) -> int | None:
+    """Container memory limit in GiB, if one is set. /proc/meminfo is
+    host-wide, so inside a cgroup-capped container MemAvailable can
+    vastly overstate what this process may allocate (ADVICE r8).
+    Checks cgroup v2 (memory.max) then v1 (memory.limit_in_bytes);
+    'max' / absurdly-large sentinels mean "no limit"."""
+    for path in paths:
+        try:
+            with open(path) as f:
+                raw = f.read().strip()
+        except OSError:
+            continue
+        if raw == "max" or not raw.isdigit():
+            continue
+        limit = int(raw)
+        # v1 reports ~2^63 when unlimited; treat >= 1 PiB as unset
+        if limit >= 1 << 50:
+            continue
+        return max(1, limit // (1 << 30))
+    return None
+
+
 def _default_driver_mem(cap_gb: int = 32, floor_gb: int = 2) -> str:
     """Heap default for the single-JVM local session: ~half of the
-    machine's available memory, capped / floored — a 32g heap on a
-    16 GB host gets OOM-killed instead of spilling (ADVICE r7).
-    MemAvailable is Linux-only; fall back to the cap elsewhere."""
+    allocatable memory, capped / floored — a 32g heap on a 16 GB
+    host gets OOM-killed instead of spilling (ADVICE r7).
+    "Allocatable" = min(host MemAvailable, cgroup limit): a container
+    capped at 8G on a large host must size from the 8G, not the
+    host's free RAM (ADVICE r8). Linux-only; falls back to the cap
+    elsewhere."""
+    avail_gb: int | None = None
     try:
         with open("/proc/meminfo") as f:
             for line in f:
                 if line.startswith("MemAvailable:"):
                     avail_gb = int(line.split()[1]) // (1024 * 1024)
-                    return f"{max(floor_gb, min(cap_gb, avail_gb // 2))}g"
+                    break
     except OSError:
         pass
-    return f"{cap_gb}g"
+    cg = _cgroup_limit_gb()
+    if cg is not None:
+        avail_gb = cg if avail_gb is None else min(avail_gb, cg)
+    if avail_gb is None:
+        return f"{cap_gb}g"
+    return f"{max(floor_gb, min(cap_gb, avail_gb // 2))}g"
 
 
 def get_spark(
