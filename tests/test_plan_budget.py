@@ -244,7 +244,9 @@ BUDGETS = {
     "suffix_xdoc_repeats": (4, 2, 4),
     # r6o: gram group + pinned marks; ONE binned interval join
     # resolves both coverages (two boolean aggs), report joins
-    "keepone_removal": (7, 3, 2),
+    # r9 sweep form: gram groupBy + join-back + sweep-event groupBy +
+    # per-doc window sort; the char-explode Generates are gone
+    "keepone_removal": (4, 2, 0),
     # r6n: d map-side-combinable sketch aggs + exact top-k rank +
     # d broadcast point lookups
     "cms_user_counts": (6, 5, 0),
