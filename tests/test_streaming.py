@@ -428,3 +428,75 @@ def test_streaming_latest_snapshot_across_batches(spark, tmp_path, drain_statefu
     assert click.event_id == 2 and click.value == 2.0 and click.n_versions == 3
     view = final[(8, "view")]
     assert view.event_id == 5 and view.value == 4.0 and view.n_versions == 2
+
+
+def test_streaming_upsert_with_deletes_across_batches(spark, tmp_path, drain_stateful):
+    """Tombstone-aware streaming MoR (r9): a delete marker wins the
+    (ts, event_id) fold and flips the key to is_deleted; an
+    out-of-order OLDER upsert arriving after the tombstone must NOT
+    resurrect the key; an out-of-order NEWER upsert must."""
+    import pandas as pd
+
+    from wq_data_pipeline_spark.streaming.stateful import (
+        streaming_upsert_with_deletes,
+    )
+
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    b1 = pd.DataFrame(
+        {
+            "event_id": [1, 10, 3],
+            "ts": pd.to_datetime(
+                ["2024-03-01 10:00", "2024-03-01 12:00", "2024-03-01 09:00"]
+            ),
+            "user_id": [7, 7, 8],
+            "event_type": ["click", "click", "view"],
+            "value": [1.0, 0.0, 3.0],
+            "op": ["U", "D", "U"],  # key (7,click) tombstoned at 12:00
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "event_id": [4, 5],
+            "ts": pd.to_datetime(["2024-03-01 11:00", "2024-03-01 13:00"]),
+            "user_id": [7, 8],
+            "event_type": ["click", "view"],
+            "value": [9.0, 4.0],
+            "op": ["U", "U"],
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(str(sdir))
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(str(sdir))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    q = (
+        streaming_upsert_with_deletes(stream)
+        .writeStream.format("memory")
+        .queryName("morstream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_stateful(q, "morstream", target_rows=4)
+    rows = spark.sql("select * from morstream").collect()
+    final = {}
+    for r in rows:
+        k = (r.user_id, r.event_type)
+        if k not in final or r.n_changes > final[k].n_changes:
+            final[k] = r
+    click = final[(7, "click")]
+    # the 11:00 upsert in batch 2 is OLDER than the 12:00 tombstone:
+    # the key stays deleted
+    assert click.is_deleted and click.value is None and click.event_id == 10
+    assert click.n_changes == 3
+    view = final[(8, "view")]
+    # the 13:00 upsert is newer: the key resolves live
+    assert not view.is_deleted and view.value == 4.0 and view.event_id == 5
+    assert view.n_changes == 2

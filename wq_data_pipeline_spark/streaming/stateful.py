@@ -288,3 +288,91 @@ def streaming_latest_snapshot(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MOR_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("is_deleted", T.BooleanType()),
+        T.StructField("n_changes", T.LongType()),
+    ]
+)
+
+# state: current winning version + its tombstone flag + change count
+MOR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("is_deleted", T.BooleanType()),
+        T.StructField("n_changes", T.LongType()),
+    ]
+)
+
+
+def _mor(key, pdfs, state):
+    """Tombstone-aware fold: max over (ts_us, event_id) across state
+    and batch rows; a winning delete marker flips the key to
+    is_deleted instead of dropping state (the tombstone must be
+    retained so a LATER-sequenced upsert can still lose to it under
+    out-of-order arrival)."""
+    user_id, event_type = key
+    if state.exists:
+        ts_us, eid, val, dead, n = state.get
+    else:
+        ts_us, eid, val, dead, n = -1, -1, None, False, 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        ids = pdf["event_id"].to_numpy()
+        best = max(range(len(pdf)), key=lambda i: (us[i], ids[i]))
+        if (int(us[best]), int(ids[best])) > (ts_us, eid):
+            ts_us, eid = int(us[best]), int(ids[best])
+            dead = str(pdf["op"].iloc[best]) == "D"
+            if dead:
+                val = None
+            else:
+                v = pdf["value"].iloc[best]
+                val = None if pd.isna(v) else float(v)
+    state.update((ts_us, eid, val, bool(dead), n))
+    yield pd.DataFrame(
+        [[user_id, event_type, ts_us, eid, val, bool(dead), n]],
+        columns=[
+            "user_id", "event_type", "ts_us", "event_id",
+            "value", "is_deleted", "n_changes",
+        ],
+    )
+
+
+def streaming_upsert_with_deletes(stream: DataFrame) -> DataFrame:
+    """Streaming merge-on-read resolution with tombstones — the
+    incremental twin of the batch ``cdc_merge_on_read`` catalog entry
+    (plans/queries_r9.py): per (user_id, event_type) the state holds
+    the current winning version INCLUDING delete markers, O(1) per
+    key. Each micro-batch emits the refreshed row for touched keys
+    with ``is_deleted`` — downstream sinks upsert on the key and drop
+    rows whose latest state is a tombstone; the tombstone itself
+    stays in state so an out-of-order earlier-sequenced upsert can
+    never resurrect the key (same order-free (ts, event_id)-max fold
+    as ``streaming_latest_snapshot``, so arrival order per key does
+    not matter).
+
+    Input is change-records-shaped: (event_id, ts, user_id,
+    event_type, value, op) with op in {'U', 'D'}."""
+
+    def fn(key, pdfs, state):
+        return _mor(key, pdfs, state)
+
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        outputStructType=MOR_OUT_SCHEMA,
+        stateStructType=MOR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
