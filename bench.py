@@ -74,6 +74,29 @@ def _prior_medians(here: str) -> dict[str, float]:
         return {}
 
 
+def _adjudicate_outliers(
+    timings: dict[str, float],
+    prior: dict[str, float],
+    rerun,
+    ratio: float = 3.0,
+    min_excess_s: float = 1.0,
+) -> dict[str, dict[str, float]]:
+    """Isolation re-run rule, pure core: for every entry whose median
+    landed > ratio x its prior median (and >= min_excess_s above it),
+    call ``rerun(name) -> float`` (the isolated wall time) and record
+    the better of {median, isolated} in ``timings`` (mutated), the
+    adjudication in the returned dict."""
+    reruns: dict[str, dict[str, float]] = {}
+    for name, med in sorted(timings.items()):
+        p = prior.get(name, 0.0)
+        if p <= 0 or med <= ratio * p or med - p < min_excess_s:
+            continue
+        iso = round(float(rerun(name)), 3)
+        reruns[name] = {"median3": med, "isolated": iso, "prior": p}
+        timings[name] = min(med, iso)
+    return reruns
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -125,12 +148,7 @@ def main() -> None:
 
     # isolation re-run rule (see module docstring): adjudicate >3x
     # excursions vs the prior record instead of recording them raw
-    prior = _prior_medians(here)
-    isolation_reruns: dict[str, dict[str, float]] = {}
-    for name, med in sorted(timings.items()):
-        p = prior.get(name, 0.0)
-        if p <= 0 or med <= 3.0 * p or med - p < 1.0:
-            continue
+    def _isolated(name: str) -> float:
         iso_runs = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -139,9 +157,11 @@ def main() -> None:
             iso_runs.append(time.perf_counter() - t0)
             del df
             gc.collect()
-        iso = round(min(iso_runs), 3)
-        isolation_reruns[name] = {"median3": med, "isolated": iso, "prior": p}
-        timings[name] = min(med, iso)
+        return min(iso_runs)
+
+    isolation_reruns = _adjudicate_outliers(
+        timings, _prior_medians(here), _isolated
+    )
 
     total = round(sum(timings.values()), 3)
     payload = {

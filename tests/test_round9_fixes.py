@@ -146,3 +146,42 @@ def test_sen_slope_rounded_in_both_dialects():
 
     src = inspect.getsource(R8.q_theil_sen_trend)
     assert 'F.round(F.median(slope), 6).alias("sen_slope_c")' in src
+
+
+# ------------------------------------------- isolation re-run rule
+
+
+def test_adjudicate_outliers_triggers_and_records():
+    import bench
+
+    timings = {"q_slow": 25.0, "q_ok": 2.0, "q_new": 9.9}
+    prior = {"q_slow": 2.8, "q_ok": 1.9}  # q_new has no prior -> skipped
+    calls = []
+
+    def rerun(name):
+        calls.append(name)
+        return 2.0
+
+    reruns = bench._adjudicate_outliers(timings, prior, rerun)
+    assert calls == ["q_slow"]
+    assert timings["q_slow"] == 2.0  # better of {median, isolated}
+    assert reruns == {"q_slow": {"median3": 25.0, "isolated": 2.0, "prior": 2.8}}
+    assert timings["q_ok"] == 2.0 and timings["q_new"] == 9.9
+
+
+def test_adjudicate_outliers_keeps_median_if_isolated_worse():
+    import bench
+
+    timings = {"q": 10.0}
+    reruns = bench._adjudicate_outliers(timings, {"q": 2.0}, lambda n: 14.0)
+    assert timings["q"] == 10.0  # the excursion stands, but flagged
+    assert reruns["q"]["isolated"] == 14.0
+
+
+def test_adjudicate_outliers_small_absolute_excess_ignored():
+    import bench
+
+    # 4x ratio but only 0.6s above prior: sub-second noise, no re-run
+    timings = {"q": 0.8}
+    reruns = bench._adjudicate_outliers(timings, {"q": 0.2}, lambda n: 1 / 0)
+    assert reruns == {} and timings["q"] == 0.8
