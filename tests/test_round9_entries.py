@@ -162,3 +162,64 @@ def test_mor_equals_cow_snapshot_when_log_empty(spark, tmp_path):
         for r in R9.q_cdc_merge_on_read(spark, str(d)).collect()
     }
     assert out == {(1, "a"): 2.0, (2, "b"): 4.0}
+
+
+def test_mor_matches_brute_force_on_random_stream(spark, tmp_path):
+    """Randomized brute-force pin (seeded): the MoR view must equal a
+    pure-Python resolution of the same change stream — latest record
+    per key by (ts, event_id) across base+log, delete winners
+    dropped, log counts per key."""
+    import random
+
+    rng = random.Random(90210)
+    n_keys, n_rows = 25, 300
+    rows = []
+    for eid in range(1, n_rows + 1):
+        k = rng.randrange(n_keys)
+        rows.append(
+            (
+                eid,
+                _t(rng.randrange(0, 5000)),  # minutes; ties possible
+                k,
+                f"t{k % 4}",
+                round(rng.uniform(-50, 50), 2),
+            )
+        )
+    d = tmp_path / "ev"
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).coalesce(4).write.parquet(str(d / "events.parquet"))
+
+    # brute force in plain Python (mirrors the documented semantics,
+    # not the Spark plan)
+    us = [int(r[1].timestamp() * 1_000_000) for r in rows]
+    t0, t1 = min(us), max(us)
+    cut = t0 + (t1 - t0) * 7 // 10
+    by_key: dict = {}
+    for (eid, _ts, uid, et, val), u in zip(rows, us):
+        by_key.setdefault((uid, et), []).append(
+            (u, eid, val, "D" if eid % 5 == 0 else "U")
+        )
+    expect = {}
+    for key, recs in by_key.items():
+        base = [r for r in recs if r[0] <= cut]
+        log = [r for r in recs if r[0] > cut]
+        merged = []
+        if base:
+            b = max(base)  # latest (ts, eid)
+            if b[3] == "U":  # delete winners leave no base row
+                merged.append((b, False))
+        merged += [(r, True) for r in log]
+        if not merged:
+            continue
+        win, from_log = max(merged, key=lambda m: (m[0][0], m[0][1]))
+        if win[3] != "U":
+            continue
+        expect[key] = (win[0], win[2], len(log), from_log)
+
+    got = {
+        (r.user_id, r.event_type): (r.ts_us, r.value, r.n_log_records, r.from_log)
+        for r in R9.q_cdc_merge_on_read(spark, str(d)).collect()
+    }
+    assert got == expect
+    assert expect, "random stream must produce a non-empty view"
