@@ -141,6 +141,9 @@ BUDGETS = {
     "cdc_merge_on_read": (4, 2, 0),
     "cdc_changes_between": (4, 3, 0),
     "compaction_plan": (6, 2, 0),
+    # cohort filters on each fact's own key column; lineitem is the
+    # only join (broadcast semi against the filtered order keys)
+    "forget_user_sweep": (4, 1, 0),
     "value_percentiles": (1, 0, 0),
     # span agg + slot agg; the Generate is the per-group grid sequence
     "time_grid_ffill": (2, 1, 1),

@@ -377,3 +377,95 @@ ORACLES27: dict[str, str] = {
     "cdc_changes_between": SQL_CDC_CHANGES_BETWEEN,
     "compaction_plan": SQL_COMPACTION_PLAN,
 }
+
+
+# --------------------------------------------------------------------------
+# forget_user_sweep — right-to-be-forgotten delete propagation
+# --------------------------------------------------------------------------
+
+_FORGET_MOD = 97  # deterministic erasure cohort: custkey % 97 == 0
+
+
+def q_forget_user_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep — the governance companion of the
+    CDC surface: given an erasure cohort (customers with
+    c_custkey % 97 == 0, standing in for a deletion-request list),
+    measure the blast radius across the table graph BEFORE rewriting
+    anything: customer rows directly, orders via o_custkey, lineitem
+    via the cascaded order keys, events via user_id (an independent
+    id space sharing the cohort rule — the cross-system case where
+    the same subject key appears in another service's log). Emits
+    per-table rows_to_delete / rows_total / pct — what a compliance
+    job reports and what a compactor (see q_compaction_plan) turns
+    into delete files.
+
+    Scale: the cohort is a FILTER on each fact's own key column
+    (custkey/user_id % 97) — no join at all for customer/orders/
+    events; only lineitem needs the cascade, a semi join against the
+    already-filtered orders keys (broadcast at these sizes, shuffle
+    hash at 100 TB — either way one join on the fact). Counts are
+    map-side-combinable aggs; output is 4 rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    doomed_orders = orders.filter(F.col("o_custkey") % _FORGET_MOD == 0)
+
+    def _counts(df: DataFrame, hit, table: str) -> DataFrame:
+        return df.agg(
+            F.lit(table).alias("table_name"),
+            F.sum(hit.cast("long")).alias("rows_to_delete"),
+            F.count(F.lit(1)).alias("rows_total"),
+            F.round(
+                F.sum(hit.cast("long")) * 100.0 / F.count(F.lit(1)), 6
+            ).alias("pct"),
+        )
+
+    li_hit = li.join(
+        F.broadcast(doomed_orders.select("o_orderkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left",
+    ).select((F.col("o_orderkey").isNotNull()).alias("hit"))
+    out = (
+        _counts(cust, F.col("c_custkey") % _FORGET_MOD == 0, "customer")
+        .unionByName(_counts(orders, F.col("o_custkey") % _FORGET_MOD == 0, "orders"))
+        .unionByName(_counts(li_hit, F.col("hit"), "lineitem"))
+        .unionByName(_counts(ev, F.col("user_id") % _FORGET_MOD == 0, "events"))
+    )
+    return out.orderBy("table_name")
+
+
+SQL_FORGET_USER_SWEEP = f"""
+WITH li_hit AS (
+  SELECT (o.o_orderkey IS NOT NULL) AS hit
+  FROM lineitem LEFT JOIN (
+    SELECT o_orderkey FROM orders WHERE o_custkey % {_FORGET_MOD} = 0
+  ) o ON lineitem.l_orderkey = o.o_orderkey
+), u AS (
+  SELECT 'customer' AS table_name,
+         CAST(sum(CASE WHEN c_custkey % {_FORGET_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS rows_to_delete,
+         count(*) AS rows_total
+  FROM customer
+  UNION ALL
+  SELECT 'orders',
+         CAST(sum(CASE WHEN o_custkey % {_FORGET_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT),
+         count(*)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem',
+         CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT), count(*)
+  FROM li_hit
+  UNION ALL
+  SELECT 'events',
+         CAST(sum(CASE WHEN user_id % {_FORGET_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT),
+         count(*)
+  FROM events
+)
+SELECT table_name, rows_to_delete, rows_total,
+       round(rows_to_delete * 100.0 / rows_total, 6) AS pct
+FROM u ORDER BY table_name"""
+
+QUERIES27["forget_user_sweep"] = q_forget_user_sweep
+ORACLES27["forget_user_sweep"] = SQL_FORGET_USER_SWEEP
