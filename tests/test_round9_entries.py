@@ -223,3 +223,66 @@ def test_mor_matches_brute_force_on_random_stream(spark, tmp_path):
     }
     assert got == expect
     assert expect, "random stream must produce a non-empty view"
+
+
+def test_changes_between_matches_brute_force_on_random_stream(spark, tmp_path):
+    """Seeded brute-force pin for the incremental read: net change
+    per key between the lo/hi cuts must match a pure-Python
+    resolution (pre-image <= lo, post-image in (lo, hi], change-type
+    table, no-op keys dropped)."""
+    import random
+
+    rng = random.Random(424242)
+    rows = []
+    for eid in range(1, 301):
+        k = rng.randrange(25)
+        rows.append(
+            (eid, _t(rng.randrange(0, 5000)), k, f"t{k % 4}",
+             round(rng.uniform(-50, 50), 2))
+        )
+    d = tmp_path / "ev"
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).coalesce(4).write.parquet(str(d / "events.parquet"))
+
+    us = [int(r[1].timestamp() * 1_000_000) for r in rows]
+    t0, t1 = min(us), max(us)
+    lo = t0 + (t1 - t0) * 4 // 10
+    hi = t0 + (t1 - t0) * 7 // 10
+    by_key: dict = {}
+    for (eid, _ts, uid, et, val), u in zip(rows, us):
+        by_key.setdefault((uid, et), []).append(
+            (u, eid, val, "D" if eid % 5 == 0 else "U")
+        )
+    expect = {}
+    for key, recs in by_key.items():
+        pre_recs = [r for r in recs if r[0] <= lo]
+        win_recs = [r for r in recs if lo < r[0] <= hi]
+        if not win_recs:
+            continue
+        pre = max(pre_recs) if pre_recs else None
+        pre_val = pre[2] if pre is not None and pre[3] == "U" else None
+        post = max(win_recs)
+        deleted = post[3] == "D"
+        if deleted and pre_val is not None:
+            ct = "delete"
+        elif not deleted and pre_val is not None:
+            ct = "update"
+        elif not deleted:
+            ct = "insert"
+        else:
+            continue  # pre-absent delete: net no-op
+        expect[key] = (
+            ct, pre_val, None if deleted else post[2], post[0], len(win_recs)
+        )
+
+    got = {
+        (r.user_id, r.event_type): (
+            r.change_type, r.pre_value, r.post_value, r.post_ts_us, r.n_changes
+        )
+        for r in R9.q_cdc_changes_between(spark, str(d)).collect()
+    }
+    assert got == expect
+    assert any(v[0] == "delete" for v in expect.values())
+    assert any(v[0] == "insert" for v in expect.values())
+    assert any(v[0] == "update" for v in expect.values())
