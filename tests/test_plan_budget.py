@@ -144,6 +144,9 @@ BUDGETS = {
     # cohort filters on each fact's own key column; lineitem is the
     # only join (broadcast semi against the filtered order keys)
     "forget_user_sweep": (4, 1, 0),
+    # QI group agg (partial distinct expands to 2 exchanges) + the
+    # 4-row class rollup + final sort
+    "kanon_audit": (4, 0, 0),
     "value_percentiles": (1, 0, 0),
     # span agg + slot agg; the Generate is the per-group grid sequence
     "time_grid_ffill": (2, 1, 1),

@@ -469,3 +469,92 @@ FROM u ORDER BY table_name"""
 
 QUERIES27["forget_user_sweep"] = q_forget_user_sweep
 ORACLES27["forget_user_sweep"] = SQL_FORGET_USER_SWEEP
+
+
+# --------------------------------------------------------------------------
+# kanon_audit — k-anonymity / quasi-identifier re-identification audit
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) — the third leg of the
+    governance surface next to the PII scan and the forget sweep:
+    treat (event_type, day, coarse value bucket) as the
+    quasi-identifier an adversary could link on, group rows by it,
+    and roll the group-size distribution up into the standard risk
+    classes (k=1 unique rows are directly re-identifiable; k in
+    [2,5) is the usual policy red line). Each class also carries the
+    subject-diversity facts an l-diversity check needs: total and
+    minimum distinct user_ids per QI group in the class.
+
+    Exactness: buckets are integer floors of centi-quantized values;
+    all outputs are counts/mins of exact integers.
+
+    Scale: two hash aggregations (QI group sizes + distinct users,
+    then the class rollup) — both map-side combinable; the QI
+    cardinality, not the row count, bounds the second stage. The
+    distinct-user count shuffles (QI, user) pairs once."""
+    ev = load_table(spark, sf_dir, "events")
+    # integer DIV on both sides (DuckDB // and Spark DIV both
+    # truncate toward zero — verified; the float-div-then-cast form
+    # would also work here but DIV is the pinned convention)
+    qi = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day"),
+        F.expr("CAST(round(value * 100) AS LONG) DIV 1000").alias("vbucket"),
+        "user_id",
+    )
+    groups = qi.groupBy("event_type", "day", "vbucket").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    size_class = (
+        F.when(F.col("k") == 1, F.lit("k=1"))
+        .when(F.col("k") < 5, F.lit("2<=k<5"))
+        .when(F.col("k") < 10, F.lit("5<=k<10"))
+        .otherwise(F.lit("k>=10"))
+    )
+    return (
+        groups.groupBy(size_class.alias("size_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").alias("n_rows"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("n_users").alias("sum_users"),
+            F.min("n_users").alias("min_users"),
+        )
+        .orderBy("size_class")
+    )
+
+
+SQL_KANON_AUDIT = f"""
+WITH qi AS (
+  SELECT event_type,
+         epoch_us(ts) // {_DAY_US} AS day,
+         CAST(round(value * 100) AS BIGINT) // 1000 AS vbucket,
+         user_id
+  FROM events
+),
+g AS (
+  SELECT event_type, day, vbucket,
+         count(*) AS k,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN k = 1 THEN 'k=1'
+            WHEN k < 5 THEN '2<=k<5'
+            WHEN k < 10 THEN '5<=k<10'
+            ELSE 'k>=10' END AS size_class,
+       count(*) AS n_groups,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(sum(n_users) AS BIGINT) AS sum_users,
+       min(n_users) AS min_users
+FROM g GROUP BY 1 ORDER BY 1"""
+
+QUERIES27["kanon_audit"] = q_kanon_audit
+ORACLES27["kanon_audit"] = SQL_KANON_AUDIT
