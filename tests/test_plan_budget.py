@@ -37,6 +37,23 @@ BUDGETS = {
     "bm25_search": (5, 1, 1),
     "tfidf_terms": (4, 1, 1),
     "exact_dedup": (2, 0, 0),
+    # batch 28 (r9 second wave), measured at the recording state:
+    # time travel rides the one key-window shuffle per side + final sort
+    "cdc_time_travel": (4, 2, 0),
+    # fingerprint join + 2 band-row builds + corpus guard window +
+    # band join + best-candidate window + 2 assembly joins; the
+    # corpus side is the half a real deployment persists bucketed
+    "incremental_dedup": (8, 4, 4),
+    # pins the single-pass shape: per-key count agg + one window
+    # exchange + final sort — the naive 3-branch form measured E=9
+    "key_skew_profile": (3, 0, 0),
+    # broadcast-only: anchor explode + two broadcast doc joins
+    "containment_pairs": (0, 3, 1),
+    # one fingerprint-window shuffle (two specs, same partitioning)
+    "dedup_keep_best": (2, 0, 0),
+    # block-band unpivot + one banded self-join (same shape family as
+    # minhash_lsh_pairs, no signature groupBy: simhash is per-row)
+    "simhash_near_pairs": (2, 1, 2),
     "line_dedup": (2, 1, 2),
     # assignment pinned at construction (narrow max_by argmax); final
     # plan = within-cluster self-join + dup agg/join

@@ -170,8 +170,31 @@ def minhash_lsh_candidates(
     at real near-dup thresholds: P(candidate) = 1-(1-J^4)^8, ~0.985
     at J=0.8 and ~0.9998 at J=0.9 (the s-curve knee sits near 0.72).
     The r1 defaults (8 hashes, 4 bands of 2) were recall-thin at 0.8."""
-    from pyspark.sql import Window
+    d = _band_rows(df, text, id_col, num_hashes, rows_per_band, shingle_n)
+    if max_df is not None:
+        d = _hot_bucket_guard(d, max_df)
+    a = d.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = d.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
+
+def _band_rows(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    num_hashes: int,
+    rows_per_band: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band, key) rows: signatures -> band keys -> unpivot.
+    Shared by the self-join (:func:`minhash_lsh_candidates`) and the
+    incremental batch-vs-corpus join
+    (:func:`incremental_lsh_candidates`)."""
     sig = minhash_signatures_table(df, text, id_col, num_hashes, shingle_n)
     band_cols = lsh_bands([f"mh{i}" for i in range(num_hashes)], rows_per_band)
     n_bands = len(band_cols)
@@ -182,24 +205,63 @@ def minhash_lsh_candidates(
             for b in range(n_bands)
         ]
     )
-    d = banded.select(id_col, F.explode(kv).alias("bk")).select(
+    return banded.select(id_col, F.explode(kv).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    if max_df is not None:
-        d = (
-            d.withColumn(
-                "_df", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
-            )
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
-        )
-    a = d.select(F.col(id_col).alias("id_a"), "band", "key")
-    b = d.select(F.col(id_col).alias("id_b"), "band", "key")
+
+
+def _hot_bucket_guard(d: DataFrame, max_df: int) -> DataFrame:
+    """Drop (band, key) buckets holding more than ``max_df`` ids —
+    window over the SAME partitioning the downstream join shuffles on."""
+    from pyspark.sql import Window
+
     return (
-        a.join(b, on=["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        d.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        )
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+
+
+def incremental_lsh_candidates(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Candidate near-dup pairs between an INCOMING BATCH and the
+    EXISTING CORPUS — the incremental-ingest shape: band rows are
+    computed for both sides and joined batch->corpus on (band, key),
+    so each ingest pays O(|batch| + matching corpus buckets), never
+    a corpus x corpus self-join. At 100 TB this is the difference
+    between re-deduping the lake per ingest and a lookup join against
+    a (bucketable, reusable) corpus signature table — the corpus band
+    rows are a pure function of the corpus and would be persisted/
+    bucketed by (band, key) in a real deployment (see
+    sources/bucketed.py), making the ingest-side join shuffle-free on
+    the corpus side.
+
+    The ``max_df`` hot-bucket guard applies to CORPUS buckets (the
+    unbounded side): a degenerate band key shared by >max_df corpus
+    docs would make the bucket join quadratic in corpus spam; batch
+    docs landing only in such buckets surface as novel, same contract
+    as the self-join form's guard. Returns (new_id, corpus_id).
+    """
+    nb = _band_rows(new_df, text, id_col, num_hashes, rows_per_band, shingle_n)
+    cb = _band_rows(
+        corpus_df, text, id_col, num_hashes, rows_per_band, shingle_n
+    )
+    if max_df is not None:
+        cb = _hot_bucket_guard(cb, max_df)
+    n = nb.select(F.col(id_col).alias("new_id"), "band", "key")
+    c = cb.select(F.col(id_col).alias("corpus_id"), "band", "key")
+    return (
+        n.join(c, on=["band", "key"]).select("new_id", "corpus_id").distinct()
     )
 
 
@@ -221,6 +283,71 @@ def simhash_bits(text: str | Column, bits: int = 16) -> Column:
         vote = F.aggregate(digit, F.lit(0), lambda a, x: a + x) * 2 - F.size(words)
         acc = acc + F.when(vote > 0, F.lit(1 << j)).otherwise(0)
     return acc
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-block banding (Manku et al.
+    2007, WWW — Google's web-dedup scheme): split the ``bits``-bit
+    simhash into ``n_bands`` equal blocks; by pigeonhole, any pair
+    within Hamming distance < n_bands agrees on at least one whole
+    block, so a per-block equi-join finds ALL such pairs (recall 1.0
+    by construction, unlike MinHash-LSH's probabilistic recall) and
+    only candidates pay the popcount verify. Returns (id_a, id_b,
+    hamming) for pairs with hamming <= max_hamming.
+
+    REQUIRES max_hamming < n_bands for the recall guarantee.
+
+    Scale: the block join is the same banded single-join shape as
+    :func:`minhash_lsh_candidates` — one shuffle of n_bands·n skinny
+    rows. Block width sets bucket fan-in: at corpus scale use 64-bit
+    simhash with 4×16-bit blocks (65 536 values/block, Manku's
+    configuration); the 32-bit/8-bit-block default here matches the
+    catalog's 32-bit portable simhash and is verified cross-engine.
+    A degenerate block value (e.g. near-empty docs all hashing 0)
+    concentrates a bucket; exact-dedup upstream and block-width
+    choice are the controls, same playbook as the LSH guard."""
+    if max_hamming >= n_bands:
+        raise ValueError("recall guarantee needs max_hamming < n_bands")
+    assert bits % n_bands == 0
+    block = bits // n_bands
+    sig = df.select(
+        F.col(id_col), simhash_bits(text, bits=bits).cast("long").alias("_sh")
+    )
+    kv = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("_sh"), b * block)
+                .bitwiseAND(F.lit((1 << block) - 1))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    d = sig.select(id_col, "_sh", F.explode(kv).alias("bk")).select(
+        id_col, "_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = d.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"), "band", "key")
+    b = d.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"), "band", "key")
+    cand = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sha", "_shb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def connected_components(
@@ -355,6 +482,36 @@ def jaccard_pairs(
     return j.select(
         "id_a",
         "id_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Verify candidate pairs with ASYMMETRIC word-set containment
+    |A∩B| / |A| (A = id_a side) alongside Jaccard. Containment is the
+    subset-duplication detector Jaccard misses: a short doc quoted
+    wholesale inside a long one has containment ~1.0 but Jaccard
+    ~|A|/|B| — the standard reason dedup pipelines (e.g. Lee et al.
+    2022 §4) report both. Exact integer-cardinality divisions,
+    bit-identical cross-engine. Rows with an empty id_a word set are
+    dropped (containment undefined)."""
+    w = df.select(F.col(id_col), distinct_words(text).alias("ws"))
+    a = w.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a"))
+    b = w.select(F.col(id_col).alias("id_b"), F.col("ws").alias("ws_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b").filter(F.size("ws_a") > 0)
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size(F.array_union("ws_a", "ws_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / F.size("ws_a").cast("double")).alias(
+            "containment"
+        ),
         (inter.cast("double") / union.cast("double")).alias("jaccard"),
     )
 

@@ -642,6 +642,7 @@ from wq_data_pipeline_spark.plans.queries_r6o import ORACLES24, QUERIES24  # noq
 from wq_data_pipeline_spark.plans.queries_r6p import ORACLES25, QUERIES25  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r8 import ORACLES26, QUERIES26  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r9 import ORACLES27, QUERIES27  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r9b import ORACLES28, QUERIES28  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -739,6 +740,8 @@ QUERIES.update(QUERIES26)
 ORACLES.update(ORACLES26)
 QUERIES.update(QUERIES27)
 ORACLES.update(ORACLES27)
+QUERIES.update(QUERIES28)
+ORACLES.update(ORACLES28)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
@@ -760,6 +763,14 @@ ORACLES.update(ORACLES27)
 # (a1, a4-a7, w1-w9, w17 — 2 rounds stale, next in rotation). All
 # tail entries remain covered by the local sf0.01 pytest oracle
 # mirror (test_oracle.py).
+#
+# r10 window plan (freeze at the start of r10): head with the six
+# entries added after this window froze — forget_user_sweep,
+# kanon_audit (queries_r9.py) and batch 28 (cdc_time_travel,
+# incremental_dedup, key_skew_profile, containment_pairs,
+# dedup_keep_best, simhash_near_pairs — queries_r9b.py), all
+# sf0.01-oracle-green in-suite but never driver-checked — then
+# rotate the r6-green QC veterans and the r5 entries deferred above.
 _DRIVER_WINDOW = [
     "token_entropy",
     "ngram_novelty",
