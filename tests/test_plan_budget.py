@@ -54,6 +54,12 @@ BUDGETS = {
     # block-band unpivot + one banded self-join (same shape family as
     # minhash_lsh_pairs, no signature groupBy: simhash is per-row)
     "simhash_near_pairs": (2, 1, 2),
+    # lo-matview derivation (in-plan stand-in for the stored matview —
+    # production pays only the changes_between branch) + delta agg +
+    # final join
+    "incremental_agg_maintenance": (9, 4, 0),
+    # one (key, side-of-horizon) window + one bucket rollup
+    "vacuum_plan": (4, 1, 0),
     "line_dedup": (2, 1, 2),
     # assignment pinned at construction (narrow max_by argmax); final
     # plan = within-cluster self-join + dup agg/join

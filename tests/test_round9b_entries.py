@@ -295,17 +295,23 @@ def test_simhash_pairs_match_brute_force(spark, tmp_path):
     _write_docs(spark, tmp_path, docs)
     d = spark.read.parquet(f"{tmp_path}/documents.parquet")
     sigs = {
-        r.doc_id: r.sh
+        r.doc_id: (r.sh0, r.sh1)
         for r in d.select(
-            "doc_id", DD.simhash_bits("text", bits=32).cast("long").alias("sh")
+            "doc_id",
+            DD.simhash_bits("text", 32, DD.SIMHASH_SALTS[0]).cast("long").alias("sh0"),
+            DD.simhash_bits("text", 32, DD.SIMHASH_SALTS[1]).cast("long").alias("sh1"),
         ).collect()
     }
     ids = sorted(sigs)
+    ham = lambda a, b: (
+        bin(sigs[a][0] ^ sigs[b][0]).count("1")
+        + bin(sigs[a][1] ^ sigs[b][1]).count("1")
+    )
     expect = {
-        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        (a, b, ham(a, b))
         for i, a in enumerate(ids)
         for b in ids[i + 1 :]
-        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        if ham(a, b) <= 3
     }
     got = {
         (r.id_a, r.id_b, r.hamming)
@@ -392,6 +398,108 @@ def test_compaction_preserves_mor_view(spark, tmp_path):
         (x.user_id, x.event_type): (x.ts_us, x.value) for x in df.collect()
     }
     assert view(after) == view(before)
+
+
+def test_ivm_matches_brute_force_direct_agg(spark, tmp_path):
+    """The IVM law on a seeded random change stream: the maintained
+    aggregate (lo matview + change deltas) must equal a pure-Python
+    direct aggregation of the resolved view at hi — including
+    delete/re-insert keys and no-op keys the delta table must skip."""
+    import random
+
+    rng = random.Random(31337)
+    rows = []
+    for eid in range(1, 401):
+        k = rng.randrange(30)
+        rows.append(
+            (eid, _t(rng.randrange(0, 5000)), k, f"t{k % 4}",
+             round(rng.uniform(-50, 50), 2))
+        )
+    _write_events(spark, tmp_path, rows)
+
+    us = [int(r[1].timestamp() * 1_000_000) for r in rows]
+    t0, t1 = min(us), max(us)
+    hi = t0 + (t1 - t0) * 7 // 10
+    by_key: dict = {}
+    for (eid, _ts, uid, et, val), u in zip(rows, us):
+        if u <= hi:
+            by_key.setdefault((uid, et), []).append(
+                (u, eid, val, "D" if eid % 5 == 0 else "U")
+            )
+    expect: dict = {}
+    for (uid, et), recs in by_key.items():
+        win = max(recs)
+        if win[3] == "U":
+            n, s = expect.get(et, (0, 0))
+            expect[et] = (n + 1, s + round(win[2] * 100))
+    got = {
+        r.event_type: (r.n_keys, r.sum_cents)
+        for r in R9B.q_incremental_agg_maintenance(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+    assert expect
+
+
+def test_ivm_handles_delete_and_reinsert(spark, tmp_path):
+    """Targeted delta cases on a hand-built stream (span 0..100 min,
+    lo = +40, hi = +70): update inside the window (dn 0, dsum
+    post−pre), delete of a live key (−1, −pre), insert of a
+    never-seen key (+1, +post), delete→re-insert across lo, and a
+    no-op key (absent at lo, deleted in window)."""
+    rows = [
+        # A: live at lo (v 10.00), updated to 12.50 in window
+        (1, _t(0), 1, "a", 10.0),
+        (6, _t(50), 1, "a", 12.5),
+        # B: live at lo (v 3.00), deleted in window (id%5==0)
+        (2, _t(10), 2, "a", 3.0),
+        (10, _t(60), 2, "a", 0.0),
+        # C: never seen before, inserted in window (v 7.25)
+        (3, _t(55), 3, "a", 7.25),
+        # D: deleted BEFORE lo (winner at lo is D), re-inserted in window
+        (5, _t(20), 4, "a", 1.0),  # id 5 -> D marker
+        (7, _t(65), 4, "a", 2.0),
+        # E: absent at lo, deleted in window -> net no-op
+        (15, _t(45), 5, "a", 9.9),  # id 15 -> D marker
+        # span stretcher (other group, after hi)
+        (4, _t(100), 9, "z", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: (r.n_keys, r.sum_cents)
+        for r in R9B.q_incremental_agg_maintenance(spark, str(tmp_path)).collect()
+    }
+    # at hi: A=12.50, C=7.25, D=2.00 live; B deleted; E never lived
+    assert got["a"] == (3, 1250 + 725 + 200)
+    assert "z" not in got or got["z"] == (0, 0)  # z's insert is after hi
+
+
+def test_vacuum_plan_hand_computed(spark, tmp_path):
+    """Span 0..100 min -> horizon at +70. Key A's t0 and t50 records
+    are superseded by its t60 winner (2 vacuumable, one of them a
+    tombstone); the t60 winner stays; B's horizon winner is a
+    tombstone and stays; records after the horizon always stay."""
+    rows = [
+        # key A (user 1): t0 U, t50 D (id 10), t60 U winner, t80 U (post)
+        (1, _t(0), 1, "a", 1.0),
+        (10, _t(50), 1, "a", 2.0),
+        (6, _t(60), 1, "a", 3.0),
+        (7, _t(80), 1, "a", 4.0),
+        # key B (user 2): t10 U superseded, t65 D winner (tombstone kept)
+        (2, _t(10), 2, "a", 5.0),
+        (15, _t(65), 2, "a", 6.0),
+        # span stretcher (user 33 -> bucket 1, same as user 1)
+        (3, _t(100), 33, "z", 7.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r.bucket: (r.n_records, r.n_vacuumable, r.n_tombstones_vacuumable)
+        for r in R9B.q_vacuum_plan(spark, str(tmp_path)).collect()
+    }
+    # bucket 1 = users 1 and 33: 5 records; A's t0 (U) and t50 (D)
+    # vacuumable; A's t60 winner, t80 post-horizon, 33's t100 stay
+    assert out[1] == (5, 2, 1)
+    # bucket 2 = user 2: t10 vacuumable, t65 tombstone winner stays
+    assert out[2] == (2, 1, 0)
 
 
 def test_containment_operator_matches_python_sets(spark):

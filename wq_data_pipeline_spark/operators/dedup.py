@@ -265,12 +265,17 @@ def incremental_lsh_candidates(
     )
 
 
-def simhash_bits(text: str | Column, bits: int = 16) -> Column:
+def simhash_bits(text: str | Column, bits: int = 16, salt: str = "") -> Column:
     """SimHash over the distinct word set: bit j of the hash is the
     sign of sum over words of (+1 if bit j of md5(word) else -1).
     Returns the integer simhash. Bit j of a word's md5 = parity test
-    on hex digit j (deterministic, engine-portable)."""
+    on hex digit j (deterministic, engine-portable). ``salt`` appends
+    a literal to each word before hashing — md5 yields 32 hex digits,
+    so one expression caps at 32 bits; wider fingerprints concatenate
+    independently-salted words (see :func:`simhash_hamming_pairs`)."""
     words = distinct_words(text)
+    if salt:
+        words = F.transform(words, lambda w: F.concat(w, F.lit(salt)))
     odd_hex = ("1", "3", "5", "7", "9", "b", "d", "f")
     acc = F.lit(0)
     for j in range(bits):
@@ -285,68 +290,105 @@ def simhash_bits(text: str | Column, bits: int = 16) -> Column:
     return acc
 
 
+SIMHASH_SALTS = ("", "#2")  # per-word salts for the fingerprint words
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
+    n_words: int = 2,
+    word_bits: int = 32,
     n_bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-dup pairs via Hamming-block banding (Manku et al.
-    2007, WWW — Google's web-dedup scheme): split the ``bits``-bit
-    simhash into ``n_bands`` equal blocks; by pigeonhole, any pair
-    within Hamming distance < n_bands agrees on at least one whole
-    block, so a per-block equi-join finds ALL such pairs (recall 1.0
-    by construction, unlike MinHash-LSH's probabilistic recall) and
-    only candidates pay the popcount verify. Returns (id_a, id_b,
-    hamming) for pairs with hamming <= max_hamming.
+    2007, WWW — Google's web-dedup scheme): the fingerprint is
+    ``n_words`` independently-salted ``word_bits``-bit simhashes
+    (md5 gives 32 portable bits per expression; 2×32 = the 64-bit
+    production width) split into ``n_bands`` equal blocks. By
+    pigeonhole, any pair within Hamming distance < n_bands agrees on
+    at least one whole block, so a per-block equi-join finds ALL such
+    pairs (recall 1.0 by construction, unlike MinHash-LSH's
+    probabilistic recall) and only block collisions pay the popcount
+    verify. Returns (id_a, id_b, hamming), hamming over the full
+    fingerprint, pairs <= max_hamming.
 
     REQUIRES max_hamming < n_bands for the recall guarantee.
 
     Scale: the block join is the same banded single-join shape as
     :func:`minhash_lsh_candidates` — one shuffle of n_bands·n skinny
-    rows. Block width sets bucket fan-in: at corpus scale use 64-bit
-    simhash with 4×16-bit blocks (65 536 values/block, Manku's
-    configuration); the 32-bit/8-bit-block default here matches the
-    catalog's 32-bit portable simhash and is verified cross-engine.
-    A degenerate block value (e.g. near-empty docs all hashing 0)
-    concentrates a bucket; exact-dedup upstream and block-width
-    choice are the controls, same playbook as the LSH guard."""
+    rows. Chance block collisions grow as n²/2^block_bits, so block
+    width is THE scale knob: the default 4×16-bit blocks (Manku's
+    configuration, 65 536 values/block) keep the verify linear-ish
+    until ~10⁷ docs per band value; 8-bit blocks measured 10×
+    superlinear at 50k docs before this default. Pairs beyond the
+    radius die map-side inside the join's codegen stage (popcount
+    before distinct) and never shuffle. A degenerate block value
+    (near-empty docs hashing alike) concentrates a bucket;
+    exact-dedup upstream is the control, same playbook as the LSH
+    guard."""
     if max_hamming >= n_bands:
         raise ValueError("recall guarantee needs max_hamming < n_bands")
-    assert bits % n_bands == 0
-    block = bits // n_bands
-    sig = df.select(
-        F.col(id_col), simhash_bits(text, bits=bits).cast("long").alias("_sh")
+    total_bits = n_words * word_bits
+    assert total_bits % n_bands == 0
+    block = total_bits // n_bands
+    assert block <= word_bits and word_bits % block == 0, (
+        "blocks must not straddle fingerprint words"
     )
+    assert n_words <= len(SIMHASH_SALTS)
+    sh_cols = [
+        simhash_bits(text, bits=word_bits, salt=SIMHASH_SALTS[i])
+        .cast("long")
+        .alias(f"_sh{i}")
+        for i in range(n_words)
+    ]
+    sig = df.select(F.col(id_col), *sh_cols)
+    blocks_per_word = word_bits // block
     kv = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("_sh"), b * block)
+                F.shiftright(
+                    F.col(f"_sh{b // blocks_per_word}"),
+                    (b % blocks_per_word) * block,
+                )
                 .bitwiseAND(F.lit((1 << block) - 1))
                 .alias("key"),
             )
             for b in range(n_bands)
         ]
     )
-    d = sig.select(id_col, "_sh", F.explode(kv).alias("bk")).select(
-        id_col, "_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    names = [f"_sh{i}" for i in range(n_words)]
+    d = sig.select(id_col, *names, F.explode(kv).alias("bk")).select(
+        id_col, *names, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a = d.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"), "band", "key")
-    b = d.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"), "band", "key")
-    cand = (
+    a = d.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(n).alias(f"_a{i}") for i, n in enumerate(names)],
+        "band",
+        "key",
+    )
+    b = d.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(n).alias(f"_b{i}") for i, n in enumerate(names)],
+        "band",
+        "key",
+    )
+    ham = sum(
+        (
+            F.bit_count(F.col(f"_a{i}").bitwiseXOR(F.col(f"_b{i}"))).cast("long")
+            for i in range(n_words)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return (
         a.join(b, on=["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sha", "_shb")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).cast("long")
-    return (
-        cand.withColumn("hamming", ham)
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

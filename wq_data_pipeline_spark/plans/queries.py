@@ -768,9 +768,10 @@ ORACLES.update(ORACLES28)
 # entries added after this window froze — forget_user_sweep,
 # kanon_audit (queries_r9.py) and batch 28 (cdc_time_travel,
 # incremental_dedup, key_skew_profile, containment_pairs,
-# dedup_keep_best, simhash_near_pairs — queries_r9b.py), all
-# sf0.01-oracle-green in-suite but never driver-checked — then
-# rotate the r6-green QC veterans and the r5 entries deferred above.
+# dedup_keep_best, simhash_near_pairs, incremental_agg_maintenance,
+# vacuum_plan — queries_r9b.py), all sf0.01-oracle-green in-suite
+# but never driver-checked — then rotate the r6-green QC veterans
+# and the r5 entries deferred above.
 _DRIVER_WINDOW = [
     "token_entropy",
     "ngram_novelty",

@@ -340,12 +340,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", DD.simhash_bits("text", bits=16).alias("simhash"))
 
 
-def _simhash_sql_bits(bits: int = 16) -> str:
+def _simhash_sql_bits(bits: int = 16, salt: str = "") -> str:
+    w = f"w || '{salt}'" if salt else "w"
     terms = []
     for j in range(bits):
         terms.append(
             f"(CASE WHEN 2 * list_sum(list_transform(ws, w -> "
-            f"CASE WHEN substr(md5(w), {j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END)) "
+            f"CASE WHEN substr(md5({w}), {j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END)) "
             f"- len(ws) > 0 THEN {1 << j} ELSE 0 END)"
         )
     return " + ".join(terms)

@@ -521,37 +521,42 @@ WINDOW kept AS (PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC
 
 # --- simhash_near_pairs -----------------------------------------------------
 
-_SH_BITS = 32
-_SH_BANDS = 4
+_SH_WORD_BITS = 32
+_SH_WORDS = 2  # 64-bit fingerprint = two independently-salted 32-bit words
+_SH_BANDS = 4  # -> 16-bit blocks, Manku's production configuration
 _SH_MAXH = 3
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance <= 3 via
-    Hamming-block banding (Manku et al. 2007): the 32-bit portable
-    simhash (same hash as the ``simhash`` entry, widened) split into
-    4×8-bit blocks; distance <= 3 < 4 blocks guarantees agreement on
-    a whole block (pigeonhole), so the per-block equi-join has recall
-    1.0 — deterministic, unlike MinHash-LSH's probabilistic banding —
-    and only block-collisions pay the popcount verify. At corpus
-    scale the deployment shape is 64-bit simhash with 4×16-bit blocks
-    (65 536-way bucket spread); 32/8 here keeps the oracle's
-    per-bit SQL expansion tractable."""
+    Hamming-block banding (Manku et al. 2007): a 64-bit fingerprint
+    (two independently-salted 32-bit portable simhashes — md5 yields
+    32 usable bits per expression) split into 4×16-bit blocks;
+    distance <= 3 < 4 blocks guarantees agreement on a whole block
+    (pigeonhole), so the per-block equi-join has recall 1.0 —
+    deterministic, unlike MinHash-LSH's probabilistic banding — and
+    only block collisions pay the popcount verify, map-side, before
+    any shuffle. 16-bit blocks are the scale knob: chance collisions
+    grow n²/65 536 (the 8-bit-block prototype measured 10×
+    superlinear at 50k docs; this shape re-measured ~linear)."""
     d = _docs_parallel(spark, sf_dir)
     return DD.simhash_hamming_pairs(
         d,
         "text",
         "doc_id",
-        bits=_SH_BITS,
+        n_words=_SH_WORDS,
+        word_bits=_SH_WORD_BITS,
         n_bands=_SH_BANDS,
         max_hamming=_SH_MAXH,
     )
 
 
 def _sh_band_sql() -> str:
-    block = _SH_BITS // _SH_BANDS
+    block = _SH_WORDS * _SH_WORD_BITS // _SH_BANDS
+    per_word = _SH_WORD_BITS // block
     parts = [
-        f"SELECT doc_id, sh, {b} AS band, (sh // {1 << (b * block)}) % {1 << block} AS key FROM s"
+        f"SELECT doc_id, sh0, sh1, {b} AS band, "
+        f"(sh{b // per_word} // {1 << ((b % per_word) * block)}) % {1 << block} AS key FROM s"
         for b in range(_SH_BANDS)
     ]
     return "\n  UNION ALL\n  ".join(parts)
@@ -559,18 +564,216 @@ def _sh_band_sql() -> str:
 
 SQL_SIMHASH_NEAR_PAIRS = f"""{SQL_WORDS},
 d AS (SELECT doc_id, list_distinct(toks) AS ws FROM w),
-s AS (SELECT doc_id, CAST({_simhash_sql_bits(_SH_BITS)} AS BIGINT) AS sh FROM d),
+s AS (SELECT doc_id,
+        CAST({_simhash_sql_bits(_SH_WORD_BITS, DD.SIMHASH_SALTS[0])} AS BIGINT) AS sh0,
+        CAST({_simhash_sql_bits(_SH_WORD_BITS, DD.SIMHASH_SALTS[1])} AS BIGINT) AS sh1
+      FROM d),
 bands AS (
   {_sh_band_sql()}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.sh AS sha, b.sh AS shb
+         a.sh0 AS a0, a.sh1 AS a1, b.sh0 AS b0, b.sh1 AS b1
   FROM bands a JOIN bands b USING (band, key)
   WHERE a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sha, shb)) <= {_SH_MAXH}"""
+SELECT id_a, id_b,
+       CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS BIGINT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= {_SH_MAXH}"""
+
+
+# --- incremental_agg_maintenance --------------------------------------------
+
+
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the CDC stream — the
+    materialized-aggregate law, executed: a per-event_type aggregate
+    (live keys, sum of values in integer cents) materialized at
+    version lo (4/10 cut) is MAINTAINED to version hi (7/10) by
+    applying only the net change set (``cdc_changes_between``):
+    insert → (+1, +post), delete → (−1, −pre), update → (0,
+    post−pre). The DuckDB oracle computes the hi aggregate DIRECTLY
+    from the resolved view, so the driver's hash equality IS the IVM
+    law cross-engine: maintain(agg(lo), changes(lo,hi)) == agg(hi).
+
+    This is how a 100-TB pipeline keeps dashboards current: the
+    maintenance side touches |changed keys| rows (here the lo
+    aggregate is derived in-plan because nothing is persisted between
+    driver queries; in production it is the stored matview), never
+    re-aggregating the table. Delete/re-insert, no-op keys (absent
+    before AND deleted within the window), and pre-image-less inserts
+    all flow through the change-type table — the cases that break
+    naive delta scripts.
+
+    Exactness: counts are BIGINT; value sums use the repo's integer-
+    cents convention (CAST(round(value*100) AS BIGINT)), so the
+    maintained and direct sums are bit-identical."""
+    from wq_data_pipeline_spark.plans.queries_r9 import (
+        _records,
+        q_cdc_changes_between,
+    )
+
+    r = _records(spark, sf_dir)
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")
+    view_lo = (
+        r.filter(F.col("ts_us") <= F.col("_lo_us"))
+        .withColumn("_rn", F.row_number().over(_latest(_KEY)))
+        .filter((F.col("_rn") == 1) & (F.col("op") == "U"))
+    )
+    agg_lo = view_lo.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_lo"),
+        F.sum(cents("value")).alias("sum_lo"),
+    )
+    ch = q_cdc_changes_between(spark, sf_dir)
+    delta = ch.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("change_type") == "insert", 1)
+            .when(F.col("change_type") == "delete", -1)
+            .otherwise(0)
+        ).alias("dn"),
+        F.sum(
+            F.coalesce(cents("post_value"), F.lit(0))
+            - F.coalesce(cents("pre_value"), F.lit(0))
+        ).alias("dsum"),
+    )
+    return (
+        agg_lo.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n_lo", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long")
+            .alias("n_keys"),
+            (F.coalesce("sum_lo", F.lit(0)) + F.coalesce("dsum", F.lit(0)))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# the oracle is the DIRECT aggregate at hi — equality proves the
+# maintenance path
+SQL_INCREMENTAL_AGG_MAINTENANCE = f"""
+WITH r AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+         CASE WHEN event_id % 5 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+span AS (
+  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) * 7 // {_DEN} AS cut_us
+  FROM r
+),
+v AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT r.*, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM r, span WHERE ts_us <= cut_us
+  ) WHERE rn = 1 AND op = 'U'
+)
+SELECT event_type,
+       count(*) AS n_keys,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM v GROUP BY event_type ORDER BY event_type"""
+
+
+# --- vacuum_plan -------------------------------------------------------------
+
+
+def q_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-retention vacuum planner (Delta VACUUM / Iceberg
+    expire_snapshots semantics): with every version at or after the
+    oldest retained cut (7/10 of the span) retained for time travel,
+    a change record is UNREACHABLE — safe to vacuum — iff it is at or
+    before the retained horizon AND not its key's winner there
+    (superseded before any retained version can see it). Winners stay
+    even when they are delete markers: reading the horizon version
+    from raw records needs the tombstone. Records after the horizon
+    always stay (some retained version sees each). Emits the per-
+    bucket rewrite economics: record counts, vacuumable share, and
+    how many vacuumable records are tombstones (a delete-heavy purge
+    shrinks files the most).
+
+    Scale: one key-window shuffle (the winner rank at the horizon) +
+    one map-side-combinable rollup to 32 bucket rows — the same
+    shape family as ``compaction_plan``."""
+    r = _records_vac(spark, sf_dir)
+    horizon = F.col("ts_us") <= F.col("_h_us")
+    w = Window.partitionBy(*_KEY, "_pre").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    d = (
+        r.withColumn("_pre", horizon)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("vacuumable", F.col("_pre") & (F.col("_rn") > 1))
+    )
+    return (
+        d.groupBy((F.col("user_id") % 32).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.col("vacuumable").cast("long")).alias("n_vacuumable"),
+            F.sum(
+                (F.col("vacuumable") & (F.col("op") == "D")).cast("long")
+            ).alias("n_tombstones_vacuumable"),
+        )
+        .select(
+            "bucket",
+            "n_records",
+            "n_vacuumable",
+            "n_tombstones_vacuumable",
+            F.round(
+                F.col("n_vacuumable").cast("double")
+                / F.col("n_records").cast("double"),
+                6,
+            ).alias("vacuum_pct"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _records_vac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC records with the retention horizon (7/10 cut) broadcast on."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    span = ev.agg(
+        F.min("ts_us").alias("_t0"), F.max("ts_us").alias("_t1")
+    ).select(F.expr(f"_t0 + (_t1 - _t0) * 7 DIV {_DEN}").alias("_h_us"))
+    return ev.join(F.broadcast(span))
+
+
+SQL_VACUUM_PLAN = f"""
+WITH r AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN event_id % 5 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+span AS (
+  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) * 7 // {_DEN} AS h_us
+  FROM r
+),
+d AS (
+  SELECT r.*, ts_us <= h_us AS pre,
+         row_number() OVER (PARTITION BY user_id, event_type, ts_us <= h_us
+                            ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM r, span
+)
+SELECT user_id % 32 AS bucket,
+       count(*) AS n_records,
+       CAST(sum(CASE WHEN pre AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_vacuumable,
+       CAST(sum(CASE WHEN pre AND rn > 1 AND op = 'D' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tombstones_vacuumable,
+       round(CAST(sum(CASE WHEN pre AND rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS vacuum_pct
+FROM d GROUP BY 1 ORDER BY 1"""
 
 
 QUERIES28: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -580,6 +783,8 @@ QUERIES28: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": q_containment_pairs,
     "dedup_keep_best": q_dedup_keep_best,
     "simhash_near_pairs": q_simhash_near_pairs,
+    "incremental_agg_maintenance": q_incremental_agg_maintenance,
+    "vacuum_plan": q_vacuum_plan,
 }
 
 ORACLES28: dict[str, str] = {
@@ -589,4 +794,6 @@ ORACLES28: dict[str, str] = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
+    "incremental_agg_maintenance": SQL_INCREMENTAL_AGG_MAINTENANCE,
+    "vacuum_plan": SQL_VACUUM_PLAN,
 }
