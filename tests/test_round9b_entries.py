@@ -248,6 +248,89 @@ def test_containment_detects_subset_duplication(spark, tmp_path):
     assert j == pytest.approx(10 / 40)
 
 
+def test_incremental_candidates_consistent_with_self_join(spark):
+    """Consistency law between the two LSH forms (seeded random word
+    soups, 3 trials): with the hot-bucket guard off, the incremental
+    batch->corpus candidates must be EXACTLY the cross-side subset of
+    the self-join candidates over the union — the incremental
+    operator changes the join topology, never the candidate set."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        vocab = [f"v{i}" for i in range(25)]
+        docs = []
+        for i in range(1, 31):
+            k = rng.randrange(len(vocab) - 8)
+            words = vocab[k : k + 5 + rng.randrange(4)]
+            if rng.random() < 0.3:
+                rng.shuffle(words)
+            docs.append((i, " ".join(words)))
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        new_df = d.filter(F.col("doc_id") % 3 == 0)
+        corp_df = d.filter(F.col("doc_id") % 3 != 0)
+        inc = {
+            (r.new_id, r.corpus_id)
+            for r in DD.incremental_lsh_candidates(
+                new_df, corp_df, num_hashes=8, rows_per_band=2, max_df=None
+            ).collect()
+        }
+        full = {
+            (r.id_a, r.id_b)
+            for r in DD.minhash_lsh_candidates(
+                d, num_hashes=8, rows_per_band=2, max_df=None
+            ).collect()
+        }
+        cross = {
+            (a, b) if a % 3 == 0 else (b, a)
+            for (a, b) in full
+            if (a % 3 == 0) != (b % 3 == 0)
+        }
+        assert inc == cross, f"seed {seed}: {inc ^ cross}"
+
+
+def test_simhash_recall_law_random_trials(spark):
+    """Seeded-random recall-law trials (3 seeds × 25 docs): banded
+    pairs == all pairs at Hamming <= 3, fingerprints recomputed in
+    plain Python from the operator's own signature columns."""
+    import random
+
+    for seed in (11, 12, 13):
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(40)]
+        docs = []
+        for i in range(1, 26):
+            k = rng.randrange(30)
+            docs.append((i, " ".join(vocab[k : k + 6 + rng.randrange(5)])))
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        sigs = {
+            r.doc_id: (r.s0, r.s1)
+            for r in d.select(
+                "doc_id",
+                DD.simhash_bits("text", 32, DD.SIMHASH_SALTS[0])
+                .cast("long").alias("s0"),
+                DD.simhash_bits("text", 32, DD.SIMHASH_SALTS[1])
+                .cast("long").alias("s1"),
+            ).collect()
+        }
+        ids = sorted(sigs)
+        ham = lambda a, b: (
+            bin(sigs[a][0] ^ sigs[b][0]).count("1")
+            + bin(sigs[a][1] ^ sigs[b][1]).count("1")
+        )
+        expect = {
+            (a, b, ham(a, b))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if ham(a, b) <= 3
+        }
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in DD.simhash_hamming_pairs(d).collect()
+        }
+        assert got == expect, f"seed {seed}"
+
+
 def test_dedup_keep_best_planted_policy(spark, tmp_path):
     """Three word-set-identical variants of different lengths: the
     LONGEST wins canonical (not the min id); an unrelated doc is its

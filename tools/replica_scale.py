@@ -34,6 +34,9 @@ DEFAULT_ENTRIES = [
     "corpus_shuffle",
     "quality_deciles",
     "image_ahash",
+    # r9 wave-2 heavies (batch 28)
+    "incremental_dedup",
+    "simhash_near_pairs",
 ]
 
 
