@@ -66,7 +66,16 @@ def _prior_medians(here: str) -> dict[str, float]:
         cands = glob.glob(os.path.join(here, "BENCH_LOCAL*.json"))
         if not cands:
             return {}
-        path = max(cands, key=os.path.getmtime)
+        # tie-break toward the canonical BENCH_LOCAL.json: a fresh
+        # checkout stamps every committed record with ONE mtime, and
+        # plain max-by-mtime then picks an arbitrary (possibly
+        # rounds-old) snapshot as "prior" — the r9 run that let an
+        # image_ahash 21 s excursion through compared it against the
+        # r8 record's 25 s instead of the previous run's 1.6 s
+        canonical = os.path.join(here, "BENCH_LOCAL.json")
+        path = max(
+            cands, key=lambda p: (os.path.getmtime(p), p == canonical)
+        )
     try:
         with open(path) as f:
             return dict(json.load(f).get("queries", {}))

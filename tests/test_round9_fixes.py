@@ -132,6 +132,25 @@ def test_bench_prior_medians_absent(tmp_path, monkeypatch):
     assert bench._prior_medians(str(tmp_path)) == {}
 
 
+def test_bench_prior_medians_mtime_tie_prefers_canonical(tmp_path, monkeypatch):
+    """A fresh checkout stamps every committed BENCH_LOCAL*.json with
+    ONE mtime; the tie must resolve to BENCH_LOCAL.json (the previous
+    run), not an arbitrary rounds-old snapshot — the r9 bug that let
+    an image_ahash 21 s excursion through unadjudicated (compared
+    against the r8 snapshot's 25 s instead of the prior run's 1.6 s)."""
+    import os
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_PRIOR", raising=False)
+    old = tmp_path / "BENCH_LOCAL_r08.json"
+    old.write_text(json.dumps({"queries": {"q": 25.0}}))
+    cur = tmp_path / "BENCH_LOCAL.json"
+    cur.write_text(json.dumps({"queries": {"q": 1.6}}))
+    os.utime(old, (100, 100))
+    os.utime(cur, (100, 100))  # identical mtimes, checkout-style
+    assert bench._prior_medians(str(tmp_path)) == {"q": 1.6}
+
+
 # ---------------------------------------------- sen_slope_c rounding
 
 
