@@ -139,6 +139,21 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # Python-path warmup, symmetric with the JVM warmup above: the
+    # Arrow/Pandas-UDF entries pay worker spin-up PLUS the per-worker
+    # import of the shipped package zip on their first (and any
+    # post-reap) execution — measured 15.4 s cold vs 1.4 s warm on
+    # image_ahash, the source of its recurring 21-25 s sweep medians.
+    # One tiny mapInPandas over 32 partitions forces every worker to
+    # import the package before anything is timed.
+    def _py_warm(batches):
+        from wq_data_pipeline_spark.operators import multimodal  # noqa: F401
+
+        yield from batches
+
+    spark.range(0, 64, 1, 32).mapInPandas(_py_warm, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     order = sorted(queries)
     runs: dict[str, list[float]] = {name: [] for name in order}
