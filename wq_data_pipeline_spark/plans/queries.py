@@ -746,32 +746,37 @@ ORACLES.update(ORACLES28)
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
 # latest driver-green row fresh (<= ~2 rounds stale). Round-9 window
-# (VERDICT r8 #1): the 6 never-driver-checked batch-26 entries first
-# (token_entropy .. theil_sen_trend — all judge-verified hash-green
-# at sf0.01 in the r8 session), the 3 brand-new batch-27 CDC/
-# merge-on-read entries, and keepone_removal (its r8-green row
-# describes the pre-sweep counting path — superseded-code rule),
-# then the r5-stale SURVEY-§2 QC block
+# (VERDICT r8 #1, updated after the wave-2/3 additions landed while
+# the round was still open): EVERY never-driver-checked entry first
+# — the 6 batch-26 entries (token_entropy .. theil_sen_trend, all
+# judge-verified hash-green at sf0.01 in the r8 session), the
+# batch-27 CDC/merge-on-read trio, forget_user_sweep + kanon_audit,
+# and batch 28 (queries_r9b.py) — 19 in all, every one sf0.01 AND
+# sf0.1 oracle-green in-suite, so after r9 every catalog entry has a
+# driver row. Then keepone_removal (its r8-green row describes the
+# pre-sweep counting path — superseded-code rule), then the r5-stale
+# SURVEY-§2 QC block
 # (a3/a6_diff/a8/a9/j3/qc_accepted/sentem_flags/w12/w13/w16 — the
-# oldest driver rows in the catalog, 3 rounds), then 34 of the 36
-# remaining r5-green veterans. Deferred to r10 for space:
-# layout_compare + zorder_layout (storage-layout demos whose pruning
-# behavior is plan-asserted in pytest), minhash_signatures/bpe_apply/
-# embed_ivf_topk (families still represented in-window by
-# minhash_lsh_pairs, bpe_train, embed_cosine_topk), props_json, and
-# the r6 QC veteran block
-# (a1, a4-a7, w1-w9, w17 — 2 rounds stale, next in rotation). All
-# tail entries remain covered by the local sf0.01 pytest oracle
+# oldest driver rows in the catalog), then 20 of the remaining
+# r5-green veterans. Deferred to r10 for space (families all still
+# represented in-window): tpch_q1/q3/q5/q6 (five TPC-H rows were
+# driver-greened in r8), simhash + jaccard_pairs (simhash_near_pairs
+# / minhash_lsh_pairs / containment_pairs carry the bit + Jaccard
+# math), fingerprint_dedup (exact_dedup shares the fp columns),
+# text_token_stats + sliding_rollup + multimodal_meta (tail mirrors
+# of text_quality / hypertable_rollup / multimodal_decode), plus the
+# r5 entries already deferred (layout_compare, zorder_layout,
+# minhash_signatures, bpe_apply, embed_ivf_topk, props_json) and the
+# r6 QC veteran block (a1, a4-a7, w1-w9, w17 — next in rotation).
+# All tail entries remain covered by the local sf0.01 pytest oracle
 # mirror (test_oracle.py).
 #
-# r10 window plan (freeze at the start of r10): head with the six
-# entries added after this window froze — forget_user_sweep,
-# kanon_audit (queries_r9.py) and batch 28 (cdc_time_travel,
-# incremental_dedup, key_skew_profile, containment_pairs,
-# dedup_keep_best, simhash_near_pairs, incremental_agg_maintenance,
-# vacuum_plan — queries_r9b.py), all sf0.01-oracle-green in-suite
-# but never driver-checked — then rotate the r6-green QC veterans
-# and the r5 entries deferred above.
+# r10 window plan (freeze at the start of r10): head with anything
+# added in r10, then the r6-green QC veterans (a1, a4-a7, w1-w9,
+# w17), then the deferrals above (tpch_q1/q3/q5/q6, simhash,
+# jaccard_pairs, fingerprint_dedup, text_token_stats,
+# sliding_rollup, multimodal_meta, layout_compare, zorder_layout,
+# minhash_signatures, bpe_apply, embed_ivf_topk, props_json).
 _DRIVER_WINDOW = [
     "token_entropy",
     "ngram_novelty",
@@ -782,6 +787,16 @@ _DRIVER_WINDOW = [
     "cdc_merge_on_read",
     "cdc_changes_between",
     "compaction_plan",
+    "forget_user_sweep",
+    "kanon_audit",
+    "cdc_time_travel",
+    "incremental_dedup",
+    "key_skew_profile",
+    "containment_pairs",
+    "dedup_keep_best",
+    "simhash_near_pairs",
+    "incremental_agg_maintenance",
+    "vacuum_plan",
     "keepone_removal",
     "a3_step_infer",
     "a6_diff_quantiles",
@@ -803,25 +818,15 @@ _DRIVER_WINDOW = [
     "doc_filter",
     "embed_cosine_topk",
     "exact_dedup",
-    "fingerprint_dedup",
     "hash_split",
     "hypertable_rollup",
-    "jaccard_pairs",
     "lang_id",
     "minhash_lsh_pairs",
     "mix_report",
-    "multimodal_meta",
     "repetition_stats",
     "sessionize",
-    "simhash",
-    "sliding_rollup",
     "text_quality",
-    "text_token_stats",
     "token_budget_fill",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
     "unigram_logprob",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
