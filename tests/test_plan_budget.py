@@ -60,6 +60,16 @@ BUDGETS = {
     "incremental_agg_maintenance": (9, 4, 0),
     # one (key, side-of-horizon) window + one bucket rollup
     "vacuum_plan": (4, 1, 0),
+    # fp hash agg + split rollup + 3-row sort; collect_set (bounded at
+    # 3 splits) keeps the distinct-split count out of a distinct-agg
+    # expand, so the corpus shuffles ONCE on fp
+    "leak_free_split": (3, 0, 0),
+    # one per-source window sort; the rollup groups by the window's
+    # partition key and reuses its exchange; + 20-row output sort
+    "domain_top_cap": (2, 0, 0),
+    # repartition spread + one feature-key window; the two mapInPandas
+    # stages are narrow (no shuffle between encode and decode)
+    "audio_energy": (2, 0, 0),
     "line_dedup": (2, 1, 2),
     # assignment pinned at construction (narrow max_by argmax); final
     # plan = within-cluster self-join + dup agg/join

@@ -1,0 +1,238 @@
+"""Round-9 third-wave pins: batch 29 (queries_r9c.py).
+
+Hand-computed semantics + brute-force laws on synthetic fixtures; the
+sf-oracle equivalence is pinned by test_oracle.py. These pin what the
+oracle can't: the group-never-tears split law against an independent
+pure-Python replication, cap admission under planted ties, and the
+audio feature math against a codec-free direct computation (so a
+codec round-trip bug and a feature bug can't cancel).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+from pyspark.sql import functions as F
+
+from wq_data_pipeline_spark.plans import queries_r9c as R9C
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, path, rows):
+    """rows: (doc_id, text, lang, source); n_chars derived."""
+    full = [(i, t, lg, s, len(t)) for (i, t, lg, s) in rows]
+    spark.createDataFrame(full, _DOC_SCHEMA).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+
+# --- pure-Python replications (independent of the Spark/DuckDB code) --------
+
+
+def _py_fp(text: str) -> str:
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    return hashlib.md5(" ".join(sorted(set(toks))).encode()).hexdigest()
+
+
+def _py_bucket(hexstr: str) -> int:
+    return int(hexstr[:8], 16) % 100
+
+
+def _py_split(bucket: int) -> str:
+    return "train" if bucket < 80 else ("val" if bucket < 90 else "test")
+
+
+def _py_doc_split(doc_id: int) -> str:
+    return _py_split(_py_bucket(hashlib.md5(str(doc_id).encode()).hexdigest()))
+
+
+# --- leak_free_split ---------------------------------------------------------
+
+
+def test_leak_free_split_matches_python_brute_force(spark, tmp_path):
+    """Planted corpus: dup group A (3 members — same word SET via
+    reordering/case/repetition), dup group B (2 members), singletons.
+    The engine report must equal a full pure-Python replication
+    (fingerprints, buckets, split rule, leak audit) — and by
+    construction no group may span two splits."""
+    rows = [
+        (1, "alpha beta gamma", "en", "s0"),
+        (2, "gamma  beta alpha", "en", "s0"),  # same set, reordered
+        (3, "Beta ALPHA gamma beta", "en", "s1"),  # case + repetition
+        (40, "delta epsilon", "en", "s1"),
+        (41, "epsilon delta delta", "en", "s2"),
+        (100, "unique words here", "en", "s2"),
+        (101, "another singleton doc", "en", "s0"),
+        (102, "yet more text", "en", "s1"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r["split"]: r.asDict()
+        for r in R9C.q_leak_free_split(spark, str(tmp_path)).collect()
+    }
+
+    groups: dict[str, list[tuple[int, str]]] = {}
+    for i, t, _lg, _s in rows:
+        groups.setdefault(_py_fp(t), []).append((i, t))
+    # sanity: the planted dup groups actually collide
+    sizes = sorted(len(v) for v in groups.values())
+    assert sizes == [1, 1, 1, 2, 3]
+
+    exp: dict[str, dict[str, int]] = {}
+    for fp, members in groups.items():
+        s = _py_split(_py_bucket(fp))
+        e = exp.setdefault(
+            s,
+            {
+                "n_groups": 0,
+                "n_docs": 0,
+                "sum_chars": 0,
+                "n_dup_docs": 0,
+                "n_naive_leaky_groups": 0,
+            },
+        )
+        e["n_groups"] += 1
+        e["n_docs"] += len(members)
+        e["sum_chars"] += sum(len(t) for (_i, t) in members)
+        if len(members) > 1:
+            e["n_dup_docs"] += len(members)
+        if len({_py_doc_split(i) for (i, _t) in members}) > 1:
+            e["n_naive_leaky_groups"] += 1
+
+    assert set(got) == set(exp)
+    for s, e in exp.items():
+        for k, v in e.items():
+            assert got[s][k] == v, (s, k, got[s], e)
+
+
+def test_leak_free_split_flags_naive_leak(spark, tmp_path):
+    """Force a naive-leaky group: two docs with the same word set whose
+    doc ids land in different naive splits — the audit must count it
+    (this is the exact leak a per-doc hash split ships)."""
+    text = "shared duplicated content words"
+    # scan ids until two fall in different naive splits
+    ids = []
+    for i in range(1, 2000):
+        if not ids:
+            ids.append(i)
+        elif _py_doc_split(i) != _py_doc_split(ids[0]):
+            ids.append(i)
+            break
+    assert len(ids) == 2
+    rows = [(ids[0], text, "en", "s0"), (ids[1], text + " ", "en", "s1")]
+    _write_docs(spark, tmp_path, rows)
+    out = R9C.q_leak_free_split(spark, str(tmp_path)).collect()
+    assert len(out) == 1  # one group -> one split row: never torn
+    r = out[0].asDict()
+    assert r["n_groups"] == 1 and r["n_docs"] == 2
+    assert r["n_dup_docs"] == 2 and r["n_naive_leaky_groups"] == 1
+
+
+# --- domain_top_cap ----------------------------------------------------------
+
+
+def test_domain_top_cap_brute_force_with_ties(spark, tmp_path):
+    """26 docs in one source with TIED lengths around the cap edge
+    (doc_id breaks the tie), plus a small source under the cap
+    (nothing dropped, dropped_chars NULL)."""
+    rows = []
+    # source 'big': lengths 30,30,...  ids 1..26 — rank ties broken by id
+    for i in range(1, 27):
+        rows.append((i, "x" * (30 - (i % 3)), "en", "big"))
+    # source 'tiny': 3 docs, cap doesn't bind
+    for i in range(100, 103):
+        rows.append((i, "y" * (5 + i % 4), "en", "tiny"))
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r["source"]: r.asDict()
+        for r in R9C.q_domain_top_cap(spark, str(tmp_path)).collect()
+    }
+
+    docs = [(i, len(t), s) for (i, t, _lg, s) in rows]
+    for src in ("big", "tiny"):
+        mine = sorted(
+            [(n, i) for (i, n, s) in docs if s == src],
+            key=lambda p: (-p[0], p[1]),
+        )
+        kept = mine[: R9C._CAP]
+        dropped = mine[R9C._CAP :]
+        g = got[src]
+        assert g["n_docs"] == len(mine)
+        assert g["n_kept"] == len(kept)
+        assert g["n_dropped"] == len(dropped)
+        assert g["kept_chars"] == sum(n for (n, _i) in kept)
+        assert g["dropped_chars"] == (
+            sum(n for (n, _i) in dropped) if dropped else None
+        )
+        assert g["cutoff_chars"] == min(n for (n, _i) in kept)
+
+
+# --- audio_energy ------------------------------------------------------------
+
+
+def _py_audio_features(text: str) -> dict:
+    """Codec-FREE direct computation from the md5 sample chain — the
+    engine path goes md5 -> wav_encode -> stdlib decode -> features,
+    so equality here proves the WAV round-trip AND the feature math
+    independently of the SQL oracle."""
+    seed = hashlib.md5(text.encode()).hexdigest()
+    raw = b"".join(
+        hashlib.md5(f"{seed}:{c}".encode()).digest() for c in range(R9C._N_CHUNKS)
+    )
+    vals = [v for (v,) in struct.iter_unpack("<h", raw)]
+    return {
+        "n_frames": len(vals),
+        "sample_rate": R9C._RATE,
+        "sum_abs": sum(abs(v) for v in vals),
+        "sum_sq": sum(v * v for v in vals),
+        "peak_abs": max(abs(v) for v in vals),
+        "n_zero_cross": sum(1 for a, b in zip(vals, vals[1:]) if a * b < 0),
+    }
+
+
+def test_audio_energy_matches_direct_python(spark, tmp_path):
+    rows = [
+        (1, "the quick brown fox", "en", "s0"),
+        (2, "jumps over the lazy dog", "en", "s0"),
+        (3, "the quick brown fox", "en", "s1"),  # byte-dup of doc 1
+        (4, "completely different text body", "en", "s1"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r["media_id"]: r.asDict()
+        for r in R9C.q_audio_energy(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    for i, t, _lg, _s in rows:
+        exp = _py_audio_features(t)
+        for k, v in exp.items():
+            assert got[i][k] == v, (i, k, got[i], exp)
+    # identical text -> identical clip -> dup-bucket count 2
+    assert got[1]["n_same_clip"] == 2 and got[3]["n_same_clip"] == 2
+    assert got[2]["n_same_clip"] == 1 and got[4]["n_same_clip"] == 1
+
+
+def test_audio_features_window_word_rejects_nonpcm16(spark):
+    """Contract guard: the real-codec path refuses what it can't decode
+    exactly (8-bit PCM here), mirroring decode_media's behavior."""
+    import io
+    import wave
+
+    import pytest as _pytest
+
+    from wq_data_pipeline_spark.operators.multimodal import audio_features
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(1)  # 8-bit: not the supported 16-bit shape
+        f.setframerate(8000)
+        f.writeframes(bytes(range(16)))
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="16-bit mono PCM"):
+        audio_features(df).collect()

@@ -643,6 +643,7 @@ from wq_data_pipeline_spark.plans.queries_r6p import ORACLES25, QUERIES25  # noq
 from wq_data_pipeline_spark.plans.queries_r8 import ORACLES26, QUERIES26  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r9 import ORACLES27, QUERIES27  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r9b import ORACLES28, QUERIES28  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r9c import ORACLES29, QUERIES29  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -742,6 +743,8 @@ QUERIES.update(QUERIES27)
 ORACLES.update(ORACLES27)
 QUERIES.update(QUERIES28)
 ORACLES.update(ORACLES28)
+QUERIES.update(QUERIES29)
+ORACLES.update(ORACLES29)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
@@ -751,18 +754,21 @@ ORACLES.update(ORACLES28)
 # — the 6 batch-26 entries (token_entropy .. theil_sen_trend, all
 # judge-verified hash-green at sf0.01 in the r8 session), the
 # batch-27 CDC/merge-on-read trio, forget_user_sweep + kanon_audit,
-# and batch 28 (queries_r9b.py) — 19 in all, every one sf0.01 AND
-# sf0.1 oracle-green in-suite, so after r9 every catalog entry has a
-# driver row. Then keepone_removal (its r8-green row describes the
+# batch 28 (queries_r9b.py), and batch 29 (queries_r9c.py) — 22 in
+# all, every one sf0.01 AND sf0.1 oracle-green in-suite, so after r9
+# every catalog entry has a driver row. Then keepone_removal (its
+# r8-green row describes the
 # pre-sweep counting path — superseded-code rule), then the r5-stale
 # SURVEY-§2 QC block
 # (a3/a6_diff/a8/a9/j3/qc_accepted/sentem_flags/w12/w13/w16 — the
-# oldest driver rows in the catalog), then 20 of the remaining
+# oldest driver rows in the catalog), then 17 of the remaining
 # r5-green veterans. Deferred to r10 for space (families all still
 # represented in-window): tpch_q1/q3/q5/q6 (five TPC-H rows were
 # driver-greened in r8), simhash + jaccard_pairs (simhash_near_pairs
 # / minhash_lsh_pairs / containment_pairs carry the bit + Jaccard
-# math), fingerprint_dedup (exact_dedup shares the fp columns),
+# math), fingerprint_dedup + exact_dedup (leak_free_split and
+# incremental_dedup pay the same fingerprint agg), mix_report +
+# sessionize (token_budget_fill / stream session mirrors cover them),
 # text_token_stats + sliding_rollup + multimodal_meta (tail mirrors
 # of text_quality / hypertable_rollup / multimodal_decode), plus the
 # r5 entries already deferred (layout_compare, zorder_layout,
@@ -797,6 +803,9 @@ _DRIVER_WINDOW = [
     "simhash_near_pairs",
     "incremental_agg_maintenance",
     "vacuum_plan",
+    "leak_free_split",
+    "domain_top_cap",
+    "audio_energy",
     "keepone_removal",
     "a3_step_infer",
     "a6_diff_quantiles",
@@ -817,14 +826,11 @@ _DRIVER_WINDOW = [
     "dedup_clusters",
     "doc_filter",
     "embed_cosine_topk",
-    "exact_dedup",
     "hash_split",
     "hypertable_rollup",
     "lang_id",
     "minhash_lsh_pairs",
-    "mix_report",
     "repetition_stats",
-    "sessionize",
     "text_quality",
     "token_budget_fill",
     "unigram_logprob",

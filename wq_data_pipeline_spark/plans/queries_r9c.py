@@ -1,0 +1,351 @@
+"""Catalog batch 29 (round 9, third wave): three gaps a production
+training-data pipeline hits that the catalog's neighbors don't cover —
+
+- ``leak_free_split``  — dup-GROUP-aware train/val/test split: the
+  whole order-insensitive-fingerprint group lands in ONE split
+  (bucketed by the group fingerprint, not the doc id), plus an audit
+  of how many groups a naive per-doc split (``hash_split``'s rule)
+  would have torn across splits — i.e. the train→test leakage a
+  doc-id split silently ships. ``hash_split`` is the reproducible
+  per-doc primitive; ``decontaminate`` checks against an EXTERNAL
+  benchmark; this is the third leg: self-leakage between splits.
+- ``domain_top_cap``   — per-source HARD cap of the top-N docs by
+  rank (longest first, doc_id tiebreak): the RefinedWeb/C4-style
+  truncation knob, vs ``domain_rebalance``'s rate-based sampling.
+  Real deployments plug any rank key (quality score, recency); the
+  cap/report shape is identical.
+- ``audio_energy``     — waveform analytics through the REAL codec
+  path (the audio sibling of ``image_ahash``): deterministic 16-bit
+  mono PCM clips (samples = md5 chain seeded by the document's
+  content digest) are ENCODED with the stdlib ``wave`` writer,
+  decoded back, and reduced to exact-integer loudness/activity
+  features (sum |v|, sum v², peak, strict zero crossings) that
+  double as a playback-dup key.
+
+Exactness: every emitted measure is an integer (BIGINT counts/sums,
+INT peak); no doubles anywhere in the batch, so value hashes cannot
+flake on accumulation order.
+
+Scale: leak_free_split is two map-side-combinable hash aggs (fp
+group, then split rollup) — the corpus never joins back; domain_top_cap
+is ONE per-source window sort whose grouping rollup reuses the same
+partitioning; audio_energy is two chained narrow mapInPandas stages
+(no shuffle between) + one feature-key window — Python-constant-bound
+by design, like image_ahash.
+
+Reference scope: the reference engine (WalterHet/wq_data_pipeline)
+has no dedup/curation/multimodal surface; these extend the SURVEY §2.7
+text-function and multimodal families per the round brief.
+
+Oracle notes: the WAV clip is replayed in DuckDB straight from the
+md5 chain (16-bit PCM round-trips losslessly through the stdlib
+codec — pinned by tests/test_codecs.py), little-endian signed pairs
+decoded as u - 65536 when u >= 32768; the lag-product zero-crossing
+stays inside INT32 (32768² < 2³¹). sample_rate is read from the WAV
+header engine-side and is a constant 8000 oracle-side, so the header
+round-trip is cross-checked too.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from wq_data_pipeline_spark.operators.text import doc_fingerprint
+from wq_data_pipeline_spark.plans.queries_ext import SQL_WORDS, _docs_parallel
+from wq_data_pipeline_spark.sources.testdata import load_table
+
+# --- leak_free_split --------------------------------------------------------
+
+# same 80/10/10 bucket rule as hash_split, applied to the GROUP key
+_TRAIN_LT = 80
+_VAL_LT = 90
+
+
+def _split_of(bucket):  # Column -> Column
+    return (
+        F.when(bucket < _TRAIN_LT, F.lit("train"))
+        .when(bucket < _VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _md5_bucket(col) -> "F.Column":
+    """First 8 hex chars of an md5 string -> bucket in [0, 100)."""
+    return (
+        F.conv(F.substring(col, 1, 8), 16, 10).cast("long") % 100
+    )
+
+
+def q_leak_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-group-aware train/val/test split + leakage audit. Every doc
+    carries (a) its exact-dup group key — the order-insensitive word-set
+    fingerprint shared by content duplicates — and (b) the naive
+    per-doc split ``hash_split`` would assign from md5(doc_id). The
+    GROUP split is bucketed from the group fingerprint itself, so all
+    members of a dup group land in one split by construction (the law
+    pinned in tests/test_round9c_entries.py); a group is *naive-leaky*
+    if its members' per-doc splits disagree — exactly the groups a
+    doc-id split would tear across train/test, turning held-out docs
+    into memorized training dupes.
+
+    Per split: group/doc/char counts, docs in multi-doc groups, and
+    the naive-leaky group count. Scale: one fingerprint hash agg (the
+    same shuffle ``exact_dedup`` pays) feeding a 3-row rollup; the
+    corpus text never joins back and nothing is collected."""
+    d = load_table(spark, sf_dir, "documents")
+    naive = _split_of(
+        _md5_bucket(F.md5(F.col("doc_id").cast("string")))
+    )
+    per_doc = d.select(
+        doc_fingerprint("text").alias("fp"),
+        naive.alias("naive_split"),
+        "n_chars",
+    )
+    # size(collect_set) instead of countDistinct: the set is bounded at
+    # 3 splits so state is O(1), and it avoids the distinct-agg expand
+    # (one exchange fewer — (fp, split) pre-shuffle eliminated)
+    g = per_doc.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.size(F.collect_set("naive_split")).cast("long").alias("n_naive_splits"),
+    )
+    return (
+        g.select(
+            _split_of(_md5_bucket(F.col("fp"))).alias("split"),
+            "n_docs",
+            "sum_chars",
+            "n_naive_splits",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_chars").cast("long").alias("sum_chars"),
+            F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum((F.col("n_naive_splits") > 1).cast("long")).alias(
+                "n_naive_leaky_groups"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_LEAK_FREE_SPLIT = f"""{SQL_WORDS},
+pd AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {_TRAIN_LT} THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {_VAL_LT} THEN 'val'
+              ELSE 'test' END AS naive_split,
+         n_chars
+  FROM w
+),
+g AS (
+  SELECT fp,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(count(DISTINCT naive_split) AS BIGINT) AS n_naive_splits
+  FROM pd GROUP BY fp
+)
+SELECT CASE WHEN ('0x' || substr(fp, 1, 8))::BIGINT % 100 < {_TRAIN_LT} THEN 'train'
+            WHEN ('0x' || substr(fp, 1, 8))::BIGINT % 100 < {_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(sum(CASE WHEN n_naive_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_naive_leaky_groups
+FROM g GROUP BY 1 ORDER BY 1"""
+
+
+# --- domain_top_cap ---------------------------------------------------------
+
+_CAP = 15  # binds at every SF (25 docs/source at sf0.01, 250 at sf0.1)
+
+
+def q_domain_top_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hard cap: keep the top-``_CAP`` docs per source by
+    rank (n_chars DESC, doc_id ASC tiebreak — deterministic on any
+    engine), report per source what survived and the admission cutoff.
+    This is the RefinedWeb/C4-style per-domain truncation that stops a
+    single crawl domain from dominating the mix — the CAP complement
+    of ``domain_rebalance``'s rate-based keep. Real deployments swap
+    the rank key for a quality score; the window/report shape is
+    identical.
+
+    Scale: ONE window sort partitioned by source (parallelism scales
+    with source cardinality; a skewed mega-source is exactly the
+    ``key_skew_profile`` → salting case), and the rollup groups by the
+    window's own partition key so it reuses that exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    r = d.select(
+        "source", "doc_id", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    kept = F.col("rk") <= _CAP
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum((~kept).cast("long")).alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars"))).cast("long").alias("kept_chars"),
+            F.sum(F.when(~kept, F.col("n_chars")))
+            .cast("long")
+            .alias("dropped_chars"),
+            F.min(F.when(kept, F.col("n_chars"))).cast("long").alias("cutoff_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOMAIN_TOP_CAP = f"""
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rk <= {_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rk > {_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN rk <= {_CAP} THEN n_chars END) AS BIGINT) AS kept_chars,
+       CAST(sum(CASE WHEN rk > {_CAP} THEN n_chars END) AS BIGINT) AS dropped_chars,
+       CAST(min(CASE WHEN rk <= {_CAP} THEN n_chars END) AS BIGINT) AS cutoff_chars
+FROM r GROUP BY source ORDER BY source"""
+
+
+# --- audio_energy -----------------------------------------------------------
+
+_N_CHUNKS = 32  # md5 digests per clip; 8 int16 samples each -> 256 frames
+_RATE = 8000
+
+
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analytics through the REAL codec path: deterministic
+    16-bit mono PCM clips (256 samples, little-endian int16 pairs from
+    an md5 chain seeded by the document's content digest) are ENCODED
+    with the stdlib ``wave`` writer, decoded back, and reduced to the
+    exact-integer waveform features of
+    :func:`multimodal.audio_features` — sum |v|, sum v², peak |v|,
+    strict zero crossings. Duplicate documents produce byte-identical
+    clips, so n_same_clip (count of clips sharing the full feature
+    row) mirrors content dedup through the audio pipeline end-to-end —
+    the WAV twin of ``image_ahash``.
+
+    ORACLED despite the codec: 16-bit PCM round-trips losslessly
+    (pinned by tests/test_codecs.py), so DuckDB replays the expected
+    samples straight from the md5 chain and recomputes the all-integer
+    features; sample_rate comes from the decoded header engine-side vs
+    the constant oracle-side, cross-checking the header too. Scale
+    shape: two chained narrow mapInPandas stages (no shuffle between),
+    then one window over the feature key."""
+    from wq_data_pipeline_spark.operators.multimodal import audio_features
+    from pyspark.sql import types as T
+
+    d = _docs_parallel(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def _render(batches):
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        from wq_data_pipeline_spark.operators.codecs import wav_encode
+
+        for pdf in batches:
+            out = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                seed = hashlib.md5(str(text).encode()).hexdigest()
+                raw = b"".join(
+                    hashlib.md5(f"{seed}:{c}".encode()).digest()
+                    for c in range(_N_CHUNKS)
+                )
+                samples = [v for (v,) in struct.iter_unpack("<h", raw)]
+                out.append(
+                    {"media_id": int(mid), "content": wav_encode(samples, rate=_RATE)}
+                )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    feats = audio_features(d.mapInPandas(_render, media_schema))
+    wdup = Window.partitionBy("sum_abs", "sum_sq", "peak_abs", "n_zero_cross")
+    return feats.select(
+        "media_id",
+        "n_frames",
+        "sample_rate",
+        "sum_abs",
+        "sum_sq",
+        "peak_abs",
+        "n_zero_cross",
+        F.count(F.lit(1)).over(wdup).alias("n_same_clip"),
+    )
+
+
+# Replay: md5 hex digit pairs -> bytes; sample k of chunk c is bytes
+# (2k, 2k+1) of md5(seed:c) little-endian -> u = b0 + 256*b1, signed
+# v = u - 65536 when u >= 32768 (two's complement int16). Every
+# feature is integer; v*lag(v) stays within INT32.
+SQL_AUDIO_ENERGY = f"""
+WITH s AS (SELECT doc_id AS media_id, md5(text) AS seed FROM documents),
+idx AS (SELECT unnest(generate_series(0, {_N_CHUNKS * 8 - 1})) AS i),
+u AS (
+  SELECT s.media_id, idx.i,
+         ('0x' || substr(md5(s.seed || ':' || CAST(idx.i // 8 AS VARCHAR)),
+                         (idx.i % 8) * 4 + 1, 2))::INT
+       + 256 * ('0x' || substr(md5(s.seed || ':' || CAST(idx.i // 8 AS VARCHAR)),
+                               (idx.i % 8) * 4 + 3, 2))::INT AS uv
+  FROM s CROSS JOIN idx
+),
+v AS (
+  SELECT media_id, i,
+         CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v
+  FROM u
+),
+z AS (
+  SELECT media_id, v,
+         CASE WHEN v * lag(v) OVER (PARTITION BY media_id ORDER BY i) < 0
+              THEN 1 ELSE 0 END AS zc
+  FROM v
+),
+f AS (
+  SELECT media_id,
+         CAST(count(*) AS BIGINT) AS n_frames,
+         CAST({_RATE} AS INTEGER) AS sample_rate,
+         CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+         CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+         CAST(max(abs(v)) AS INTEGER) AS peak_abs,
+         CAST(sum(zc) AS BIGINT) AS n_zero_cross
+  FROM z GROUP BY media_id
+)
+SELECT media_id, n_frames, sample_rate, sum_abs, sum_sq, peak_abs,
+       n_zero_cross,
+       count(*) OVER (PARTITION BY sum_abs, sum_sq, peak_abs, n_zero_cross)
+         AS n_same_clip
+FROM f"""
+
+
+QUERIES29: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "leak_free_split": q_leak_free_split,
+    "domain_top_cap": q_domain_top_cap,
+    "audio_energy": q_audio_energy,
+}
+
+ORACLES29: dict[str, str] = {
+    "leak_free_split": SQL_LEAK_FREE_SPLIT,
+    "domain_top_cap": SQL_DOMAIN_TOP_CAP,
+    "audio_energy": SQL_AUDIO_ENERGY,
+}
