@@ -70,6 +70,11 @@ BUDGETS = {
     # repartition spread + one feature-key window; the two mapInPandas
     # stages are narrow (no shuffle between encode and decode)
     "audio_energy": (2, 0, 0),
+    # 1-row span agg + per-key conditional agg + event_type rollup +
+    # 5-row sort; the one-pass OCC form — the naive two-filter
+    # self-join shuffles the log three times and materializes the
+    # conflict set as join output
+    "txn_conflict_check": (4, 1, 0),
     "line_dedup": (2, 1, 2),
     # assignment pinned at construction (narrow max_by argmax); final
     # plan = within-cluster self-join + dup agg/join

@@ -170,6 +170,52 @@ def test_domain_top_cap_brute_force_with_ties(spark, tmp_path):
         assert g["cutoff_chars"] == min(n for (n, _i) in kept)
 
 
+# --- txn_conflict_check -------------------------------------------------------
+
+
+def test_txn_conflict_hand_computed(spark, tmp_path):
+    """Span 0..100 min -> txn window opens at +40. Planted keys:
+    K1 written by BOTH txns inside the window (conflict), K2 only by
+    A, K3 only by B, K4 only BEFORE the window (invisible), K5 only
+    by residue-0 records (not part of either txn)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+
+    def t(m):
+        return base + dt.timedelta(minutes=m)
+
+    # event_id residue picks the txn: %3==1 -> A, %3==2 -> B, %3==0 -> neither
+    rows = [
+        # span anchors (residue 0, key K5: counted in span, not in txns)
+        (300, t(0), 5, "k", 0.0),
+        (303, t(100), 5, "k", 0.0),
+        # K1: A (id 7 -> %3=1) and B (id 8 -> %3=2) both write at +50/+60
+        (7, t(50), 1, "k", 1.0),
+        (8, t(60), 1, "k", 2.0),
+        # K2: only A writes in-window
+        (13, t(70), 2, "k", 3.0),
+        # K3: only B writes in-window
+        (14, t(80), 3, "k", 4.0),
+        # K4: A writes BEFORE the window opens (+10) — invisible
+        (16, t(10), 4, "k", 5.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).coalesce(2).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = R9C.q_txn_conflict_check(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r == {
+        "event_type": "k",
+        "n_keys_a": 2,  # K1, K2
+        "n_keys_b": 2,  # K1, K3
+        "n_conflict_keys": 1,  # K1
+        "n_clean_keys": 2,  # K2, K3
+    }
+
+
 # --- audio_energy ------------------------------------------------------------
 
 

@@ -1,4 +1,4 @@
-"""Catalog batch 29 (round 9, third wave): three gaps a production
+"""Catalog batch 29 (round 9, third wave): four gaps a production
 training-data pipeline hits that the catalog's neighbors don't cover —
 
 - ``leak_free_split``  — dup-GROUP-aware train/val/test split: the
@@ -21,6 +21,10 @@ training-data pipeline hits that the catalog's neighbors don't cover —
   decoded back, and reduced to exact-integer loudness/activity
   features (sum |v|, sum v², peak, strict zero crossings) that
   double as a playback-dup key.
+- ``txn_conflict_check`` — optimistic-concurrency write-write
+  conflict detection between two concurrent change sets (the
+  Delta/Iceberg commit-validation shape), pinned to the one-pass
+  conditional-agg form instead of the naive two-filter self-join.
 
 Exactness: every emitted measure is an integer (BIGINT counts/sums,
 INT peak); no doubles anywhere in the batch, so value hashes cannot
@@ -338,14 +342,109 @@ SELECT media_id, n_frames, sample_rate, sum_abs, sum_sq, peak_abs,
 FROM f"""
 
 
+# --- txn_conflict_check -----------------------------------------------------
+
+# two "concurrent transactions" carved from the change-log tail
+# (ts_us above the 4/10 base cut, the same framing as the batch-27
+# CDC entries): txn A = event_id % 3 == 1, txn B = event_id % 3 == 2
+_TXN_LO_NUM = 4
+_TXN_DEN = 10
+
+
+def q_txn_conflict_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency commit check — the validation Delta /
+    Iceberg run before committing one of two concurrent transactions:
+    do the write sets intersect? Two txns are carved from the change
+    log's tail (disjoint event_id residues, so they are genuinely
+    concurrent writers over overlapping keys); per event_type the
+    report counts each txn's written keys, the write-write conflict
+    keys (both txns wrote the key — the serializable-isolation abort
+    set), and the disjoint remainder that would commit cleanly.
+
+    Scale shape: the naive form filters the log twice and inner-joins
+    the two key sets — THREE shuffles of the same records plus a join
+    whose output is the conflict set itself. This entry pins the
+    one-pass form: a single per-key conditional aggregation (wrote_a /
+    wrote_b as max-of-case flags) followed by a rollup on the key's
+    own grouping prefix — the conflict set never materializes as join
+    output, and the log shuffles ONCE.
+
+    Reference scope: the reference engine has no transactional
+    surface; this completes the lakehouse family (merge_upsert →
+    cdc_* → vacuum_plan → conflict check)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    span = ev.agg(
+        F.min("ts_us").alias("_t0"), F.max("ts_us").alias("_t1")
+    ).select(
+        F.expr(f"_t0 + (_t1 - _t0) * {_TXN_LO_NUM} DIV {_TXN_DEN}").alias(
+            "_lo_us"
+        )
+    )
+    tail = ev.join(F.broadcast(span)).filter(F.col("ts_us") > F.col("_lo_us"))
+    res = F.col("event_id") % 3
+    per_key = (
+        tail.filter(res.isin(1, 2))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.max((res == 1).cast("int")).alias("wrote_a"),
+            F.max((res == 2).cast("int")).alias("wrote_b"),
+        )
+    )
+    both = (F.col("wrote_a") == 1) & (F.col("wrote_b") == 1)
+    return (
+        per_key.groupBy("event_type")
+        .agg(
+            F.sum("wrote_a").cast("long").alias("n_keys_a"),
+            F.sum("wrote_b").cast("long").alias("n_keys_b"),
+            F.sum(both.cast("long")).alias("n_conflict_keys"),
+            F.sum((~both).cast("long")).alias("n_clean_keys"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TXN_CONFLICT_CHECK = f"""
+WITH r AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+span AS (
+  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) * {_TXN_LO_NUM} // {_TXN_DEN}
+           AS lo_us
+  FROM r
+),
+pk AS (
+  SELECT event_type, user_id,
+         max(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END) AS wrote_a,
+         max(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) AS wrote_b
+  FROM r, span
+  WHERE ts_us > lo_us AND event_id % 3 IN (1, 2)
+  GROUP BY event_type, user_id
+)
+SELECT event_type,
+       CAST(sum(wrote_a) AS BIGINT) AS n_keys_a,
+       CAST(sum(wrote_b) AS BIGINT) AS n_keys_b,
+       CAST(sum(CASE WHEN wrote_a = 1 AND wrote_b = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_conflict_keys,
+       CAST(sum(CASE WHEN wrote_a = 1 AND wrote_b = 1 THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_clean_keys
+FROM pk GROUP BY event_type ORDER BY event_type"""
+
+
 QUERIES29: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leak_free_split": q_leak_free_split,
     "domain_top_cap": q_domain_top_cap,
     "audio_energy": q_audio_energy,
+    "txn_conflict_check": q_txn_conflict_check,
 }
 
 ORACLES29: dict[str, str] = {
     "leak_free_split": SQL_LEAK_FREE_SPLIT,
     "domain_top_cap": SQL_DOMAIN_TOP_CAP,
     "audio_energy": SQL_AUDIO_ENERGY,
+    "txn_conflict_check": SQL_TXN_CONFLICT_CHECK,
 }
