@@ -170,6 +170,104 @@ def test_domain_top_cap_brute_force_with_ties(spark, tmp_path):
         assert g["cutoff_chars"] == min(n for (n, _i) in kept)
 
 
+def test_leak_free_split_random_corpora_match_brute_force(spark, tmp_path):
+    """Seeded-random property test: random corpora with planted dup
+    groups (shuffled/case-mangled word sets), whitespace-only and
+    empty texts included — the engine report must equal the
+    pure-Python replication on every trial."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    vocab = [f"w{k}" for k in range(30)]
+    for trial in range(3):
+        rows = []
+        did = 0
+        for g in range(rng.randint(4, 8)):
+            base = rng.sample(vocab, rng.randint(1, 6))
+            for _m in range(rng.randint(1, 4)):
+                words = base[:]
+                rng.shuffle(words)
+                words += [rng.choice(base).upper() for _ in range(rng.randint(0, 2))]
+                did += rng.randint(1, 9)
+                rows.append((did, "  ".join(words), "en", f"s{g % 3}"))
+        did += 1
+        rows.append((did, "   ", "en", "s0"))  # whitespace-only -> empty set
+        did += 2
+        rows.append((did, "", "en", "s1"))  # empty text, same empty set
+        _write_docs(spark, tmp_path / f"t{trial}", rows)
+        got = {
+            r["split"]: r.asDict()
+            for r in R9C.q_leak_free_split(
+                spark, str(tmp_path / f"t{trial}")
+            ).collect()
+        }
+        groups: dict[str, list[tuple[int, str]]] = {}
+        for i, t, _lg, _s in rows:
+            groups.setdefault(_py_fp(t), []).append((i, t))
+        exp: dict[str, dict[str, int]] = {}
+        for fp, members in groups.items():
+            s = _py_split(_py_bucket(fp))
+            e = exp.setdefault(
+                s,
+                dict.fromkeys(
+                    [
+                        "n_groups",
+                        "n_docs",
+                        "sum_chars",
+                        "n_dup_docs",
+                        "n_naive_leaky_groups",
+                    ],
+                    0,
+                ),
+            )
+            e["n_groups"] += 1
+            e["n_docs"] += len(members)
+            e["sum_chars"] += sum(len(t) for (_i, t) in members)
+            if len(members) > 1:
+                e["n_dup_docs"] += len(members)
+            if len({_py_doc_split(i) for (i, _t) in members}) > 1:
+                e["n_naive_leaky_groups"] += 1
+        assert set(got) == set(exp), trial
+        for s, e in exp.items():
+            for k, v in e.items():
+                assert got[s][k] == v, (trial, s, k, got[s], e)
+
+
+def test_domain_top_cap_random_sizes_and_ties(spark, tmp_path):
+    """Seeded-random property test: random per-source sizes straddling
+    the cap, heavy length ties — per-source report must equal the
+    brute-force top-CAP selection on every trial."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    for trial in range(3):
+        rows = []
+        did = 0
+        for s in range(rng.randint(2, 5)):
+            for _ in range(rng.randint(1, 2 * R9C._CAP + 5)):
+                did += rng.randint(1, 3)
+                rows.append((did, "x" * rng.randint(1, 6), "en", f"s{s}"))
+        _write_docs(spark, tmp_path / f"t{trial}", rows)
+        got = {
+            r["source"]: r.asDict()
+            for r in R9C.q_domain_top_cap(spark, str(tmp_path / f"t{trial}")).collect()
+        }
+        by_src: dict[str, list[tuple[int, int]]] = {}
+        for i, t, _lg, s in rows:
+            by_src.setdefault(s, []).append((len(t), i))
+        assert set(got) == set(by_src), trial
+        for s, docs in by_src.items():
+            mine = sorted(docs, key=lambda p: (-p[0], p[1]))
+            kept, dropped = mine[: R9C._CAP], mine[R9C._CAP :]
+            g = got[s]
+            assert g["n_kept"] == len(kept) and g["n_dropped"] == len(dropped)
+            assert g["kept_chars"] == sum(n for (n, _i) in kept)
+            assert g["dropped_chars"] == (
+                sum(n for (n, _i) in dropped) if dropped else None
+            )
+            assert g["cutoff_chars"] == min(n for (n, _i) in kept)
+
+
 # --- txn_conflict_check -------------------------------------------------------
 
 
