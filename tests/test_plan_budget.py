@@ -75,6 +75,12 @@ BUDGETS = {
     # self-join shuffles the log three times and materializes the
     # conflict set as join output
     "txn_conflict_check": (4, 1, 0),
+    # repartition spread + (query,dim) rank window + (query,neighbor)
+    # membership window + distinct-agg expand pair + 4-row sort; ONE
+    # Generate (the per-dim struct explode). The rank⋈rank join form
+    # re-executed the corpus-scoring chain per consumer (E=11, G=3) —
+    # the membership WINDOW keeps it a single chain
+    "mrl_recall": (6, 1, 1),
     "line_dedup": (2, 1, 2),
     # assignment pinned at construction (narrow max_by argmax); final
     # plan = within-cluster self-join + dup agg/join

@@ -359,6 +359,78 @@ def test_audio_energy_matches_direct_python(spark, tmp_path):
     assert got[2]["n_same_clip"] == 1 and got[4]["n_same_clip"] == 1
 
 
+# --- mrl_recall ---------------------------------------------------------------
+
+
+def test_mrl_recall_matches_python_brute_force(spark, tmp_path):
+    """Seeded-random embeddings (float32 like the fixture) — the
+    engine's per-truncation recall report must equal a full
+    pure-Python replication: quantize, prefix dots, cosine ranking
+    with (cos DESC, id ASC) ties, top-5 sets, recall vs the full-dim
+    set. Also pins the identity row: recall@full-dim is exactly 1."""
+    import math
+    import random
+
+    import numpy as np
+
+    rng = random.Random(0x5EED)
+    vecs = {}
+    ids = [100, 200] + [i for i in range(1, 45) if i % 100 != 0]
+    for i in ids:
+        vecs[i] = [np.float32(rng.uniform(-1, 1)).item() for _ in range(64)]
+    rows = [(i, [float(np.float32(x)) for x in v], 0) for i, v in vecs.items()]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    def qz(x: float) -> int:
+        y = x * 1e7
+        return int(math.floor(abs(y) + 0.5)) * (1 if y >= 0 else -1)
+
+    q = {i: [qz(x) for x in v] for i, v in vecs.items()}
+    queries = [i for i in ids if i % 100 == 0]
+    topk = {}
+    for d in R9C._MRL_DIMS:
+        for qi in queries:
+            scored = []
+            for ni in ids:
+                if ni == qi:
+                    continue
+                dot = sum(a * b for a, b in zip(q[ni][:d], q[qi][:d]))
+                n1 = sum(a * a for a in q[ni][:d])
+                n2 = sum(b * b for b in q[qi][:d])
+                cos = dot / (math.sqrt(n1) * math.sqrt(n2))
+                scored.append((-cos, ni))
+            scored.sort()
+            topk[(qi, d)] = {ni for (_c, ni) in scored[: R9C._MRL_K]}
+
+    full_d = max(R9C._MRL_DIMS)
+    exp = {}
+    for d in R9C._MRL_DIMS:
+        hits = sum(
+            len(topk[(qi, d)] & topk[(qi, full_d)]) for qi in queries
+        )
+        n_ranked = R9C._MRL_K * len(queries)
+        exp[d] = {
+            "n_queries": len(queries),
+            "n_ranked": n_ranked,
+            "sum_hits": hits,
+            "recall_at_5": round(hits / n_ranked, 6),
+        }
+
+    got = {
+        r["trunc_dim"]: r.asDict()
+        for r in R9C.q_mrl_recall(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        for k, v in exp[d].items():
+            assert got[d][k] == v, (d, k, got[d], exp[d])
+    assert got[full_d]["recall_at_5"] == 1.0
+    # the planted random vectors must actually exercise truncation loss
+    assert any(got[d]["recall_at_5"] < 1.0 for d in R9C._MRL_DIMS[:-1])
+
+
 def test_audio_features_window_word_rejects_nonpcm16(spark):
     """Contract guard: the real-codec path refuses what it can't decode
     exactly (8-bit PCM here), mirroring decode_media's behavior."""
