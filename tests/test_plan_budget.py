@@ -81,6 +81,10 @@ BUDGETS = {
     # re-executed the corpus-scoring chain per consumer (E=11, G=3) —
     # the membership WINDOW keeps it a single chain
     "mrl_recall": (6, 1, 1),
+    # ONE map-side-combinable hash agg (bit_xor merges like a sum) +
+    # 60-row sort; the ordered-concat checksum would need an unbounded
+    # per-group collect_list gather
+    "corpus_manifest": (2, 0, 0),
     "line_dedup": (2, 1, 2),
     # assignment pinned at construction (narrow max_by argmax); final
     # plan = within-cluster self-join + dup agg/join

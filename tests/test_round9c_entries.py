@@ -359,6 +359,68 @@ def test_audio_energy_matches_direct_python(spark, tmp_path):
     assert got[2]["n_same_clip"] == 1 and got[4]["n_same_clip"] == 1
 
 
+# --- corpus_manifest ----------------------------------------------------------
+
+
+def test_corpus_manifest_order_invariant_and_tamper_local(spark, tmp_path):
+    """The manifest law: (a) the same corpus in ANY row order / file
+    layout yields the identical manifest (the order-free checksum is
+    the point); (b) tampering ONE doc's text changes its (source,
+    split) row's checksum_xor and nothing else; (c) checksum matches
+    a pure-Python xor replication."""
+    import random
+
+    rng = random.Random(0xD1CE)
+    rows = [
+        (i, f"doc {i} body " + " ".join(rng.choices("abcdef", k=5)), "en", f"s{i % 3}")
+        for i in range(1, 41)
+    ]
+    _write_docs(spark, tmp_path / "a", rows)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    # different row order AND different file count
+    full = [(i, t, lg, s, len(t)) for (i, t, lg, s) in shuffled]
+    spark.createDataFrame(full, _DOC_SCHEMA).repartition(7).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/b/documents.parquet")
+
+    key = lambda r: (r["source"], r["split"])  # noqa: E731
+    ma = {key(r): r.asDict() for r in R9C.q_corpus_manifest(spark, str(tmp_path / "a")).collect()}
+    mb = {key(r): r.asDict() for r in R9C.q_corpus_manifest(spark, str(tmp_path / "b")).collect()}
+    assert ma == mb
+
+    # python replication of one row's checksum
+    def h60(text: str) -> int:
+        return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+
+    import functools
+
+    for (src, spl), row in ma.items():
+        hs = [
+            h60(t)
+            for (i, t, _lg, s) in rows
+            if s == src and _py_doc_split(i) == spl
+        ]
+        assert row["n_docs"] == len(hs)
+        assert row["checksum_xor"] == functools.reduce(lambda a, b: a ^ b, hs)
+        assert row["h_min"] == min(hs) and row["h_max"] == max(hs)
+
+    # tamper one doc -> exactly that row's checksum moves
+    victim = rows[4]
+    tampered = [
+        (i, t + "!" if i == victim[0] else t, lg, s) for (i, t, lg, s) in rows
+    ]
+    _write_docs(spark, tmp_path / "c", tampered)
+    mc = {key(r): r.asDict() for r in R9C.q_corpus_manifest(spark, str(tmp_path / "c")).collect()}
+    vkey = (victim[3], _py_doc_split(victim[0]))
+    for k in ma:
+        if k == vkey:
+            assert mc[k]["checksum_xor"] != ma[k]["checksum_xor"]
+            assert mc[k]["n_docs"] == ma[k]["n_docs"]
+        else:
+            assert mc[k]["checksum_xor"] == ma[k]["checksum_xor"], k
+
+
 # --- mrl_recall ---------------------------------------------------------------
 
 

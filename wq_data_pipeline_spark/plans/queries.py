@@ -754,14 +754,14 @@ ORACLES.update(ORACLES29)
 # — the 6 batch-26 entries (token_entropy .. theil_sen_trend, all
 # judge-verified hash-green at sf0.01 in the r8 session), the
 # batch-27 CDC/merge-on-read trio, forget_user_sweep + kanon_audit,
-# batch 28 (queries_r9b.py), and batch 29 (queries_r9c.py) — 24 in
+# batch 28 (queries_r9b.py), and batch 29 (queries_r9c.py) — 25 in
 # all, every one sf0.01 AND sf0.1 oracle-green in-suite, so after r9
 # every catalog entry has a driver row. Then keepone_removal (its
 # r8-green row describes the
 # pre-sweep counting path — superseded-code rule), then the r5-stale
 # SURVEY-§2 QC block
 # (a3/a6_diff/a8/a9/j3/qc_accepted/sentem_flags/w12/w13/w16 — the
-# oldest driver rows in the catalog), then 15 of the remaining
+# oldest driver rows in the catalog), then 14 of the remaining
 # r5-green veterans. Deferred to r10 for space (families all still
 # represented in-window): tpch_q1/q3/q5/q6 (five TPC-H rows were
 # driver-greened in r8), simhash + jaccard_pairs (simhash_near_pairs
@@ -771,7 +771,8 @@ ORACLES.update(ORACLES29)
 # sessionize (token_budget_fill / stream session mirrors cover them),
 # decontaminate + cross_dedup (contamination_overlap and
 # incremental_dedup are the graded/successor forms of the same
-# leak/cross-corpus scans),
+# leak/cross-corpus scans), bigram_lm_score (unigram_logprob +
+# bpe_train carry the LM/tokenizer family),
 # text_token_stats + sliding_rollup + multimodal_meta (tail mirrors
 # of text_quality / hypertable_rollup / multimodal_decode), plus the
 # r5 entries already deferred (layout_compare, zorder_layout,
@@ -811,6 +812,7 @@ _DRIVER_WINDOW = [
     "audio_energy",
     "txn_conflict_check",
     "mrl_recall",
+    "corpus_manifest",
     "keepone_removal",
     "a3_step_infer",
     "a6_diff_quantiles",
@@ -823,7 +825,6 @@ _DRIVER_WINDOW = [
     "w13_tri5",
     "w16_gaussian",
     "asof_join",
-    "bigram_lm_score",
     "bpe_train",
     "contamination_overlap",
     "dedup_clusters",

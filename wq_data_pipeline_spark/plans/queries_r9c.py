@@ -1,4 +1,4 @@
-"""Catalog batch 29 (round 9, third wave): five gaps a production
+"""Catalog batch 29 (round 9, third wave): six gaps a production
 training-data pipeline hits that the catalog's neighbors don't cover —
 
 - ``leak_free_split``  — dup-GROUP-aware train/val/test split: the
@@ -29,6 +29,10 @@ training-data pipeline hits that the catalog's neighbors don't cover —
   recall@5 of prefix-dimension cosine vs the full-dimension ground
   truth, per truncation width (the dims-vs-recall curve behind
   dimension-truncated serving indexes).
+- ``corpus_manifest``   — the dataset-release reproducibility
+  manifest: per-(source, split) counts plus an ORDER-FREE mergeable
+  content checksum (bit_xor of per-doc hashes — one map-side-
+  combinable hash agg, vs the unbounded ordered-gather checksum).
 
 Exactness: every emitted measure is an integer (BIGINT counts/sums,
 INT peak) except mrl_recall's recall ratio — a single division of
@@ -599,12 +603,81 @@ SELECT trunc_dim,
 FROM flagged GROUP BY trunc_dim ORDER BY trunc_dim"""
 
 
+# --- corpus_manifest ----------------------------------------------------------
+
+
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducibility manifest — the checksummed per-(source, split)
+    inventory a dataset release publishes (dataset cards / integrity
+    audits): doc and char counts plus an ORDER-FREE content checksum
+    (bit_xor of each doc's 60-bit md5 content hash, with the min/max
+    hash as corroborating range facts). Any engine, any partitioning,
+    any row order reproduces the same manifest; two corpus copies
+    differ iff some manifest row differs (up to xor collisions).
+
+    The order-free design IS the scale story: the obvious checksum —
+    md5 over doc hashes concatenated in doc_id order — needs an
+    ordered per-group gather (collect_list: unbounded state, one
+    reduce task per group). bit_xor is commutative/associative, so it
+    map-side combines like any sum: one hash agg over the corpus,
+    O(1) state per group, mergeable across files/shards (the same
+    property that makes it the standard content-set digest in
+    replication anti-entropy checks).
+
+    Splits are ``hash_split``'s published md5(doc_id) rule, so the
+    manifest documents exactly the release that entry defines.
+
+    Reference scope: the reference engine has no corpus/release
+    surface; extends the curation family per the round brief."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    return (
+        d.select(
+            "source",
+            _split_of(
+                _md5_bucket(F.md5(F.col("doc_id").cast("string")))
+            ).alias("split"),
+            "n_chars",
+            h.alias("h"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.expr("bit_xor(h)").alias("checksum_xor"),
+            F.min("h").alias("h_min"),
+            F.max("h").alias("h_max"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+SQL_CORPUS_MANIFEST = f"""
+WITH d AS (
+  SELECT source,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {_TRAIN_LT} THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {_VAL_LT} THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+  FROM documents
+)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(bit_xor(h) AS BIGINT) AS checksum_xor,
+       CAST(min(h) AS BIGINT) AS h_min,
+       CAST(max(h) AS BIGINT) AS h_max
+FROM d GROUP BY source, split ORDER BY source, split"""
+
+
 QUERIES29: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leak_free_split": q_leak_free_split,
     "domain_top_cap": q_domain_top_cap,
     "audio_energy": q_audio_energy,
     "txn_conflict_check": q_txn_conflict_check,
     "mrl_recall": q_mrl_recall,
+    "corpus_manifest": q_corpus_manifest,
 }
 
 ORACLES29: dict[str, str] = {
@@ -613,4 +686,5 @@ ORACLES29: dict[str, str] = {
     "audio_energy": SQL_AUDIO_ENERGY,
     "txn_conflict_check": SQL_TXN_CONFLICT_CHECK,
     "mrl_recall": SQL_MRL_RECALL,
+    "corpus_manifest": SQL_CORPUS_MANIFEST,
 }
