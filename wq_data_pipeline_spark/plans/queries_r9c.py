@@ -260,7 +260,10 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pinned by tests/test_codecs.py), so DuckDB replays the expected
     samples straight from the md5 chain and recomputes the all-integer
     features; sample_rate comes from the decoded header engine-side vs
-    the constant oracle-side, cross-checking the header too. Scale
+    the constant oracle-side, cross-checking the header too. Parity
+    assumes non-NULL text (true of the driver fixtures at every SF;
+    same assumption as image_ahash): a NULL doc would hash str(None)
+    engine-side but yield NULL oracle-side. Scale
     shape: two chained narrow mapInPandas stages (no shuffle between),
     then one window over the feature key."""
     from wq_data_pipeline_spark.operators.multimodal import audio_features
