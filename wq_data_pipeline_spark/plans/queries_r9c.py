@@ -96,6 +96,19 @@ def _md5_bucket(col) -> "F.Column":
     )
 
 
+def _sql_split_case(hash_expr: str) -> str:
+    """The ONE SQL definition of the published 80/10/10 split rule
+    over an md5-hex expression — interpolated wherever an oracle needs
+    it so the rule can never drift between entries (it must stay the
+    rule ``hash_split`` publishes)."""
+    bucket = f"('0x' || substr({hash_expr}, 1, 8))::BIGINT % 100"
+    return (
+        f"CASE WHEN {bucket} < {_TRAIN_LT} THEN 'train'\n"
+        f"              WHEN {bucket} < {_VAL_LT} THEN 'val'\n"
+        f"              ELSE 'test' END"
+    )
+
+
 def q_leak_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-group-aware train/val/test split + leakage audit. Every doc
     carries (a) its exact-dup group key — the order-insensitive word-set
@@ -155,9 +168,7 @@ def q_leak_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LEAK_FREE_SPLIT = f"""{SQL_WORDS},
 pd AS (
   SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
-         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {_TRAIN_LT} THEN 'train'
-              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {_VAL_LT} THEN 'val'
-              ELSE 'test' END AS naive_split,
+         {_sql_split_case("md5(CAST(doc_id AS VARCHAR))")} AS naive_split,
          n_chars
   FROM w
 ),
@@ -168,9 +179,7 @@ g AS (
          CAST(count(DISTINCT naive_split) AS BIGINT) AS n_naive_splits
   FROM pd GROUP BY fp
 )
-SELECT CASE WHEN ('0x' || substr(fp, 1, 8))::BIGINT % 100 < {_TRAIN_LT} THEN 'train'
-            WHEN ('0x' || substr(fp, 1, 8))::BIGINT % 100 < {_VAL_LT} THEN 'val'
-            ELSE 'test' END AS split,
+SELECT {_sql_split_case("fp")} AS split,
        CAST(count(*) AS BIGINT) AS n_groups,
        CAST(sum(n_docs) AS BIGINT) AS n_docs,
        CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
@@ -658,9 +667,7 @@ def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CORPUS_MANIFEST = f"""
 WITH d AS (
   SELECT source,
-         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {_TRAIN_LT} THEN 'train'
-              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {_VAL_LT} THEN 'val'
-              ELSE 'test' END AS split,
+         {_sql_split_case("md5(CAST(doc_id AS VARCHAR))")} AS split,
          n_chars,
          ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
   FROM documents
