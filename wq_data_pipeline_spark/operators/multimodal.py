@@ -259,6 +259,11 @@ def audio_features(df: DataFrame, content: str = "content") -> DataFrame:
         for pdf in batches:
             out = []
             for mid, data in zip(pdf["media_id"], pdf["content"]):
+                if data is None or len(data) == 0:
+                    raise ValueError(
+                        "audio_features requires non-NULL, non-empty content"
+                        f" (media_id={mid})"
+                    )
                 with wave.open(io.BytesIO(bytes(data)), "rb") as f:
                     if f.getsampwidth() != 2 or f.getnchannels() != 1:
                         raise NotImplementedError(
@@ -306,6 +311,11 @@ def perceptual_hash(df: DataFrame, content: str = "content") -> DataFrame:
             out = []
             # the select below aliases the source column to "content"
             for mid, data in zip(pdf["media_id"], pdf["content"]):
+                if data is None or len(data) == 0:
+                    raise ValueError(
+                        "perceptual_hash requires non-NULL, non-empty content"
+                        f" (media_id={mid})"
+                    )
                 w, h, nch, pix = png_decode(bytes(data))
                 out.append(
                     {

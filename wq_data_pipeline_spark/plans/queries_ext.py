@@ -1481,22 +1481,46 @@ SELECT label,
 FROM kept GROUP BY label"""
 
 
+# The published 80/10/10 split rule — ONE definition, consumed by
+# hash_split here AND every split-aware entry in queries_r9c
+# (leak_free_split et al. import these), so the rule cannot drift
+# between entries. Pinned identical by tests/test_round9c_entries.py.
+_TRAIN_LT = 80
+_VAL_LT = 90
+
+
+def _split_of(bucket):  # Column -> Column
+    return (
+        F.when(bucket < _TRAIN_LT, F.lit("train"))
+        .when(bucket < _VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _md5_bucket(col) -> "F.Column":
+    """First 8 hex chars of an md5 string -> bucket in [0, 100)."""
+    return F.conv(F.substring(col, 1, 8), 16, 10).cast("long") % 100
+
+
+def _sql_split_case(hash_expr: str) -> str:
+    """The ONE SQL definition of the published 80/10/10 split rule
+    over an md5-hex expression — interpolated wherever an oracle needs
+    it so the rule can never drift between entries."""
+    bucket = f"('0x' || substr({hash_expr}, 1, 8))::BIGINT % 100"
+    return (
+        f"CASE WHEN {bucket} < {_TRAIN_LT} THEN 'train'\n"
+        f"              WHEN {bucket} < {_VAL_LT} THEN 'val'\n"
+        f"              ELSE 'test' END"
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (80/10/10) by md5 bucket of
     doc_id — the reproducible-split primitive of a training-data
     pipeline (same doc lands in the same split on any engine, any
     run, any partitioning; no RNG). Emits per (source, split) counts."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    split = _split_of(_md5_bucket(F.md5(F.col("doc_id").cast("string"))))
     return (
         d.select("source", split.alias("split"), "n_chars")
         .groupBy("source", "split")
@@ -1507,17 +1531,12 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_HASH_SPLIT = """
-WITH b AS (
-  SELECT source, n_chars,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
-  FROM documents
-)
+SQL_HASH_SPLIT = f"""
 SELECT source,
-       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       {_sql_split_case("md5(CAST(doc_id AS VARCHAR))")} AS split,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM b GROUP BY 1, 2"""
+FROM documents GROUP BY 1, 2"""
 
 
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

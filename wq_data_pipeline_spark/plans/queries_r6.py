@@ -565,12 +565,16 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain and recompute the all-integer aHash — the comparison
     cross-checks both the hash math AND the codec round-trip. Scale
     shape: two chained mapInPandas stages (one narrow Arrow pass, no
-    shuffle between), then one hash agg on the 64-bit fingerprint."""
+    shuffle between), then one hash agg on the 64-bit fingerprint.
+    NULL-text docs are excluded symmetrically on both sides (a NULL
+    doc has no content digest to seed the pixel chain)."""
     from wq_data_pipeline_spark.operators.multimodal import perceptual_hash
     from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
 
-    d = _docs_parallel(spark, sf_dir).select(
-        F.col("doc_id").alias("media_id"), "text"
+    d = (
+        _docs_parallel(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("media_id"), "text")
     )
 
     from pyspark.sql import types as T
@@ -619,7 +623,8 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # floor division, threshold at the floor-mean of block means — every
 # step integer, so the 64 bits match the engine's codec path exactly.
 SQL_IMAGE_AHASH = """
-WITH s AS (SELECT doc_id AS media_id, md5(text) AS seed FROM documents),
+WITH s AS (SELECT doc_id AS media_id, md5(text) AS seed FROM documents
+           WHERE text IS NOT NULL),
 idx AS (SELECT unnest(generate_series(0, 255)) AS i),
 px AS (
   SELECT s.media_id, idx.i,

@@ -70,43 +70,17 @@ from wq_data_pipeline_spark.plans.queries_ext import (
     _Q,
     SQL_WORDS,
     _docs_parallel,
+    _md5_bucket,
     _quantized,
+    _split_of,
+    _sql_split_case,
 )
 from wq_data_pipeline_spark.sources.testdata import load_table
 
 # --- leak_free_split --------------------------------------------------------
-
-# same 80/10/10 bucket rule as hash_split, applied to the GROUP key
-_TRAIN_LT = 80
-_VAL_LT = 90
-
-
-def _split_of(bucket):  # Column -> Column
-    return (
-        F.when(bucket < _TRAIN_LT, F.lit("train"))
-        .when(bucket < _VAL_LT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-
-
-def _md5_bucket(col) -> "F.Column":
-    """First 8 hex chars of an md5 string -> bucket in [0, 100)."""
-    return (
-        F.conv(F.substring(col, 1, 8), 16, 10).cast("long") % 100
-    )
-
-
-def _sql_split_case(hash_expr: str) -> str:
-    """The ONE SQL definition of the published 80/10/10 split rule
-    over an md5-hex expression — interpolated wherever an oracle needs
-    it so the rule can never drift between entries (it must stay the
-    rule ``hash_split`` publishes)."""
-    bucket = f"('0x' || substr({hash_expr}, 1, 8))::BIGINT % 100"
-    return (
-        f"CASE WHEN {bucket} < {_TRAIN_LT} THEN 'train'\n"
-        f"              WHEN {bucket} < {_VAL_LT} THEN 'val'\n"
-        f"              ELSE 'test' END"
-    )
+# The 80/10/10 bucket rule (_split_of/_md5_bucket/_sql_split_case) is
+# imported from queries_ext — the SAME objects hash_split publishes,
+# so the group split here and the per-doc split there cannot drift.
 
 
 def q_leak_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,9 +139,12 @@ def q_leak_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# coalesce(...,'') mirrors the engine's concat_ws NULL rule: a NULL-text
+# doc fingerprints as md5('') on BOTH sides (same group as empty text),
+# so the entry is NULL-safe by construction, not by fixture luck.
 SQL_LEAK_FREE_SPLIT = f"""{SQL_WORDS},
 pd AS (
-  SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+  SELECT md5(coalesce(array_to_string(list_sort(list_distinct(toks)), ' '), '')) AS fp,
          {_sql_split_case("md5(CAST(doc_id AS VARCHAR))")} AS naive_split,
          n_chars
   FROM w
@@ -269,17 +246,19 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pinned by tests/test_codecs.py), so DuckDB replays the expected
     samples straight from the md5 chain and recomputes the all-integer
     features; sample_rate comes from the decoded header engine-side vs
-    the constant oracle-side, cross-checking the header too. Parity
-    assumes non-NULL text (true of the driver fixtures at every SF;
-    same assumption as image_ahash): a NULL doc would hash str(None)
-    engine-side but yield NULL oracle-side. Scale
+    the constant oracle-side, cross-checking the header too. NULL-text
+    docs are excluded symmetrically on both sides (a NULL doc has no
+    content digest to seed the sample chain), so parity is NULL-safe
+    by construction. Scale
     shape: two chained narrow mapInPandas stages (no shuffle between),
     then one window over the feature key."""
     from wq_data_pipeline_spark.operators.multimodal import audio_features
     from pyspark.sql import types as T
 
-    d = _docs_parallel(spark, sf_dir).select(
-        F.col("doc_id").alias("media_id"), "text"
+    d = (
+        _docs_parallel(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("media_id"), "text")
     )
 
     media_schema = T.StructType(
@@ -330,7 +309,8 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # v = u - 65536 when u >= 32768 (two's complement int16). Every
 # feature is integer; v*lag(v) stays within INT32.
 SQL_AUDIO_ENERGY = f"""
-WITH s AS (SELECT doc_id AS media_id, md5(text) AS seed FROM documents),
+WITH s AS (SELECT doc_id AS media_id, md5(text) AS seed FROM documents
+           WHERE text IS NOT NULL),
 idx AS (SELECT unnest(generate_series(0, {_N_CHUNKS * 8 - 1})) AS i),
 u AS (
   SELECT s.media_id, idx.i,
