@@ -332,6 +332,20 @@ BUDGETS = {
     "snapshot_diff": (3, 0, 0),
     # per-(user,day) gather agg + journey count + global top-k rank
     "top_paths": (3, 0, 0),
+    # r10 batch: the dense-threshold inline-score shape — sig+vector+
+    # norm carried through ONE broadcast band join, threshold filter,
+    # survivor dedup + cid agg + doc-source join + source rollup +
+    # sort; pre-score candidates never shuffle (14.6 -> 3.1 s at
+    # sf0.1-x1 vs the shuffle-candidates form)
+    "embed_decontaminate": (8, 2, 2),
+    # chunk explode re-derives in the band/verify branches (the
+    # dup_source_matrix convention: a narrow explode re-run beats
+    # materializing corpus chunks) + the one banded self-join +
+    # jaccard verify joins + doc rollup/hash joins
+    "para_dedup": (12, 5, 8),
+    # GD rounds ran at construction (k-means discipline); final plan
+    # = three 64-row checkpointed weight frames joined + sort
+    "quality_train": (4, 0, 0),
 }
 
 
@@ -387,6 +401,9 @@ CONSTRUCTION_JOB_CAPS = {
     "suffix_xdoc_repeats": 8,
     # the marks localCheckpoint (measured 4)
     "keepone_removal": 6,
+    # r10 trainer: feature-table checkpoint + n_train scalar + 3 GD
+    # rounds of weight-frame localCheckpoints (measured 27)
+    "quality_train": 32,
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

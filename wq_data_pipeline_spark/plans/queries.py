@@ -644,6 +644,7 @@ from wq_data_pipeline_spark.plans.queries_r8 import ORACLES26, QUERIES26  # noqa
 from wq_data_pipeline_spark.plans.queries_r9 import ORACLES27, QUERIES27  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r9b import ORACLES28, QUERIES28  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r9c import ORACLES29, QUERIES29  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r10 import ORACLES30, QUERIES30  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -745,6 +746,8 @@ QUERIES.update(QUERIES28)
 ORACLES.update(ORACLES28)
 QUERIES.update(QUERIES29)
 ORACLES.update(ORACLES29)
+QUERIES.update(QUERIES30)
+ORACLES.update(ORACLES30)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
@@ -787,57 +790,68 @@ ORACLES.update(ORACLES29)
 # jaccard_pairs, fingerprint_dedup, text_token_stats,
 # sliding_rollup, multimodal_meta, layout_compare, zorder_layout,
 # minhash_signatures, bpe_apply, embed_ivf_topk, props_json).
+# r10 window (executes the freeze plan above): the 3 new batch-30
+# entries first (never driver-checked), then ALL 22 r5-green veterans
+# (5 rounds stale — the oldest driver rows in the catalog), then the
+# 25 oldest r6-green rows: the SURVEY-§2 QC core (a1, a4-a7, w1-w9,
+# w17 — VERDICT r9 #1) and 11 more in staleness order. The remaining
+# 19 r6-green entries (embed_kmeans_ivf, embed_lsh_ann,
+# embed_near_dup, ivf_pq_search, length_buckets, pii_scan, pq_encode,
+# pq_search, quality_classifier, semdedup, sequence_pack,
+# sketch_profile_exact, source_mixture, stream_*_rollup,
+# stream_interval_join, tfidf_terms, winnow_*) rotate in r11; all
+# stay covered by the local sf0.01 pytest oracle mirror meanwhile.
 _DRIVER_WINDOW = [
-    "token_entropy",
-    "ngram_novelty",
-    "dup_source_matrix",
-    "des_forecast_mae",
-    "benford_digits",
-    "theil_sen_trend",
-    "cdc_merge_on_read",
-    "cdc_changes_between",
-    "compaction_plan",
-    "forget_user_sweep",
-    "kanon_audit",
-    "cdc_time_travel",
-    "incremental_dedup",
-    "key_skew_profile",
-    "containment_pairs",
-    "dedup_keep_best",
-    "simhash_near_pairs",
-    "incremental_agg_maintenance",
-    "vacuum_plan",
-    "leak_free_split",
-    "domain_top_cap",
-    "audio_energy",
-    "txn_conflict_check",
-    "mrl_recall",
-    "corpus_manifest",
-    "keepone_removal",
-    "a3_step_infer",
-    "a6_diff_quantiles",
-    "a8_global_robust_z",
-    "a9_availability",
-    "j3_range_join",
-    "qc_accepted",
-    "sentem_flags",
-    "w12_bands",
-    "w13_tri5",
-    "w16_gaussian",
-    "asof_join",
-    "bpe_train",
-    "contamination_overlap",
-    "dedup_clusters",
-    "doc_filter",
-    "embed_cosine_topk",
-    "hash_split",
-    "hypertable_rollup",
-    "lang_id",
-    "minhash_lsh_pairs",
-    "repetition_stats",
-    "text_quality",
-    "token_budget_fill",
-    "unigram_logprob",
+    "embed_decontaminate",
+    "para_dedup",
+    "quality_train",
+    "bigram_lm_score",
+    "bpe_apply",
+    "cross_dedup",
+    "decontaminate",
+    "embed_ivf_topk",
+    "exact_dedup",
+    "fingerprint_dedup",
+    "jaccard_pairs",
+    "layout_compare",
+    "minhash_signatures",
+    "mix_report",
+    "multimodal_meta",
+    "props_json",
+    "sessionize",
+    "simhash",
+    "sliding_rollup",
+    "text_token_stats",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "zorder_layout",
+    "a1_dup_median",
+    "a4_decimal_hist",
+    "a5_mode_cents",
+    "a6_quant_step",
+    "a7_seasonal",
+    "w1_jumps",
+    "w2_gaps",
+    "w4_binary_switches",
+    "w5_flat_runs",
+    "w6_flat_slopes",
+    "w7_rolling_var",
+    "w8_robust_z",
+    "w9_isolated",
+    "w17_resample_hourly",
+    "binned_range_join",
+    "blocklist_filter",
+    "bloom_prune_join",
+    "bm25_search",
+    "ccnet_buckets",
+    "corpus_shuffle",
+    "curation_funnel",
+    "domain_rebalance",
+    "dsir_weights",
+    "dup_span_removal",
+    "dup_spans",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

@@ -1,0 +1,590 @@
+"""Catalog batch 30 (round 10): the three capability gaps VERDICT r9
+ranked for a production training-data pipeline —
+
+- ``embed_decontaminate`` — EMBEDDING-SPACE benchmark decontamination:
+  n-gram ``decontaminate`` catches verbatim/near-verbatim leakage, but
+  modern eval-hygiene (e.g. the phi/GPT-4 technical reports) also
+  checks SEMANTIC leakage: corpus docs whose embedding sits above a
+  cosine threshold against any benchmark item. Banded random-
+  hyperplane LSH candidates (corpus × benchmark, benchmark broadcast)
+  + exact quantized-integer cosine verify, reported per corpus source.
+- ``para_dedup`` — paragraph/part-level MinHash near-dedup
+  (RefinedWeb runs BOTH doc- and part-level passes): documents are
+  chunked into fixed token windows, chunks near-dedup via the SAME
+  banded MinHash-LSH machinery as ``minhash_lsh_pairs``, verified
+  with exact word-set Jaccard, and rolled up to doc pairs. The pin:
+  it finds doc pairs exact/doc-level dedup misses (a copied block
+  inside otherwise-different docs).
+- ``quality_train`` — the quality classifier TRAINED IN-ENGINE:
+  ``quality_classifier`` scores with fixed broadcast weights; this
+  entry runs the training loop itself — 3 rounds of full-batch
+  logistic-regression gradient descent over hashed-BoW features,
+  distilling the C4 blocklist gate into a linear model (the DCLM/
+  fastText shape: rule-based positives -> learned classifier). The
+  same distributed-state discipline as the k-means trainer
+  (similarity._kmeans_distributed): per-round state is a 64-row
+  weight table that never leaves the cluster; the corpus-sized
+  feature table is checkpointed ONCE and only joined.
+
+Exactness (what makes a trainer ORACLE-REPLAYABLE): all shared state
+is integer. Weights live in micro units (BIGINT); per-doc logits are
+exact BIGINT dots; the only float step — the sigmoid — is quantized
+per doc to micro units BEFORE summation (round((p - y) * 1e6), the
+``unigram_logprob`` micro-bits precedent), so gradient sums are
+order-free BIGINT and the weight update is a single deterministic
+double op on exact integers. Cosines follow the established
+quantized-integer rule (round(x*1e7) -> BIGINT dots).
+
+Scale shapes:
+- embed_decontaminate: the benchmark side is small by definition
+  (eval suites are KBs against a 100-TB corpus) -> its band
+  signatures AND vectors broadcast; the corpus pays one narrow
+  signature projection + one equi-join per banded candidate. The
+  corpus never self-joins and raw corpus vectors never shuffle —
+  only candidate rows do.
+- para_dedup: chunking is a narrow explode (~n_tokens/16 rows per
+  doc); everything after rides the one-shuffle banded-LSH +
+  hot-bucket-guard path proven by minhash_lsh_pairs. Chunk ids pack
+  as doc_id * 1024 + idx (docs are bounded at 1024 chunks = 16k
+  tokens here; a production corpus would widen the multiplier or use
+  a struct key — the plan is unchanged).
+- quality_train: per round, TWO shuffles of the skinny feature table
+  (by doc for the logit, by bucket for the gradient) + a broadcast
+  of the 64-row weight table; rounds are a fixed small constant.
+  Model size B buckets is O(1) w.r.t. the corpus.
+
+Reference scope: the reference engine (WalterHet/wq_data_pipeline,
+scripts/ufz_water_qc_pipeline.py) has no curation/training surface;
+these extend the LLM-pipeline families per the round brief.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from wq_data_pipeline_spark.operators import dedup as DD
+from wq_data_pipeline_spark.operators.text import gram_hash, tokens
+from wq_data_pipeline_spark.plans.queries_ext import _Q, _quantized
+from wq_data_pipeline_spark.plans.queries_scale import _BLOCKLIST, _BLOCKLIST_SQL
+from wq_data_pipeline_spark.sources.testdata import load_table
+
+# --- embed_decontaminate ----------------------------------------------------
+
+# 8 bands × 4 planes: P(candidate) = 1-(1-p^4)^8 with p = 1 - θ/π —
+# ~0.75 at cos 0.4 (the stress tau) and -> 1 for true contamination
+# (cos -> 1). 4-plane bands keep buckets dense enough that recall
+# holds; the benchmark side is broadcast so candidate volume is
+# O(corpus × bench × bands / 2^planes), never quadratic in the corpus.
+_DC_BANDS = 8
+_DC_PLANES = 4
+_DC_TAU = 0.4
+_DC_BENCH_MOD = 10  # vec_id % 10 == 7 plays the benchmark suite
+_DC_BENCH_RES = 7
+
+
+def q_embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination report: for every corpus
+    source, how many docs are semantically contaminated — cosine >=
+    tau against ANY benchmark embedding (the held-out slice
+    ``vec_id % 10 == 7`` stands in for an eval suite; swap the
+    predicate for a real benchmark table, the plan is identical).
+    Completes the leakage triad: ``decontaminate`` (n-gram vs
+    external), ``leak_free_split`` (self-leakage), and this
+    (semantic vs external).
+
+    Per source: corpus doc count, contaminated docs (>=1 hit), total
+    hits, and the max cosine (6dp). Embeddings link to documents by
+    vec_id = doc_id (the fixture contract, asserted in
+    tests/test_round10_entries.py).
+
+    Oracle-exact: candidates come from the SAME md5-derived ±1
+    hyperplanes the oracle replays (the embed_near_dup portability
+    rule), and cosines are quantized-integer BIGINT dots — candidate
+    sets and scores match bit-for-bit.
+
+    100-TB shape: benchmark band signatures AND vectors broadcast
+    (eval suites are tiny); the corpus chain through the threshold
+    filter is NARROW (signatures + inline scoring on the scan side of
+    a broadcast join) — raw corpus vectors never shuffle, the corpus
+    never self-joins, and only surviving pairs reach the dedup/agg."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    head = raw.select(F.size("embedding")).head()
+    if head is None:  # empty table: contract schema, no dim to probe
+        return spark.createDataFrame(
+            [],
+            "source STRING, n_docs LONG, n_contaminated LONG, "
+            "n_hits LONG, max_cos DOUBLE",
+        )
+    dim = head[0]
+    q = raw.select("vec_id", _quantized("embedding").alias("q")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    is_bench = (F.col("vec_id") % _DC_BENCH_MOD) == _DC_BENCH_RES
+    corp = q.filter(~is_bench)
+    ben = q.filter(is_bench)
+
+    # At tau 0.4 (barely above the background cosine) 4-plane bands
+    # collide densely — the embed_near_dup dense-threshold lesson:
+    # carry the vectors + hoisted norms THROUGH the broadcast band
+    # join and score inline, so the whole chain through the threshold
+    # filter is NARROW (no pre-score candidate shuffle, no vector
+    # join-back); only the surviving pairs (~tens) pay dropDuplicates
+    # and the per-doc agg. The benchmark side broadcasts sig+vector+
+    # norm together — eval suites are tiny.
+    zero = F.lit(0).cast("long")
+    nrm = F.aggregate(F.transform("q", lambda x: x * x), zero, lambda s, x: s + x)
+    from wq_data_pipeline_spark.operators.similarity import rp_lsh_signature
+
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                rp_lsh_signature(
+                    "q", _DC_PLANES, plane_offset=b * _DC_PLANES, dim=dim
+                ).alias("sig"),
+            )
+            for b in range(_DC_BANDS)
+        ]
+    )
+    d_c = (
+        corp.withColumn("nc", nrm)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("qc"),
+            "nc",
+            F.explode(band_sigs).alias("bs"),
+        )
+        .select(
+            "cid", "qc", "nc",
+            F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
+        )
+    )
+    d_b = (
+        ben.withColumn("nb", nrm)
+        .select(
+            F.col("vec_id").alias("bid"),
+            F.col("q").alias("qb"),
+            "nb",
+            F.explode(band_sigs).alias("bs"),
+        )
+        .select(
+            "bid", "qb", "nb",
+            F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
+        )
+    )
+    dotq = F.aggregate(
+        F.zip_with("qc", "qb", lambda x, y: x * y), zero, lambda s, x: s + x
+    )
+    cos = dotq.cast("double") / (
+        F.sqrt(F.col("nc").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    hits = (
+        d_c.join(F.broadcast(d_b), ["band", "sig"])
+        .select("cid", "bid", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _DC_TAU)
+        .dropDuplicates(["cid", "bid"])
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("cid"), "source"
+    )
+    tot = corp.select(F.col("vec_id").alias("cid")).join(docs, "cid")
+    return (
+        tot.join(hits, "cid", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_hits").alias("n_contaminated"),
+            F.coalesce(F.sum("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.max("max_cos"), 6).alias("max_cos"),
+        )
+        .orderBy("source")
+    )
+
+
+# Oracle: replay the md5 hyperplanes (parity of the first hex digit of
+# md5('<plane>:<dim>') -> ±1, exactly similarity._pseudo_hyperplane_
+# component), band p//PLANES, bit 1 << (p % PLANES); integer plane dots
+# make every signature bit — hence the candidate set — bit-identical,
+# and cosines are the established quantized-BIGINT form.
+SQL_EMBED_DECONTAMINATE = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+dim AS (SELECT unnest(generate_series(0, (SELECT max(len(q)) - 1 FROM q))) AS i),
+pl AS (SELECT unnest(generate_series(0, {_DC_BANDS * _DC_PLANES - 1})) AS p),
+planes AS (
+  SELECT pl.p, dim.i,
+         CASE WHEN substr(md5(CAST(pl.p AS VARCHAR) || ':' || CAST(dim.i AS VARCHAR)), 1, 1)
+                   IN ('0','2','4','6','8','a','c','e')
+              THEN 1 ELSE -1 END AS h
+  FROM pl CROSS JOIN dim
+),
+dimv AS (
+  SELECT vec_id, i, q[i + 1] AS qi
+  FROM (SELECT vec_id, q, unnest(generate_series(0, len(q) - 1)) AS i FROM q)
+),
+pdot AS (
+  SELECT v.vec_id, pl2.p, sum(v.qi * pl2.h) AS s
+  FROM dimv v JOIN planes pl2 ON v.i = pl2.i
+  GROUP BY v.vec_id, pl2.p
+),
+sigs AS (
+  SELECT vec_id, p // {_DC_PLANES} AS band,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << (p % {_DC_PLANES}) ELSE 0 END) AS BIGINT) AS sig
+  FROM pdot GROUP BY vec_id, p // {_DC_PLANES}
+),
+cand AS (
+  SELECT DISTINCT c.vec_id AS cid, b.vec_id AS bid
+  FROM sigs c JOIN sigs b ON c.band = b.band AND c.sig = b.sig
+  WHERE c.vec_id % {_DC_BENCH_MOD} <> {_DC_BENCH_RES}
+    AND b.vec_id % {_DC_BENCH_MOD} = {_DC_BENCH_RES}
+),
+scored AS (
+  SELECT c.cid,
+         CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(b.q, x -> x * x)) AS DOUBLE))) AS cos_sim
+  FROM cand c JOIN q a ON a.vec_id = c.cid JOIN q b ON b.vec_id = c.bid
+),
+hits AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_hits, max(cos_sim) AS max_cos
+  FROM scored WHERE cos_sim >= {_DC_TAU} GROUP BY cid
+),
+tot AS (
+  SELECT d.source, cq.vec_id AS cid
+  FROM (SELECT vec_id FROM q WHERE vec_id % {_DC_BENCH_MOD} <> {_DC_BENCH_RES}) cq
+  JOIN documents d ON d.doc_id = cq.vec_id
+)
+SELECT tot.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(h.n_hits) AS BIGINT) AS n_contaminated,
+       CAST(coalesce(sum(h.n_hits), 0) AS BIGINT) AS n_hits,
+       round(max(h.max_cos), 6) AS max_cos
+FROM tot LEFT JOIN hits h USING (cid)
+GROUP BY tot.source ORDER BY tot.source"""
+
+
+# --- para_dedup -------------------------------------------------------------
+
+_PARA_C = 16  # chunk size in tokens ("paragraphs" of the fixtures)
+_PARA_MIN = 4  # drop tail chunks too short to shingle meaningfully
+_PARA_PACK = 1024  # chunk_id = doc_id * PACK + idx (<= 16k tokens/doc)
+_PARA_K = 16  # minhash seeds
+_PARA_R = 2  # rows per band -> 8 bands (recall ~0.996 at J=0.8)
+_PARA_MAXDF = 100  # hot-bucket guard, same rationale as doc-level
+_PARA_JTAU = 0.8
+
+
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-level near-dedup (RefinedWeb §dedup runs doc- AND
+    part-level passes): docs are chunked into fixed 16-token windows
+    ("paragraphs" — the fixtures have no newlines; swap the chunker
+    for a newline split on real data, the plan is identical), chunks
+    near-dedup through the SAME banded MinHash-LSH + hot-bucket-guard
+    machinery as ``minhash_lsh_pairs`` (k=16, 2 rows/band), verified
+    with exact word-set Jaccard >= 0.8, then rolled up to doc pairs
+    from DIFFERENT docs: shared-chunk count, max chunk Jaccard, and
+    whether the docs are byte-identical anyway.
+
+    The pin (tests/test_round10_entries.py): every fixture pair found
+    here has is_doc_dup = false — part-level dedup catches copied
+    blocks that doc-level exact/near dedup misses entirely.
+
+    100-TB shape: chunking is a narrow explode; candidates ride ONE
+    shuffle of skinny (chunk, band, key) rows with the max_df
+    quadratic-bucket guard; only surviving candidates pay the exact
+    verify. Chunk ids pack as doc_id * 1024 + idx — wide enough for
+    16k-token docs; a production corpus widens the multiplier (the
+    id is opaque to every join)."""
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    d = _docs_parallel(spark, sf_dir)
+    base = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    idx = F.sequence(
+        F.lit(0), F.floor((F.size("toks") - 1) / _PARA_C).cast("int")
+    )
+    ch = (
+        base.select("doc_id", "toks", F.explode(idx).alias("i"))
+        .select(
+            (F.col("doc_id") * _PARA_PACK + F.col("i")).alias("chunk_id"),
+            F.slice("toks", F.col("i") * _PARA_C + 1, _PARA_C).alias("ctoks"),
+        )
+        .filter(F.size("ctoks") >= _PARA_MIN)
+        .select("chunk_id", F.concat_ws(" ", "ctoks").alias("chunk_text"))
+    )
+    cand = DD.minhash_lsh_candidates(
+        ch,
+        "chunk_text",
+        "chunk_id",
+        num_hashes=_PARA_K,
+        rows_per_band=_PARA_R,
+        max_df=_PARA_MAXDF,
+    )
+    ver = DD.jaccard_pairs(ch, cand, "chunk_text", "chunk_id")
+    # id_a < id_b and packed ids are doc-major, so doc_a < doc_b is
+    # automatic once same-doc pairs are dropped
+    dp = ver.filter(F.col("jaccard") >= _PARA_JTAU).select(
+        F.expr(f"id_a DIV {_PARA_PACK}").alias("doc_a"),
+        F.expr(f"id_b DIV {_PARA_PACK}").alias("doc_b"),
+        "jaccard",
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    agg = dp.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_dup_chunk_pairs"),
+        F.round(F.max("jaccard"), 6).alias("max_jac"),
+    )
+    h = d.select("doc_id", F.md5("text").alias("h"))
+    return (
+        agg.join(
+            h.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha")),
+            "doc_a",
+        )
+        .join(
+            h.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_dup_chunk_pairs",
+            "max_jac",
+            (F.col("ha") == F.col("hb")).alias("is_doc_dup"),
+        )
+    )
+
+
+def _para_pairs_sql() -> str:
+    """Chunk-level candidate CTE: the chunk table is aliased as ``w``
+    with chunk_id named doc_id, so queries_ext._minhash_pairs_sql —
+    the SAME fragment minhash_lsh_pairs oracles with — applies
+    verbatim over chunks."""
+    from wq_data_pipeline_spark.plans.queries_ext import _minhash_pairs_sql
+
+    return _minhash_pairs_sql(_PARA_K, _PARA_R, _PARA_MAXDF)
+
+
+def _sql_para_dedup() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id * {_PARA_PACK} + i AS doc_id,
+         toks[i * {_PARA_C} + 1 : i * {_PARA_C} + {_PARA_C}] AS toks
+  FROM (SELECT doc_id, toks, unnest(generate_series(0, (len(toks) - 1) // {_PARA_C})) AS i
+        FROM base WHERE len(toks) > 0)
+  WHERE len(toks[i * {_PARA_C} + 1 : i * {_PARA_C} + {_PARA_C}]) >= {_PARA_MIN}
+),
+{_para_pairs_sql()},
+ws AS (SELECT doc_id, list_distinct(toks) AS ws FROM w),
+j AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) AS jaccard
+  FROM pairs JOIN ws a ON pairs.id_a = a.doc_id JOIN ws b ON pairs.id_b = b.doc_id
+),
+dp AS (
+  SELECT id_a // {_PARA_PACK} AS doc_a, id_b // {_PARA_PACK} AS doc_b, jaccard
+  FROM j WHERE jaccard >= {_PARA_JTAU} AND id_a // {_PARA_PACK} <> id_b // {_PARA_PACK}
+),
+agg AS (
+  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_dup_chunk_pairs,
+         round(max(jaccard), 6) AS max_jac
+  FROM dp GROUP BY doc_a, doc_b
+),
+h AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT agg.doc_a, agg.doc_b, n_dup_chunk_pairs, max_jac, ha.h = hb.h AS is_doc_dup
+FROM agg JOIN h ha ON agg.doc_a = ha.doc_id JOIN h hb ON agg.doc_b = hb.doc_id"""
+
+
+SQL_PARA_DEDUP = _sql_para_dedup()
+
+
+# --- quality_train ----------------------------------------------------------
+
+_QT_B = 64  # hashed feature buckets (model size — O(1) vs corpus)
+_QT_ROUNDS = 3  # fixed full-batch GD rounds (the oracle replays each)
+_QT_LR = 0.1
+_QT_HOLD_MOD = 5  # doc_id % 5 == 4 held out for the AUC pin
+_QT_HOLD_RES = 4
+
+
+def q_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-classifier training: 3 fixed rounds of
+    full-batch logistic-regression gradient descent over hashed
+    bag-of-words features (64 buckets), distilling the C4 blocklist
+    gate into a linear model — label y = 1 iff the doc contains no
+    blocklisted token (the DCLM/fastText shape: rule-based labels ->
+    learned scorer; swap the label column for human/LLM labels, the
+    trainer is unchanged). Docs with doc_id % 5 == 4 are held out;
+    the held-out AUC (~0.8) is pinned in tests, not emitted.
+
+    Output: the full weight trajectory (b, w_micro_r1..r3) in integer
+    micro units — 64 rows pinning every round of the optimization,
+    which is what makes a TRAINER oracle-checkable rather than just
+    its final score.
+
+    Oracle-exact by integer discipline: logits are exact BIGINT dots
+    of counts × micro-weights; the sigmoid — the only float — is
+    quantized per doc BEFORE summation (round((p - y) * 1e6), the
+    unigram_logprob micro-bits precedent), so gradients are order-free
+    BIGINT sums and the update w' = w - round(lr * g / n) is one
+    deterministic double op on exact integers.
+
+    100-TB shape (the k-means distributed-state discipline): the
+    feature table is built once, checkpointed, and only joined — two
+    shuffles per round (by doc for logits, by bucket for the
+    64-group gradient, both map-side combinable) plus a broadcast of
+    the 64-row weight table. No per-round driver collect; the single
+    bounded action is n_train (one scalar)."""
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    d = _docs_parallel(spark, sf_dir)
+    toks = tokens("text")
+    blocked = F.size(F.filter(toks, lambda t: t.isin(*_BLOCKLIST)))
+    tr = d.filter(
+        (F.col("doc_id") % _QT_HOLD_MOD) != _QT_HOLD_RES
+    ).select(
+        "doc_id", toks.alias("toks"), (blocked == 0).cast("int").alias("y")
+    )
+    x = (
+        tr.select("doc_id", "y", F.explode("toks").alias("tok"))
+        .select(
+            "doc_id",
+            "y",
+            F.pmod(gram_hash(F.col("tok")), F.lit(_QT_B)).alias("b"),
+        )
+        .groupBy("doc_id", "y", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    n_row = x.agg(F.countDistinct("doc_id").alias("n")).first()
+    n_train = int(n_row["n"]) if n_row is not None else 0
+    w = spark.range(_QT_B).select(
+        F.col("id").cast("long").alias("b"), F.lit(0).cast("long").alias("w")
+    )
+    if n_train == 0:  # no trainable docs: weights stay at the zero init
+        return w.select(
+            "b",
+            *[F.col("w").alias(f"w_micro_r{r}") for r in range(1, _QT_ROUNDS + 1)],
+        ).orderBy("b")
+
+    traj = []
+    for _ in range(_QT_ROUNDS):
+        z = (
+            x.join(F.broadcast(w), "b")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("cnt") * F.col("w")).alias("z_micro"))
+        )
+        p = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-(F.col("z_micro").cast("double") / F.lit(1000000.0)))
+        )
+        e = z.select(
+            "doc_id",
+            F.round((p - F.col("y").cast("double")) * F.lit(1000000.0))
+            .cast("long")
+            .alias("e"),
+        )
+        g = (
+            x.join(e, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("cnt") * F.col("e")).alias("g"))
+        )
+        w = (
+            w.join(g, "b", "left")
+            .select(
+                "b",
+                (
+                    F.col("w")
+                    - F.round(
+                        F.lit(_QT_LR)
+                        * F.coalesce(F.col("g"), F.lit(0))
+                        / F.lit(n_train)
+                    ).cast("long")
+                ).alias("w"),
+            )
+            .localCheckpoint()
+        )
+        traj.append(w)
+    out = traj[0].select("b", F.col("w").alias("w_micro_r1"))
+    for r in range(2, _QT_ROUNDS + 1):
+        out = out.join(
+            traj[r - 1].select("b", F.col("w").alias(f"w_micro_r{r}")), "b"
+        )
+    return out.orderBy("b")
+
+
+def _sql_quality_train() -> str:
+    rounds = []
+    prev = "w0"
+    for r in range(1, _QT_ROUNDS + 1):
+        rounds.append(
+            f"""z{r} AS (
+  SELECT x.doc_id, x.y, sum(x.cnt * w.w) AS z_micro
+  FROM x JOIN {prev} w USING (b) GROUP BY x.doc_id, x.y
+),
+e{r} AS (
+  SELECT doc_id,
+         CAST(round((1.0 / (1.0 + exp(-(CAST(z_micro AS DOUBLE) / 1000000.0)))
+                     - CAST(y AS DOUBLE)) * 1000000.0) AS BIGINT) AS e
+  FROM z{r}
+),
+g{r} AS (
+  SELECT x.b, sum(x.cnt * e.e) AS g
+  FROM x JOIN e{r} e USING (doc_id) GROUP BY x.b
+),
+w{r} AS (
+  SELECT w.b,
+         CAST(w.w - CAST(round({_QT_LR} * COALESCE(g.g, 0) / n.n) AS BIGINT) AS BIGINT) AS w
+  FROM {prev} w LEFT JOIN g{r} g USING (b) CROSS JOIN n
+)"""
+        )
+        prev = f"w{r}"
+    sel = ", ".join(
+        f"w{r}.w AS w_micro_r{r}" for r in range(1, _QT_ROUNDS + 1)
+    )
+    joins = " ".join(f"JOIN w{r} USING (b)" for r in range(2, _QT_ROUNDS + 1))
+    return f"""
+WITH tr AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id % {_QT_HOLD_MOD} <> {_QT_HOLD_RES}
+),
+lab AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(list_filter(toks, t -> t IN {_BLOCKLIST_SQL})) = 0 THEN 1 ELSE 0 END AS y
+  FROM tr
+),
+f AS (SELECT doc_id, y, ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT % {_QT_B} AS b FROM lab),
+x AS (SELECT doc_id, y, b, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY doc_id, y, b),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM x),
+w0 AS (SELECT unnest(generate_series(0, {_QT_B - 1})) AS b, CAST(0 AS BIGINT) AS w),
+{",".join(rounds)}
+SELECT w1.b, {sel}
+FROM w1 {joins} ORDER BY w1.b"""
+
+
+SQL_QUALITY_TRAIN = _sql_quality_train()
+
+
+QUERIES30: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embed_decontaminate": q_embed_decontaminate,
+    "para_dedup": q_para_dedup,
+    "quality_train": q_quality_train,
+}
+
+ORACLES30: dict[str, str] = {
+    "embed_decontaminate": SQL_EMBED_DECONTAMINATE,
+    "para_dedup": SQL_PARA_DEDUP,
+    "quality_train": SQL_QUALITY_TRAIN,
+}
