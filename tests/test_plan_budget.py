@@ -346,6 +346,9 @@ BUDGETS = {
     # GD rounds ran at construction (k-means discipline); final plan
     # = three 64-row checkpointed weight frames joined + sort
     "quality_train": (4, 0, 0),
+    # inference over the trained model: one explode + per-(doc,
+    # source, bucket) agg + the broadcast 64-row model join + rollup
+    "quality_train_apply": (3, 1, 1),
 }
 
 
@@ -404,6 +407,7 @@ CONSTRUCTION_JOB_CAPS = {
     # r10 trainer: feature-table checkpoint + n_train scalar + 3 GD
     # rounds of weight-frame localCheckpoints (measured 27)
     "quality_train": 32,
+    "quality_train_apply": 32,  # same trainer rounds at construction
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

@@ -389,6 +389,37 @@ def test_quality_train_learns_the_gate(spark, tmp_path):
     assert min(w3[b] for b in good) > max(w3[b] for b in bad)
 
 
+def test_quality_train_apply_matches_python_scoring(spark, tmp_path):
+    """The apply entry's per-source report equals scoring every doc
+    (held-out included) with the replicated trainer's final weights."""
+    rows = [
+        (0, "fast clean table scan query join merge sort", "en", "s0"),
+        (1, "slow broken table scan error query join merge", "en", "s0"),
+        (2, "value window agg group fast data column row", "en", "s1"),
+        (3, "error slow batch stream broken pipeline fail", "en", "s1"),
+        (4, "held out doc scored at apply time", "en", "s2"),
+        (5, "clean content merge window sort filter scan", "en", "s2"),
+        (6, "slow query error window batch row column", "en", "s0"),
+        (7, "good text fast join scan filter group agg", "en", "s1"),
+        (9, "another held out fast clean doc here", "en", "s0"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r["source"]: (r["n_docs"], r["n_kept"], r["sum_z_micro"])
+        for r in R10.q_quality_train_apply(spark, str(tmp_path)).collect()
+    }
+    w3 = _py_train([(i, t) for i, t, _, _ in rows])[-1]
+    exp = {}
+    for i, t, _, s in rows:
+        toks = _py_tokens(t)
+        if not toks:
+            continue
+        z = sum(w3[_py_bucket(tok)] for tok in toks)
+        n, k, sz = exp.get(s, (0, 0, 0))
+        exp[s] = (n + 1, k + (1 if z > 0 else 0), sz + z)
+    assert got == exp, (got, exp)
+
+
 def test_quality_train_heldout_auc(spark, sf_dir):
     """Final weights carry real signal: AUC on the HELD-OUT fifth of
     the corpus (never seen by the trainer) is well above chance."""

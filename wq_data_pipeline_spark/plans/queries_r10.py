@@ -419,34 +419,12 @@ _QT_HOLD_MOD = 5  # doc_id % 5 == 4 held out for the AUC pin
 _QT_HOLD_RES = 4
 
 
-def q_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """In-engine quality-classifier training: 3 fixed rounds of
-    full-batch logistic-regression gradient descent over hashed
-    bag-of-words features (64 buckets), distilling the C4 blocklist
-    gate into a linear model — label y = 1 iff the doc contains no
-    blocklisted token (the DCLM/fastText shape: rule-based labels ->
-    learned scorer; swap the label column for human/LLM labels, the
-    trainer is unchanged). Docs with doc_id % 5 == 4 are held out;
-    the held-out AUC (~0.8) is pinned in tests, not emitted.
-
-    Output: the full weight trajectory (b, w_micro_r1..r3) in integer
-    micro units — 64 rows pinning every round of the optimization,
-    which is what makes a TRAINER oracle-checkable rather than just
-    its final score.
-
-    Oracle-exact by integer discipline: logits are exact BIGINT dots
-    of counts × micro-weights; the sigmoid — the only float — is
-    quantized per doc BEFORE summation (round((p - y) * 1e6), the
-    unigram_logprob micro-bits precedent), so gradients are order-free
-    BIGINT sums and the update w' = w - round(lr * g / n) is one
-    deterministic double op on exact integers.
-
-    100-TB shape (the k-means distributed-state discipline): the
-    feature table is built once, checkpointed, and only joined — two
-    shuffles per round (by doc for logits, by bucket for the
-    64-group gradient, both map-side combinable) plus a broadcast of
-    the 64-row weight table. No per-round driver collect; the single
-    bounded action is n_train (one scalar)."""
+def _train_traj(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The shared trainer loop behind quality_train (trajectory) and
+    quality_train_apply (final weights): _QT_ROUNDS rounds of
+    full-batch logistic GD, returning the per-round 64-row
+    checkpointed weight frames (b, w). See q_quality_train for the
+    semantics/exactness/scale contract."""
     from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
 
     d = _docs_parallel(spark, sf_dir)
@@ -474,10 +452,7 @@ def q_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("b"), F.lit(0).cast("long").alias("w")
     )
     if n_train == 0:  # no trainable docs: weights stay at the zero init
-        return w.select(
-            "b",
-            *[F.col("w").alias(f"w_micro_r{r}") for r in range(1, _QT_ROUNDS + 1)],
-        ).orderBy("b")
+        return [w] * _QT_ROUNDS
 
     traj = []
     for _ in range(_QT_ROUNDS):
@@ -517,6 +492,38 @@ def q_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         traj.append(w)
+    return traj
+
+
+def q_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-classifier training: 3 fixed rounds of
+    full-batch logistic-regression gradient descent over hashed
+    bag-of-words features (64 buckets), distilling the C4 blocklist
+    gate into a linear model — label y = 1 iff the doc contains no
+    blocklisted token (the DCLM/fastText shape: rule-based labels ->
+    learned scorer; swap the label column for human/LLM labels, the
+    trainer is unchanged). Docs with doc_id % 5 == 4 are held out;
+    the held-out AUC (~0.8) is pinned in tests, not emitted.
+
+    Output: the full weight trajectory (b, w_micro_r1..r3) in integer
+    micro units — 64 rows pinning every round of the optimization,
+    which is what makes a TRAINER oracle-checkable rather than just
+    its final score.
+
+    Oracle-exact by integer discipline: logits are exact BIGINT dots
+    of counts × micro-weights; the sigmoid — the only float — is
+    quantized per doc BEFORE summation (round((p - y) * 1e6), the
+    unigram_logprob micro-bits precedent), so gradients are order-free
+    BIGINT sums and the update w' = w - round(lr * g / n) is one
+    deterministic double op on exact integers.
+
+    100-TB shape (the k-means distributed-state discipline): the
+    feature table is built once, checkpointed, and only joined — two
+    shuffles per round (by doc for logits, by bucket for the
+    64-group gradient, both map-side combinable) plus a broadcast of
+    the 64-row weight table. No per-round driver collect; the single
+    bounded action is n_train (one scalar)."""
+    traj = _train_traj(spark, sf_dir)
     out = traj[0].select("b", F.col("w").alias("w_micro_r1"))
     for r in range(2, _QT_ROUNDS + 1):
         out = out.join(
@@ -525,7 +532,58 @@ def q_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("b")
 
 
-def _sql_quality_train() -> str:
+def q_quality_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train -> INFER, end to end (the bpe_train/bpe_apply pairing for
+    the classifier family): the final-round trained weights score the
+    WHOLE corpus — held-out docs included, which is the point of
+    holding them out — and the per-source report gives doc counts,
+    docs the learned gate keeps (logit > 0), and the exact summed
+    logit mass. ``quality_classifier`` is this plan with fixed
+    md5-derived weights; here the weight table is the trainer's
+    output, so a green row pins training AND inference together.
+
+    Scale shape: inference is ONE explode + per-(doc, source, bucket)
+    hash agg + a broadcast join of the 64-row model + two map-side-
+    combinable rollups — identical to quality_classifier's broadcast-
+    join inference, with the trainer's distributed-state loop bolted
+    in front (construction-time, k-means discipline). Docs with no
+    tokens score nothing and are excluded on both sides (explode and
+    unnest agree)."""
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    w_final = _train_traj(spark, sf_dir)[-1]
+    d = _docs_parallel(spark, sf_dir)
+    xf = (
+        d.select("doc_id", "source", F.explode(tokens("text")).alias("tok"))
+        .select(
+            "doc_id",
+            "source",
+            F.pmod(gram_hash(F.col("tok")), F.lit(_QT_B)).alias("b"),
+        )
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    z = (
+        xf.join(F.broadcast(w_final), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("z_micro"))
+    )
+    return (
+        z.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("z_micro") > 0).cast("long")).alias("n_kept"),
+            F.sum("z_micro").cast("long").alias("sum_z_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_train_prefix() -> str:
+    """The WITH chain (features -> w0 -> 3 unrolled GD rounds) shared
+    by the quality_train and quality_train_apply oracles — ONE
+    definition of the training recurrence, so the two entries can
+    never replay different trainers."""
     rounds = []
     prev = "w0"
     for r in range(1, _QT_ROUNDS + 1):
@@ -551,10 +609,6 @@ w{r} AS (
 )"""
         )
         prev = f"w{r}"
-    sel = ", ".join(
-        f"w{r}.w AS w_micro_r{r}" for r in range(1, _QT_ROUNDS + 1)
-    )
-    joins = " ".join(f"JOIN w{r} USING (b)" for r in range(2, _QT_ROUNDS + 1))
     return f"""
 WITH tr AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
@@ -569,22 +623,52 @@ f AS (SELECT doc_id, y, ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT % {_Q
 x AS (SELECT doc_id, y, b, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY doc_id, y, b),
 n AS (SELECT count(DISTINCT doc_id) AS n FROM x),
 w0 AS (SELECT unnest(generate_series(0, {_QT_B - 1})) AS b, CAST(0 AS BIGINT) AS w),
-{",".join(rounds)}
+{",".join(rounds)}"""
+
+
+def _sql_quality_train() -> str:
+    sel = ", ".join(
+        f"w{r}.w AS w_micro_r{r}" for r in range(1, _QT_ROUNDS + 1)
+    )
+    joins = " ".join(f"JOIN w{r} USING (b)" for r in range(2, _QT_ROUNDS + 1))
+    return f"""{_sql_train_prefix()}
 SELECT w1.b, {sel}
 FROM w1 {joins} ORDER BY w1.b"""
 
 
+def _sql_quality_train_apply() -> str:
+    return f"""{_sql_train_prefix()},
+af AS (
+  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+ff AS (SELECT doc_id, source, ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT % {_QT_B} AS b FROM af),
+xf AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS cnt FROM ff GROUP BY doc_id, source, b),
+zf AS (
+  SELECT xf.doc_id, xf.source, sum(xf.cnt * w.w) AS z_micro
+  FROM xf JOIN w{_QT_ROUNDS} w USING (b) GROUP BY xf.doc_id, xf.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN z_micro > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(z_micro) AS BIGINT) AS sum_z_micro
+FROM zf GROUP BY source ORDER BY source"""
+
+
 SQL_QUALITY_TRAIN = _sql_quality_train()
+SQL_QUALITY_TRAIN_APPLY = _sql_quality_train_apply()
 
 
 QUERIES30: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_decontaminate": q_embed_decontaminate,
     "para_dedup": q_para_dedup,
     "quality_train": q_quality_train,
+    "quality_train_apply": q_quality_train_apply,
 }
 
 ORACLES30: dict[str, str] = {
     "embed_decontaminate": SQL_EMBED_DECONTAMINATE,
     "para_dedup": SQL_PARA_DEDUP,
     "quality_train": SQL_QUALITY_TRAIN,
+    "quality_train_apply": SQL_QUALITY_TRAIN_APPLY,
 }
