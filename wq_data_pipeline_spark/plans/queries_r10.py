@@ -108,7 +108,12 @@ def q_embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (eval suites are tiny); the corpus chain through the threshold
     filter is NARROW (signatures + inline scoring on the scan side of
     a broadcast join) — raw corpus vectors never shuffle, the corpus
-    never self-joins, and only surviving pairs reach the dedup/agg."""
+    never self-joins, and only surviving pairs reach the dedup/agg.
+    Validity bound: the broadcast carries bench_rows × bands ×
+    (dim × 8B) — ~400 MB at a 100k-item suite, the practical ceiling.
+    Past that, drop the F.broadcast hint and this SAME plan becomes a
+    skinny equi-join on (band, sig) (the embed_near_dup sparse shape);
+    the candidate semantics are unchanged."""
     raw = load_table(spark, sf_dir, "embeddings")
     head = raw.select(F.size("embedding")).head()
     if head is None:  # empty table: contract schema, no dim to probe
