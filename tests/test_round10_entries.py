@@ -389,6 +389,65 @@ def test_quality_train_learns_the_gate(spark, tmp_path):
     assert min(w3[b] for b in good) > max(w3[b] for b in bad)
 
 
+def test_quality_train_zero_trainable_docs_oracle_parity(spark, tmp_path):
+    """Corpus where EVERY doc is held out (doc_id % 5 == 4): the
+    engine's n_train == 0 guard returns zero-init weights, and the
+    oracle's greatest(n, 1) floor agrees — round(0.1*0/0) would be
+    NULL otherwise (the r10 review finding)."""
+    from tests.oracle_utils import compare
+
+    rows = [
+        (4, "some text here", "en", "s0"),
+        (9, "other words entirely", "en", "s1"),
+        (14, "slow error doc", "en", "s0"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = R10.q_quality_train(spark, str(tmp_path)).collect()
+    assert len(got) == R10._QT_B
+    assert all(
+        r["w_micro_r1"] == 0 and r["w_micro_r2"] == 0 and r["w_micro_r3"] == 0
+        for r in got
+    )
+    for name in ("quality_train", "quality_train_apply"):
+        ok, msg = compare(
+            R10.QUERIES30[name](spark, str(tmp_path)),
+            R10.ORACLES30[name],
+            str(tmp_path),
+        )
+        assert ok, (name, msg)
+
+
+def test_para_dedup_packing_bound_excludes_overflow(spark, tmp_path):
+    """A doc longer than _PARA_PACK chunks has its overflow chunks
+    EXCLUDED on both sides — never misattributed to the next doc id
+    (the r10 review finding). Doc 5 gets > 1024 chunks whose overflow
+    would otherwise alias into doc 6's id space; doc 6's only content
+    matches doc 5's OVERFLOW chunk, so any reported (5, 6) or (6, x)
+    pair would prove misattribution."""
+    from tests.oracle_utils import compare
+
+    overflow_block = " ".join(f"ov{j}" for j in range(16))
+    # 1025 chunks of 16 tokens; chunk index 1024 is the overflow
+    long_text = " ".join(
+        f"t{i}_{j}" for i in range(1024) for j in range(16)
+    ) + " " + overflow_block
+    rows = [
+        (5, long_text, "en", "s0"),
+        (6, overflow_block + " unrelated tail words here now", "en", "s1"),
+        (7, "completely different content in this doc", "en", "s2"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = R10.q_para_dedup(spark, str(tmp_path)).collect()
+    # the overflow chunk is excluded, so NO pair involves doc 6
+    assert all(r["doc_b"] != 6 and r["doc_a"] != 6 for r in got), got
+    ok, msg = compare(
+        R10.q_para_dedup(spark, str(tmp_path)),
+        R10.SQL_PARA_DEDUP,
+        str(tmp_path),
+    )
+    assert ok, msg
+
+
 def test_quality_train_apply_matches_python_scoring(spark, tmp_path):
     """The apply entry's per-source report equals scoring every doc
     (held-out included) with the replicated trainer's final weights."""

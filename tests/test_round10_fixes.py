@@ -53,10 +53,7 @@ def _write_nully_docs(spark, path) -> str:
 )
 def test_null_text_oracle_parity(spark, tmp_path, qname):
     """Engine and oracle agree on a corpus WITH a NULL-text doc."""
-    import sys
-
-    sys.path.insert(0, __file__.rsplit("/", 1)[0])
-    from oracle_utils import compare
+    from tests.oracle_utils import compare
 
     sf_dir = _write_nully_docs(spark, tmp_path)
     fns = {

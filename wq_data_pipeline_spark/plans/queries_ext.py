@@ -21,9 +21,16 @@ from wq_data_pipeline_spark.operators.multimodal import decode_media
 from wq_data_pipeline_spark.sources.testdata import load_table
 
 # Shared oracle CTE: whitespace tokens of lowercased text.
+# The ONE SQL definition of the tokenizer (whitespace tokens of the
+# lowercased text, empties removed) — the mirror of text.tokens().
+# Interpolate SQL_TOKS_EXPR wherever an oracle tokenizes outside the
+# shared w CTE, so the rule cannot drift between entries.
+SQL_TOKS_EXPR = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
 SQL_WORDS = (
     "WITH w AS (SELECT doc_id, lang, source, n_chars, text, "
-    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks "
+    f"{SQL_TOKS_EXPR} AS toks "
     "FROM documents)"
 )
 

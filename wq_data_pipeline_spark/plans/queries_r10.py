@@ -66,7 +66,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from wq_data_pipeline_spark.operators import dedup as DD
 from wq_data_pipeline_spark.operators.text import gram_hash, tokens
-from wq_data_pipeline_spark.plans.queries_ext import _Q, _quantized
+from wq_data_pipeline_spark.plans.queries_ext import _Q, SQL_TOKS_EXPR, _quantized
 from wq_data_pipeline_spark.plans.queries_scale import _BLOCKLIST, _BLOCKLIST_SQL
 from wq_data_pipeline_spark.sources.testdata import load_table
 
@@ -307,8 +307,10 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of skinny (chunk, band, key) rows with the max_df
     quadratic-bucket guard; only surviving candidates pay the exact
     verify. Chunk ids pack as doc_id * 1024 + idx — wide enough for
-    16k-token docs; a production corpus widens the multiplier (the
-    id is opaque to every join)."""
+    16k-token docs; chunks past the bound are EXCLUDED symmetrically
+    (i < 1024 filters engine AND oracle), never silently
+    misattributed to the next doc id; a production corpus widens the
+    multiplier (the id is opaque to every join)."""
     from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
 
     d = _docs_parallel(spark, sf_dir)
@@ -320,6 +322,10 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ch = (
         base.select("doc_id", "toks", F.explode(idx).alias("i"))
+        # the packing bound: chunks past _PARA_PACK would alias into
+        # the NEXT doc's id space — excluded symmetrically in the
+        # oracle (i < PACK there too), never silently misattributed
+        .filter(F.col("i") < _PARA_PACK)
         .select(
             (F.col("doc_id") * _PARA_PACK + F.col("i")).alias("chunk_id"),
             F.slice("toks", F.col("i") * _PARA_C + 1, _PARA_C).alias("ctoks"),
@@ -380,7 +386,7 @@ def _para_pairs_sql() -> str:
 def _sql_para_dedup() -> str:
     return f"""
 WITH base AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  SELECT doc_id, {SQL_TOKS_EXPR} AS toks
   FROM documents
 ),
 w AS (
@@ -388,7 +394,8 @@ w AS (
          toks[i * {_PARA_C} + 1 : i * {_PARA_C} + {_PARA_C}] AS toks
   FROM (SELECT doc_id, toks, unnest(generate_series(0, (len(toks) - 1) // {_PARA_C})) AS i
         FROM base WHERE len(toks) > 0)
-  WHERE len(toks[i * {_PARA_C} + 1 : i * {_PARA_C} + {_PARA_C}]) >= {_PARA_MIN}
+  WHERE i < {_PARA_PACK}
+    AND len(toks[i * {_PARA_C} + 1 : i * {_PARA_C} + {_PARA_C}]) >= {_PARA_MIN}
 ),
 {_para_pairs_sql()},
 ws AS (SELECT doc_id, list_distinct(toks) AS ws FROM w),
@@ -451,8 +458,8 @@ def _train_traj(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint()
     )
-    n_row = x.agg(F.countDistinct("doc_id").alias("n")).first()
-    n_train = int(n_row["n"]) if n_row is not None else 0
+    # a global (non-grouped) agg always yields exactly one row
+    n_train = int(x.agg(F.countDistinct("doc_id").alias("n")).first()["n"])
     w = spark.range(_QT_B).select(
         F.col("id").cast("long").alias("b"), F.lit(0).cast("long").alias("w")
     )
@@ -609,14 +616,19 @@ g{r} AS (
 ),
 w{r} AS (
   SELECT w.b,
-         CAST(w.w - CAST(round({_QT_LR} * COALESCE(g.g, 0) / n.n) AS BIGINT) AS BIGINT) AS w
+         CAST(w.w - CAST(round({_QT_LR} * COALESCE(g.g, 0) / greatest(n.n, 1)) AS BIGINT) AS BIGINT) AS w
   FROM {prev} w LEFT JOIN g{r} g USING (b) CROSS JOIN n
 )"""
         )
         prev = f"w{r}"
+    # greatest(n, 1): on a corpus with ZERO trainable docs, g is empty
+    # (COALESCE 0) but n is 0 too — round(0.1*0/0) is NULL in DuckDB,
+    # which would diverge from the engine's explicit n_train == 0
+    # zero-weight guard; with the floor, delta is 0/1 = 0 and both
+    # sides agree that the weights stay at the zero init.
     return f"""
 WITH tr AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  SELECT doc_id, {SQL_TOKS_EXPR} AS toks
   FROM documents WHERE doc_id % {_QT_HOLD_MOD} <> {_QT_HOLD_RES}
 ),
 lab AS (
@@ -644,7 +656,7 @@ FROM w1 {joins} ORDER BY w1.b"""
 def _sql_quality_train_apply() -> str:
     return f"""{_sql_train_prefix()},
 af AS (
-  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  SELECT doc_id, source, {SQL_TOKS_EXPR} AS toks
   FROM documents
 ),
 ff AS (SELECT doc_id, source, ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT % {_QT_B} AS b FROM af),
