@@ -349,6 +349,11 @@ BUDGETS = {
     # inference over the trained model: one explode + per-(doc,
     # source, bucket) agg + the broadcast 64-row model join + rollup
     "quality_train_apply": (3, 1, 1),
+    # held-out eval: score-group agg + the checkpointed prefix-sum
+    # frame's rank agg + the 1-row confusion × rank-mass cross of
+    # broadcast scalars; AUC midranks ride distributed_prefix_sum,
+    # never a single-partition rank window
+    "quality_train_eval": (4, 3, 1),
 }
 
 
@@ -408,6 +413,9 @@ CONSTRUCTION_JOB_CAPS = {
     # rounds of weight-frame localCheckpoints (measured 27)
     "quality_train": 32,
     "quality_train_apply": 32,  # same trainer rounds at construction
+    # trainer rounds + the AUC prefix-sum's range-partition
+    # localCheckpoint and totals action (measured 36)
+    "quality_train_eval": 44,
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

@@ -479,6 +479,100 @@ def test_quality_train_apply_matches_python_scoring(spark, tmp_path):
     assert got == exp, (got, exp)
 
 
+def _py_eval(docs, w3):
+    """Independent confusion/kappa/AUC replication over the held-out
+    slice, given final weights."""
+    bl = set(R10._BLOCKLIST)
+    scored = []
+    for i, t in docs:
+        if i % R10._QT_HOLD_MOD != R10._QT_HOLD_RES:
+            continue
+        toks = _py_tokens(t or "")
+        if not toks:
+            continue
+        y = 0 if any(tok in bl for tok in toks) else 1
+        z = sum(w3[_py_bucket(tok)] for tok in toks)
+        scored.append((z, y))
+    n = len(scored)
+    n_pos = sum(y for _, y in scored)
+    n_neg = n - n_pos
+    tp = sum(1 for z, y in scored if y == 1 and z > 0)
+    fp = sum(1 for z, y in scored if y == 0 and z > 0)
+    fn = sum(1 for z, y in scored if y == 1 and z <= 0)
+    tn = sum(1 for z, y in scored if y == 0 and z <= 0)
+    po = (tp + tn) / max(n, 1)
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (max(n, 1) ** 2)
+    kappa = 0.0 if 1.0 - pe == 0.0 else round((po - pe) / (1.0 - pe), 6)
+    auc = None
+    if n_pos and n_neg:
+        scored.sort(key=lambda t: t[0])
+        # midrank U statistic
+        ranks = {}
+        i = 0
+        while i < len(scored):
+            j = i
+            while j < len(scored) and scored[j][0] == scored[i][0]:
+                j += 1
+            mid = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[k] = mid
+            i = j
+        r_pos = sum(ranks[k] for k, (_, y) in enumerate(scored) if y == 1)
+        auc = round((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+    return {
+        "n_docs": n, "n_pos": n_pos, "n_neg": n_neg,
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "accuracy": round(po, 6), "kappa": kappa, "auc": auc,
+    }
+
+
+def test_quality_train_eval_matches_python_replication(spark, tmp_path):
+    """Confusion, kappa, and the distributed-prefix-sum AUC all equal
+    an independent pure-Python evaluation (separating fixture: the
+    planted classes split cleanly, so the confusion part is
+    non-trivial — tp and tn both positive)."""
+    rows = []
+    for i in range(40):
+        if i % 3 == 0:
+            rows.append((i, "slow error broken batch stream pipeline", "en", "s0"))
+        else:
+            rows.append((i, "fast clean merge sort filter query scan", "en", "s0"))
+    _write_docs(spark, tmp_path, rows)
+    got = R10.q_quality_train_eval(spark, str(tmp_path)).collect()[0].asDict()
+    w3 = _py_train([(i, t) for i, t, _, _ in rows])[-1]
+    exp = _py_eval([(i, t) for i, t, _, _ in rows], w3)
+    for k in ("n_docs", "n_pos", "n_neg", "tp", "fp", "fn", "tn"):
+        assert got[k] == exp[k], (k, got, exp)
+    assert got["accuracy"] == pytest.approx(exp["accuracy"], abs=1e-6)
+    assert got["kappa"] == pytest.approx(exp["kappa"], abs=1e-6)
+    assert got["auc"] == pytest.approx(exp["auc"], abs=1e-6)
+    # the separating fixture makes the confusion non-degenerate
+    assert exp["tp"] > 0 and exp["tn"] > 0
+    assert exp["kappa"] > 0.5
+
+
+def test_quality_train_eval_auc_matches_real_fixture(spark, sf_dir):
+    """On the real fixture, the entry's AUC equals the independent
+    python midrank computation (the same number the held-out AUC pin
+    below checks is > 0.7)."""
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    got = R10.q_quality_train_eval(spark, sf_dir).collect()[0]
+    w3 = {
+        r["b"]: r["w_micro_r3"]
+        for r in R10.q_quality_train(spark, sf_dir).collect()
+    }
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    exp = _py_eval(docs, w3)
+    assert got["auc"] == pytest.approx(exp["auc"], abs=1e-6)
+    assert got["n_docs"] == exp["n_docs"]
+
+
 def test_quality_train_heldout_auc(spark, sf_dir):
     """Final weights carry real signal: AUC on the HELD-OUT fifth of
     the corpus (never seen by the trainer) is well above chance."""

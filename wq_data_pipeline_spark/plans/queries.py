@@ -790,22 +790,24 @@ ORACLES.update(ORACLES30)
 # jaccard_pairs, fingerprint_dedup, text_token_stats,
 # sliding_rollup, multimodal_meta, layout_compare, zorder_layout,
 # minhash_signatures, bpe_apply, embed_ivf_topk, props_json).
-# r10 window (executes the freeze plan above): the 4 new batch-30
+# r10 window (executes the freeze plan above): the 5 new batch-30
 # entries first (never driver-checked), then ALL 22 r5-green veterans
 # (5 rounds stale — the oldest driver rows in the catalog), then the
-# 24 oldest r6-green rows: the SURVEY-§2 QC core (a1, a4-a7, w1-w9,
-# w17 — VERDICT r9 #1) and 10 more in staleness order. The remaining
-# 20 r6-green entries (dup_spans, embed_kmeans_ivf, embed_lsh_ann,
-# embed_near_dup, ivf_pq_search, length_buckets, pii_scan, pq_encode,
-# pq_search, quality_classifier, semdedup, sequence_pack,
-# sketch_profile_exact, source_mixture, stream_*_rollup,
-# stream_interval_join, tfidf_terms, winnow_*) rotate in r11; all
-# stay covered by the local sf0.01 pytest oracle mirror meanwhile.
+# 23 oldest r6-green rows: the SURVEY-§2 QC core (a1, a4-a7, w1-w9,
+# w17 — VERDICT r9 #1) and 9 more in staleness order. The remaining
+# 21 r6-green entries (dup_spans, dup_span_removal, embed_kmeans_ivf,
+# embed_lsh_ann, embed_near_dup, ivf_pq_search, length_buckets,
+# pii_scan, pq_encode, pq_search, quality_classifier, semdedup,
+# sequence_pack, sketch_profile_exact, source_mixture,
+# stream_*_rollup, stream_interval_join, tfidf_terms, winnow_*)
+# rotate in r11; all stay covered by the local sf0.01 pytest oracle
+# mirror meanwhile.
 _DRIVER_WINDOW = [
     "embed_decontaminate",
     "para_dedup",
     "quality_train",
     "quality_train_apply",
+    "quality_train_eval",
     "bigram_lm_score",
     "bpe_apply",
     "cross_dedup",
@@ -851,7 +853,6 @@ _DRIVER_WINDOW = [
     "curation_funnel",
     "domain_rebalance",
     "dsir_weights",
-    "dup_span_removal",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

@@ -591,6 +591,114 @@ def q_quality_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train -> apply -> EVAL, closing the distillation loop: the
+    trained model's held-out report against its teacher rule (the
+    blocklist gate) — confusion counts, accuracy, Cohen's kappa, and
+    AUC, all on the doc_id % 5 == 4 slice the trainer never saw.
+    This is the acceptance gate a real pipeline runs before swapping
+    a learned filter in for the rule it distills.
+
+    The AUC is the 100-TB-safe form: scores pre-aggregate to distinct-
+    value groups (cnt, cnt_pos), group midranks come from
+    ``scale.distributed_prefix_sum`` over the score order — never a
+    single-partition rank window — and the rank mass stays in BIGINT
+    via the 2×midrank trick (cnt_pos · (2·cum_before + cnt + 1)), so
+    the only floats are the three final divisions (rounded 6dp in
+    both dialects). Kappa/accuracy come from the exact confusion
+    integers. Docs with no tokens score nothing and are excluded on
+    both sides."""
+    from wq_data_pipeline_spark.operators.scale import distributed_prefix_sum
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    w_final = _train_traj(spark, sf_dir)[-1]
+    d = _docs_parallel(spark, sf_dir)
+    toks = tokens("text")
+    blocked = F.size(F.filter(toks, lambda t: t.isin(*_BLOCKLIST)))
+    held = d.filter(
+        (F.col("doc_id") % _QT_HOLD_MOD) == _QT_HOLD_RES
+    ).select(
+        "doc_id", toks.alias("toks"), (blocked == 0).cast("int").alias("y")
+    )
+    xh = (
+        held.select("doc_id", "y", F.explode("toks").alias("tok"))
+        .select(
+            "doc_id",
+            "y",
+            F.pmod(gram_hash(F.col("tok")), F.lit(_QT_B)).alias("b"),
+        )
+        .groupBy("doc_id", "y", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    z = (
+        xh.join(F.broadcast(w_final), "b")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("z"))
+    )
+    pred = F.col("z") > 0
+    pos = F.col("y") == 1
+    conf = z.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum((pos).cast("long")), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum((~pos).cast("long")), F.lit(0)).alias("n_neg"),
+        F.coalesce(F.sum((pos & pred).cast("long")), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum((~pos & pred).cast("long")), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum((pos & ~pred).cast("long")), F.lit(0)).alias("fn"),
+        F.coalesce(F.sum((~pos & ~pred).cast("long")), F.lit(0)).alias("tn"),
+    )
+    g = z.groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("cnt_pos"),
+    )
+    pg = distributed_prefix_sum(g, "z", "cnt", out="cum_before")
+    r2 = pg.agg(
+        F.coalesce(
+            F.sum(
+                F.col("cnt_pos")
+                * (F.lit(2) * F.col("cum_before") + F.col("cnt") + F.lit(1))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("r2")
+    )
+    nd = F.col("n_docs").cast("double")
+    safe_n = F.greatest(nd, F.lit(1.0))
+    po = (F.col("tp") + F.col("tn")).cast("double") / safe_n
+    pe = (
+        (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn"))
+        + (F.col("fn") + F.col("tn")) * (F.col("fp") + F.col("tn"))
+    ).cast("double") / (safe_n * safe_n)
+    kappa = F.when(
+        (F.lit(1.0) - pe) == 0.0, F.lit(0.0)
+    ).otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 6))
+    auc = F.when(
+        (F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        )
+    )
+    return conf.join(F.broadcast(r2)).select(
+        "n_docs",
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(po, 6).alias("accuracy"),
+        kappa.alias("kappa"),
+        auc.alias("auc"),
+    )
+
+
 def _sql_train_prefix() -> str:
     """The WITH chain (features -> w0 -> 3 unrolled GD rounds) shared
     by the quality_train and quality_train_apply oracles — ONE
@@ -672,8 +780,56 @@ SELECT source,
 FROM zf GROUP BY source ORDER BY source"""
 
 
+def _sql_quality_train_eval() -> str:
+    nd = "greatest(CAST(c.n_docs AS DOUBLE), 1.0)"
+    po = f"CAST(c.tp + c.tn AS DOUBLE) / {nd}"
+    pe = (
+        "CAST((c.tp + c.fp) * (c.tp + c.fn) + (c.fn + c.tn) * (c.fp + c.tn) AS DOUBLE)"
+        f" / ({nd} * {nd})"
+    )
+    return f"""{_sql_train_prefix()},
+hl AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(list_filter(toks, t -> t IN {_BLOCKLIST_SQL})) = 0 THEN 1 ELSE 0 END AS y
+  FROM (SELECT doc_id, {SQL_TOKS_EXPR} AS toks
+        FROM documents WHERE doc_id % {_QT_HOLD_MOD} = {_QT_HOLD_RES})
+),
+hf AS (SELECT doc_id, y, ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT % {_QT_B} AS b FROM hl),
+hx AS (SELECT doc_id, y, b, CAST(count(*) AS BIGINT) AS cnt FROM hf GROUP BY doc_id, y, b),
+hz AS (
+  SELECT hx.doc_id, hx.y, sum(hx.cnt * w.w) AS z
+  FROM hx JOIN w{_QT_ROUNDS} w USING (b) GROUP BY hx.doc_id, hx.y
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pos,
+         CAST(coalesce(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_neg,
+         CAST(coalesce(sum(CASE WHEN y = 1 AND z > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+         CAST(coalesce(sum(CASE WHEN y = 0 AND z > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+         CAST(coalesce(sum(CASE WHEN y = 1 AND z <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+         CAST(coalesce(sum(CASE WHEN y = 0 AND z <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+  FROM hz
+),
+gg AS (SELECT z, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS cnt_pos FROM hz GROUP BY z),
+pg AS (
+  SELECT z, cnt, cnt_pos,
+         COALESCE(sum(cnt) OVER (ORDER BY z ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM gg
+),
+r AS (SELECT CAST(coalesce(sum(cnt_pos * (2 * cum_before + cnt + 1)), 0) AS BIGINT) AS r2 FROM pg)
+SELECT c.n_docs, c.n_pos, c.n_neg, c.tp, c.fp, c.fn, c.tn,
+       round({po}, 6) AS accuracy,
+       CASE WHEN 1.0 - ({pe}) = 0.0 THEN 0.0
+            ELSE round((({po}) - ({pe})) / (1.0 - ({pe})), 6) END AS kappa,
+       CASE WHEN c.n_pos = 0 OR c.n_neg = 0 THEN NULL
+            ELSE round(CAST(r.r2 - c.n_pos * (c.n_pos + 1) AS DOUBLE)
+                       / (2.0 * CAST(c.n_pos AS DOUBLE) * CAST(c.n_neg AS DOUBLE)), 6) END AS auc
+FROM c CROSS JOIN r"""
+
+
 SQL_QUALITY_TRAIN = _sql_quality_train()
 SQL_QUALITY_TRAIN_APPLY = _sql_quality_train_apply()
+SQL_QUALITY_TRAIN_EVAL = _sql_quality_train_eval()
 
 
 QUERIES30: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -681,6 +837,7 @@ QUERIES30: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "para_dedup": q_para_dedup,
     "quality_train": q_quality_train,
     "quality_train_apply": q_quality_train_apply,
+    "quality_train_eval": q_quality_train_eval,
 }
 
 ORACLES30: dict[str, str] = {
@@ -688,4 +845,5 @@ ORACLES30: dict[str, str] = {
     "para_dedup": SQL_PARA_DEDUP,
     "quality_train": SQL_QUALITY_TRAIN,
     "quality_train_apply": SQL_QUALITY_TRAIN_APPLY,
+    "quality_train_eval": SQL_QUALITY_TRAIN_EVAL,
 }
