@@ -349,11 +349,11 @@ BUDGETS = {
     # inference over the trained model: one explode + per-(doc,
     # source, bucket) agg + the broadcast 64-row model join + rollup
     "quality_train_apply": (3, 1, 1),
-    # held-out eval: score-group agg + the checkpointed prefix-sum
-    # frame's rank agg + the 1-row confusion × rank-mass cross of
-    # broadcast scalars; AUC midranks ride distributed_prefix_sum,
-    # never a single-partition rank window
-    "quality_train_eval": (4, 3, 1),
+    # held-out eval: the per-doc score frame is checkpointed ONCE and
+    # feeds both the confusion agg and the score-group prefix-sum AUC
+    # (zero Generates in the final plan — the corpus explode ran at
+    # construction); 1-row confusion × rank-mass broadcast cross
+    "quality_train_eval": (3, 2, 0),
 }
 
 

@@ -573,6 +573,49 @@ def test_quality_train_eval_auc_matches_real_fixture(spark, sf_dir):
     assert got["n_docs"] == exp["n_docs"]
 
 
+def test_quality_train_eval_degenerate_edges_oracle_parity(spark, tmp_path):
+    """The two untested degenerate paths stay oracle-green: (a) an
+    EMPTY held slice (no doc_id % 5 == 4 — the prefix-sum runs over an
+    empty frame, the report is the 1-row zero/NULL form), and (b) a
+    single-score-group slice (every held doc identical — the AUC tie
+    case, n_pos or n_neg zero -> NULL AUC)."""
+    from tests.oracle_utils import compare
+
+    # (a) empty held slice
+    rows = [
+        (0, "fast clean words", "en", "s0"),
+        (1, "slow error words", "en", "s0"),
+        (2, "more clean words", "en", "s1"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = R10.q_quality_train_eval(spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0]["n_docs"] == 0 and got[0]["auc"] is None
+    ok, msg = compare(
+        R10.q_quality_train_eval(spark, str(tmp_path)),
+        R10.SQL_QUALITY_TRAIN_EVAL,
+        str(tmp_path),
+    )
+    assert ok, msg
+
+    # (b) all held docs identical -> one score group, all one class
+    rows = [
+        (0, "fast clean words", "en", "s0"),
+        (1, "slow error words", "en", "s0"),
+        (4, "same held doc text", "en", "s1"),
+        (9, "same held doc text", "en", "s1"),
+        (14, "same held doc text", "en", "s1"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = R10.q_quality_train_eval(spark, str(tmp_path)).collect()[0]
+    assert got["n_docs"] == 3 and got["n_neg"] == 0 and got["auc"] is None
+    ok, msg = compare(
+        R10.q_quality_train_eval(spark, str(tmp_path)),
+        R10.SQL_QUALITY_TRAIN_EVAL,
+        str(tmp_path),
+    )
+    assert ok, msg
+
+
 def test_quality_train_heldout_auc(spark, sf_dir):
     """Final weights carry real signal: AUC on the HELD-OUT fifth of
     the corpus (never seen by the trainer) is well above chance."""

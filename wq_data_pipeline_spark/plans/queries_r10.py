@@ -431,33 +431,59 @@ _QT_HOLD_MOD = 5  # doc_id % 5 == 4 held out for the AUC pin
 _QT_HOLD_RES = 4
 
 
+def _teacher_y() -> "F.Column":
+    """The ONE definition of the teacher label over a ``toks`` column:
+    y = 1 iff no blocklisted token (shared by the trainer and the
+    held-out eval)."""
+    blocked = F.size(F.filter("toks", lambda t: t.isin(*_BLOCKLIST)))
+    return (blocked == 0).cast("int").alias("y")
+
+
+def _bucket_counts(df: DataFrame, extra_cols: list[str]) -> DataFrame:
+    """The ONE definition of the feature rule — explode ``toks`` ->
+    hashed bucket -> per-(doc, *extra, bucket) counts — shared by the
+    trainer, apply, and eval so the three entries can never featurize
+    differently. Docs with no tokens drop (explode), matching the
+    oracle's unnest."""
+    return (
+        df.select("doc_id", *extra_cols, F.explode("toks").alias("tok"))
+        .select(
+            "doc_id",
+            *extra_cols,
+            F.pmod(gram_hash(F.col("tok")), F.lit(_QT_B)).alias("b"),
+        )
+        .groupBy("doc_id", *extra_cols, "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _doc_scores(
+    bucketed: DataFrame, w: DataFrame, extra_cols: list[str]
+) -> DataFrame:
+    """Per-doc exact BIGINT logit: broadcast the 64-row weight table
+    onto the bucket counts, sum cnt·w per doc. The ONE scoring rule."""
+    return (
+        bucketed.join(F.broadcast(w), "b")
+        .groupBy("doc_id", *extra_cols)
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("z_micro"))
+    )
+
+
 def _train_traj(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
-    """The shared trainer loop behind quality_train (trajectory) and
-    quality_train_apply (final weights): _QT_ROUNDS rounds of
-    full-batch logistic GD, returning the per-round 64-row
-    checkpointed weight frames (b, w). See q_quality_train for the
-    semantics/exactness/scale contract."""
+    """The shared trainer loop behind quality_train (trajectory),
+    quality_train_apply (final weights), and quality_train_eval:
+    _QT_ROUNDS rounds of full-batch logistic GD, returning the
+    per-round 64-row checkpointed weight frames (b, w). See
+    q_quality_train for the semantics/exactness/scale contract."""
     from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
 
     d = _docs_parallel(spark, sf_dir)
-    toks = tokens("text")
-    blocked = F.size(F.filter(toks, lambda t: t.isin(*_BLOCKLIST)))
     tr = d.filter(
         (F.col("doc_id") % _QT_HOLD_MOD) != _QT_HOLD_RES
-    ).select(
-        "doc_id", toks.alias("toks"), (blocked == 0).cast("int").alias("y")
+    ).select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", "toks", _teacher_y()
     )
-    x = (
-        tr.select("doc_id", "y", F.explode("toks").alias("tok"))
-        .select(
-            "doc_id",
-            "y",
-            F.pmod(gram_hash(F.col("tok")), F.lit(_QT_B)).alias("b"),
-        )
-        .groupBy("doc_id", "y", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint()
-    )
+    x = _bucket_counts(tr, ["y"]).localCheckpoint()
     # a global (non-grouped) agg always yields exactly one row
     n_train = int(x.agg(F.countDistinct("doc_id").alias("n")).first()["n"])
     w = spark.range(_QT_B).select(
@@ -468,11 +494,7 @@ def _train_traj(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
 
     traj = []
     for _ in range(_QT_ROUNDS):
-        z = (
-            x.join(F.broadcast(w), "b")
-            .groupBy("doc_id", "y")
-            .agg(F.sum(F.col("cnt") * F.col("w")).alias("z_micro"))
-        )
+        z = _doc_scores(x, w, ["y"])
         p = F.lit(1.0) / (
             F.lit(1.0)
             + F.exp(-(F.col("z_micro").cast("double") / F.lit(1000000.0)))
@@ -564,22 +586,10 @@ def q_quality_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
 
     w_final = _train_traj(spark, sf_dir)[-1]
-    d = _docs_parallel(spark, sf_dir)
-    xf = (
-        d.select("doc_id", "source", F.explode(tokens("text")).alias("tok"))
-        .select(
-            "doc_id",
-            "source",
-            F.pmod(gram_hash(F.col("tok")), F.lit(_QT_B)).alias("b"),
-        )
-        .groupBy("doc_id", "source", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    d = _docs_parallel(spark, sf_dir).select(
+        "doc_id", "source", tokens("text").alias("toks")
     )
-    z = (
-        xf.join(F.broadcast(w_final), "b")
-        .groupBy("doc_id", "source")
-        .agg(F.sum(F.col("cnt") * F.col("w")).alias("z_micro"))
-    )
+    z = _doc_scores(_bucket_counts(d, ["source"]), w_final, ["source"])
     return (
         z.groupBy("source")
         .agg(
@@ -599,41 +609,36 @@ def q_quality_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the acceptance gate a real pipeline runs before swapping
     a learned filter in for the rule it distills.
 
-    The AUC is the 100-TB-safe form: scores pre-aggregate to distinct-
+    The AUC is the scale-safe SHAPE (scores pre-aggregate to distinct-
     value groups (cnt, cnt_pos), group midranks come from
     ``scale.distributed_prefix_sum`` over the score order — never a
-    single-partition rank window — and the rank mass stays in BIGINT
+    single-partition rank window) with the rank mass kept in BIGINT
     via the 2×midrank trick (cnt_pos · (2·cum_before + cnt + 1)), so
     the only floats are the three final divisions (rounded 6dp in
-    both dialects). Kappa/accuracy come from the exact confusion
-    integers. Docs with no tokens score nothing and are excluded on
-    both sides."""
+    both dialects). Exactness bound: r2 ≈ n_held·n_pos must stay
+    below 2^63, i.e. the formula is exact to ~3e9 held docs — far
+    past any practical eval slice (real acceptance gates score
+    sampled thousands-to-millions); past it, shard the eval and
+    average, or accept the ~2^53 double envelope. Kappa/accuracy come
+    from the exact confusion integers. Docs with no tokens score
+    nothing and are excluded on both sides. The per-doc score frame
+    is checkpointed ONCE and feeds both the confusion and the AUC
+    branches (the conf branch would otherwise re-run the corpus
+    explode)."""
     from wq_data_pipeline_spark.operators.scale import distributed_prefix_sum
     from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
 
     w_final = _train_traj(spark, sf_dir)[-1]
-    d = _docs_parallel(spark, sf_dir)
-    toks = tokens("text")
-    blocked = F.size(F.filter(toks, lambda t: t.isin(*_BLOCKLIST)))
-    held = d.filter(
-        (F.col("doc_id") % _QT_HOLD_MOD) == _QT_HOLD_RES
-    ).select(
-        "doc_id", toks.alias("toks"), (blocked == 0).cast("int").alias("y")
-    )
-    xh = (
-        held.select("doc_id", "y", F.explode("toks").alias("tok"))
-        .select(
-            "doc_id",
-            "y",
-            F.pmod(gram_hash(F.col("tok")), F.lit(_QT_B)).alias("b"),
-        )
-        .groupBy("doc_id", "y", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    held = (
+        _docs_parallel(spark, sf_dir)
+        .filter((F.col("doc_id") % _QT_HOLD_MOD) == _QT_HOLD_RES)
+        .select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", "toks", _teacher_y())
     )
     z = (
-        xh.join(F.broadcast(w_final), "b")
-        .groupBy("doc_id", "y")
-        .agg(F.sum(F.col("cnt") * F.col("w")).alias("z"))
+        _doc_scores(_bucket_counts(held, ["y"]), w_final, ["y"])
+        .withColumnRenamed("z_micro", "z")
+        .localCheckpoint()
     )
     pred = F.col("z") > 0
     pos = F.col("y") == 1
@@ -699,19 +704,44 @@ def q_quality_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SQL mirrors of _teacher_y / _bucket_counts / _doc_scores — ONE
+# definition per rule, interpolated by all three classifier oracles
+# so they can never featurize, label, or score differently.
+_SQL_TEACHER_Y = (
+    f"CASE WHEN len(list_filter(toks, t -> t IN {_BLOCKLIST_SQL})) = 0 "
+    "THEN 1 ELSE 0 END"
+)
+
+
+def _sql_bucket_cte(src: str, extra: str, f_n: str, x_n: str) -> str:
+    ex = f"{extra}, " if extra else ""
+    return (
+        f"{f_n} AS (SELECT doc_id, {ex}('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT % {_QT_B} AS b FROM {src}),\n"
+        f"{x_n} AS (SELECT doc_id, {ex}b, CAST(count(*) AS BIGINT) AS cnt FROM {f_n} GROUP BY doc_id, {ex}b)"
+    )
+
+
+def _sql_score_cte(x_n: str, w_n: str, z_n: str, extra: str, alias: str) -> str:
+    ex = f"x.{extra}, " if extra else ""
+    grp = f", x.{extra}" if extra else ""
+    return (
+        f"{z_n} AS (\n"
+        f"  SELECT x.doc_id, {ex}sum(x.cnt * w.w) AS {alias}\n"
+        f"  FROM {x_n} x JOIN {w_n} w USING (b) GROUP BY x.doc_id{grp}\n"
+        f")"
+    )
+
+
 def _sql_train_prefix() -> str:
     """The WITH chain (features -> w0 -> 3 unrolled GD rounds) shared
-    by the quality_train and quality_train_apply oracles — ONE
-    definition of the training recurrence, so the two entries can
-    never replay different trainers."""
+    by the quality_train / quality_train_apply / quality_train_eval
+    oracles — ONE definition of the training recurrence, so the
+    entries can never replay different trainers."""
     rounds = []
     prev = "w0"
     for r in range(1, _QT_ROUNDS + 1):
         rounds.append(
-            f"""z{r} AS (
-  SELECT x.doc_id, x.y, sum(x.cnt * w.w) AS z_micro
-  FROM x JOIN {prev} w USING (b) GROUP BY x.doc_id, x.y
-),
+            f"""{_sql_score_cte("x", prev, f"z{r}", "y", "z_micro")},
 e{r} AS (
   SELECT doc_id,
          CAST(round((1.0 / (1.0 + exp(-(CAST(z_micro AS DOUBLE) / 1000000.0)))
@@ -740,12 +770,10 @@ WITH tr AS (
   FROM documents WHERE doc_id % {_QT_HOLD_MOD} <> {_QT_HOLD_RES}
 ),
 lab AS (
-  SELECT doc_id, toks,
-         CASE WHEN len(list_filter(toks, t -> t IN {_BLOCKLIST_SQL})) = 0 THEN 1 ELSE 0 END AS y
+  SELECT doc_id, toks, {_SQL_TEACHER_Y} AS y
   FROM tr
 ),
-f AS (SELECT doc_id, y, ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT % {_QT_B} AS b FROM lab),
-x AS (SELECT doc_id, y, b, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY doc_id, y, b),
+{_sql_bucket_cte("lab", "y", "f", "x")},
 n AS (SELECT count(DISTINCT doc_id) AS n FROM x),
 w0 AS (SELECT unnest(generate_series(0, {_QT_B - 1})) AS b, CAST(0 AS BIGINT) AS w),
 {",".join(rounds)}"""
@@ -767,12 +795,8 @@ af AS (
   SELECT doc_id, source, {SQL_TOKS_EXPR} AS toks
   FROM documents
 ),
-ff AS (SELECT doc_id, source, ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT % {_QT_B} AS b FROM af),
-xf AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS cnt FROM ff GROUP BY doc_id, source, b),
-zf AS (
-  SELECT xf.doc_id, xf.source, sum(xf.cnt * w.w) AS z_micro
-  FROM xf JOIN w{_QT_ROUNDS} w USING (b) GROUP BY xf.doc_id, xf.source
-)
+{_sql_bucket_cte("af", "source", "ff", "xf")},
+{_sql_score_cte("xf", f"w{_QT_ROUNDS}", "zf", "source", "z_micro")}
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN z_micro > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -789,17 +813,12 @@ def _sql_quality_train_eval() -> str:
     )
     return f"""{_sql_train_prefix()},
 hl AS (
-  SELECT doc_id, toks,
-         CASE WHEN len(list_filter(toks, t -> t IN {_BLOCKLIST_SQL})) = 0 THEN 1 ELSE 0 END AS y
+  SELECT doc_id, toks, {_SQL_TEACHER_Y} AS y
   FROM (SELECT doc_id, {SQL_TOKS_EXPR} AS toks
         FROM documents WHERE doc_id % {_QT_HOLD_MOD} = {_QT_HOLD_RES})
 ),
-hf AS (SELECT doc_id, y, ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT % {_QT_B} AS b FROM hl),
-hx AS (SELECT doc_id, y, b, CAST(count(*) AS BIGINT) AS cnt FROM hf GROUP BY doc_id, y, b),
-hz AS (
-  SELECT hx.doc_id, hx.y, sum(hx.cnt * w.w) AS z
-  FROM hx JOIN w{_QT_ROUNDS} w USING (b) GROUP BY hx.doc_id, hx.y
-),
+{_sql_bucket_cte("hl", "y", "hf", "hx")},
+{_sql_score_cte("hx", f"w{_QT_ROUNDS}", "hz", "y", "z")},
 c AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
          CAST(coalesce(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pos,
