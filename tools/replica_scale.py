@@ -37,6 +37,11 @@ DEFAULT_ENTRIES = [
     # r9 wave-2 heavies (batch 28)
     "incremental_dedup",
     "simhash_near_pairs",
+    # r10 (batch 30)
+    "embed_decontaminate",
+    "para_dedup",
+    "quality_train",
+    "quality_train_eval",
 ]
 
 
