@@ -354,6 +354,15 @@ BUDGETS = {
     # (zero Generates in the final plan — the corpus explode ran at
     # construction); 1-row confusion × rank-mass broadcast cross
     "quality_train_eval": (3, 2, 0),
+    # r11 batch: the BM25 top-20 is checkpointed ONCE (its two
+    # consumers — rank list and anchor — would otherwise replay the
+    # whole corpus scan + shuffle chain twice); the final plan is the
+    # vector-side broadcast score + TakeOrdered + the 20x20 fusion
+    # join. Zero Generates: the corpus explode ran at construction.
+    "hybrid_rrf": (2, 2, 0),
+    # same final shape as quality_train_eval (the shared _eval_frame):
+    # checkpointed score frame -> confusion agg x prefix-sum AUC
+    "quality_train_bigram": (3, 2, 0),
 }
 
 
@@ -416,6 +425,12 @@ CONSTRUCTION_JOB_CAPS = {
     # trainer rounds + the AUC prefix-sum's range-partition
     # localCheckpoint and totals action (measured 36)
     "quality_train_eval": 44,
+    # r11: the BM25 top-20 localCheckpoint runs the text chain at
+    # build time (measured 9 cold incl. AQE stages)
+    "hybrid_rrf": 12,
+    # bigram trainer rounds + eval prefix-sum (measured 39 cold; a
+    # warm trajectory stash serves it in ~5)
+    "quality_train_bigram": 48,
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

@@ -41,7 +41,11 @@ DEFAULT_ENTRIES = [
     "embed_decontaminate",
     "para_dedup",
     "quality_train",
+    "quality_train_apply",
     "quality_train_eval",
+    # r11 (batch 31)
+    "hybrid_rrf",
+    "quality_train_bigram",
 ]
 
 

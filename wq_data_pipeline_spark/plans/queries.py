@@ -645,6 +645,7 @@ from wq_data_pipeline_spark.plans.queries_r9 import ORACLES27, QUERIES27  # noqa
 from wq_data_pipeline_spark.plans.queries_r9b import ORACLES28, QUERIES28  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r9c import ORACLES29, QUERIES29  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r10 import ORACLES30, QUERIES30  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r11 import ORACLES31, QUERIES31  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -748,6 +749,8 @@ QUERIES.update(QUERIES29)
 ORACLES.update(ORACLES29)
 QUERIES.update(QUERIES30)
 ORACLES.update(ORACLES30)
+QUERIES.update(QUERIES31)
+ORACLES.update(ORACLES31)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
@@ -802,57 +805,66 @@ ORACLES.update(ORACLES30)
 # stream_*_rollup, stream_interval_join, tfidf_terms, winnow_*)
 # rotate in r11; all stay covered by the local sf0.01 pytest oracle
 # mirror meanwhile.
+# r11 window (executes the freeze plan above, VERDICT r10 #1): the 2
+# new batch-31 entries first (never driver-checked), then ALL 21
+# r6-green veterans (5 rounds stale — the oldest driver rows in the
+# catalog), then the first 27 of the r7 cohort in alphabetical order
+# (acf_lags .. scd2_intervals). The remaining 23 r7-green rows
+# (seasonal_naive_mae, snapshot_diff, sql_surface_q3, time_grid_ffill,
+# token_kl_drift, the 13 tpch_q* rows, triangle_counts, twa_daily,
+# window_funcs_suite, winsorize, zipf_slope) rotate in r12; all stay
+# covered by the local sf0.01 pytest oracle mirror meanwhile.
 _DRIVER_WINDOW = [
-    "embed_decontaminate",
-    "para_dedup",
-    "quality_train",
-    "quality_train_apply",
-    "quality_train_eval",
-    "bigram_lm_score",
-    "bpe_apply",
-    "cross_dedup",
-    "decontaminate",
-    "embed_ivf_topk",
-    "exact_dedup",
-    "fingerprint_dedup",
-    "jaccard_pairs",
-    "layout_compare",
-    "minhash_signatures",
-    "mix_report",
-    "multimodal_meta",
-    "props_json",
-    "sessionize",
-    "simhash",
-    "sliding_rollup",
-    "text_token_stats",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "zorder_layout",
-    "a1_dup_median",
-    "a4_decimal_hist",
-    "a5_mode_cents",
-    "a6_quant_step",
-    "a7_seasonal",
-    "w1_jumps",
-    "w2_gaps",
-    "w4_binary_switches",
-    "w5_flat_runs",
-    "w6_flat_slopes",
-    "w7_rolling_var",
-    "w8_robust_z",
-    "w9_isolated",
-    "w17_resample_hourly",
-    "binned_range_join",
-    "blocklist_filter",
-    "bloom_prune_join",
-    "bm25_search",
-    "ccnet_buckets",
-    "corpus_shuffle",
-    "curation_funnel",
-    "domain_rebalance",
-    "dsir_weights",
+    "hybrid_rrf",
+    "quality_train_bigram",
+    "dup_spans",
+    "dup_span_removal",
+    "embed_kmeans_ivf",
+    "embed_lsh_ann",
+    "embed_near_dup",
+    "ivf_pq_search",
+    "length_buckets",
+    "pii_scan",
+    "pq_encode",
+    "pq_search",
+    "quality_classifier",
+    "semdedup",
+    "sequence_pack",
+    "sketch_profile_exact",
+    "source_mixture",
+    "stream_interval_join",
+    "stream_session_rollup",
+    "stream_tumbling_rollup",
+    "tfidf_terms",
+    "winnow_fingerprints",
+    "winnow_matches",
+    "acf_lags",
+    "attribution_last_touch",
+    "cms_user_counts",
+    "control_chart_days",
+    "cusum_changepoint",
+    "dq_checks",
+    "dup_span_removal_keepone",
+    "embed_dup_clusters",
+    "embed_feature_stats",
+    "embed_int8_quant",
+    "event_funnel",
+    "ewma_series",
+    "fk_orphans",
+    "fuzzy_join",
+    "gap_lerp",
+    "image_ahash",
+    "interval_merge",
+    "khop_reach",
+    "kmv_distinct",
+    "market_basket",
+    "ohlc_hourly",
+    "pagerank_purchases",
+    "rel_cube",
+    "retention_cohorts",
+    "rfm_segments",
+    "salted_join",
+    "scd2_intervals",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

@@ -1336,7 +1336,11 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
-SQL_BM25 = f"""{SQL_WORDS},
+# The BM25 WITH-chain ending in a `bm25 (doc_id, score, rank)` CTE —
+# shared by the bm25_search oracle and the r11 hybrid_rrf oracle so
+# the text-ranking rule cannot drift between the standalone entry and
+# the fusion entry.
+SQL_BM25_CTES = f"""{SQL_WORDS},
 t AS (SELECT doc_id, unnest(toks) AS term FROM w),
 tfall AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
 tfd AS (SELECT *, CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl FROM tfall),
@@ -1351,11 +1355,16 @@ scored AS (
                  / (SELECT avg(len(toks)) FROM w))))
            * 1000000.0) AS BIGINT) AS m
   FROM q
-)
-SELECT doc_id, score, rank FROM (
-  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
-  FROM (SELECT doc_id, CAST(sum(m) AS DOUBLE) / 1e6 AS score FROM scored GROUP BY doc_id)
-) WHERE rank <= {_BM25_TOPN}"""
+),
+bm25 AS (
+  SELECT doc_id, score, rank FROM (
+    SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM (SELECT doc_id, CAST(sum(m) AS DOUBLE) / 1e6 AS score FROM scored GROUP BY doc_id)
+  ) WHERE rank <= {_BM25_TOPN}
+)"""
+
+SQL_BM25 = f"""{SQL_BM25_CTES}
+SELECT doc_id, score, rank FROM bm25"""
 
 
 def q_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
