@@ -806,17 +806,21 @@ ORACLES.update(ORACLES31)
 # rotate in r11; all stay covered by the local sf0.01 pytest oracle
 # mirror meanwhile.
 # r11 window (executes the freeze plan above, VERDICT r10 #1): the 2
-# new batch-31 entries first (never driver-checked), then ALL 21
-# r6-green veterans (5 rounds stale — the oldest driver rows in the
-# catalog), then the first 27 of the r7 cohort in alphabetical order
-# (acf_lags .. scd2_intervals). The remaining 23 r7-green rows
-# (seasonal_naive_mae, snapshot_diff, sql_surface_q3, time_grid_ffill,
+# new batch-31 entries first (never driver-checked), then
+# suffix_xdoc_repeats (its r8-green row describes the depth-64 keys;
+# the r11 depth-32 trim supersedes that output — superseded-code
+# rule, the keepone_removal precedent), then ALL 21 r6-green veterans
+# (5 rounds stale — the oldest driver rows in the catalog), then the
+# first 26 of the r7 cohort in alphabetical order (acf_lags ..
+# salted_join). The remaining 24 r7-green rows (scd2_intervals,
+# seasonal_naive_mae, snapshot_diff, sql_surface_q3, time_grid_ffill,
 # token_kl_drift, the 13 tpch_q* rows, triangle_counts, twa_daily,
 # window_funcs_suite, winsorize, zipf_slope) rotate in r12; all stay
 # covered by the local sf0.01 pytest oracle mirror meanwhile.
 _DRIVER_WINDOW = [
     "hybrid_rrf",
     "quality_train_bigram",
+    "suffix_xdoc_repeats",
     "dup_spans",
     "dup_span_removal",
     "embed_kmeans_ivf",
@@ -864,7 +868,6 @@ _DRIVER_WINDOW = [
     "retention_cohorts",
     "rfm_segments",
     "salted_join",
-    "scd2_intervals",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

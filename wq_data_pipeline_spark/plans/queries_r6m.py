@@ -99,6 +99,16 @@ FROM l GROUP BY 1 ORDER BY 1"""
 
 
 _XDOC_MIN = 20
+# Cross-doc key depth (r11 trim, the documented BASELINE.md note):
+# the xdoc signal is "shares >= _XDOC_MIN chars with another doc" —
+# a 32-char window keys that exactly (cap 31 >= 20) while HALVING the
+# bytes every position ships through the one global-order shuffle and
+# halving the LCP indicator tree on both engines. max_xlcp now caps
+# at 31 (was 63); n_xpairs/n_xdoc20 semantics are unchanged. Measured
+# at sf0.1: warm median 10.8 -> 9.7 s (the residual wall is the
+# window sort + the per-position key build, not key bytes — the
+# int64-packed-seed doubling-rank rewrite remains the deeper trim).
+_XDOC_DEPTH = 32
 
 
 def q_suffix_xdoc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,12 +123,12 @@ def q_suffix_xdoc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: range-partitioned global order (never a single-partition
     window), per-partition adjacency, boundary pairs stitched from a
     driver collect bounded by the partition count; each position
-    ships its 64-char key once and texts re-join only onto the
-    adjacent pairs."""
+    ships its {_XDOC_DEPTH}-char key once and texts re-join only onto
+    the adjacent pairs."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     from wq_data_pipeline_spark.operators.suffix import global_adjacent_lcp
 
-    adj = global_adjacent_lcp(docs, "doc_id", "text", depth=_SA_DEPTH)
+    adj = global_adjacent_lcp(docs, "doc_id", "text", depth=_XDOC_DEPTH)
     x = adj.filter(F.col("prev_doc") != F.col("doc_id"))
     return (
         x.groupBy("doc_id")
@@ -137,17 +147,17 @@ WITH p AS (
 ),
 r AS (
   SELECT doc_id, pos,
-         substr(text, pos + 1, {_SA_DEPTH}) AS k,
+         substr(text, pos + 1, {_XDOC_DEPTH}) AS k,
          lag(doc_id) OVER w AS prev_doc,
-         lag(substr(text, pos + 1, {_SA_DEPTH})) OVER w AS pk
-  FROM p WINDOW w AS (ORDER BY substr(text, pos + 1, {_SA_DEPTH}), doc_id, pos)
+         lag(substr(text, pos + 1, {_XDOC_DEPTH})) OVER w AS pk
+  FROM p WINDOW w AS (ORDER BY substr(text, pos + 1, {_XDOC_DEPTH}), doc_id, pos)
 ),
 x AS (
   SELECT doc_id,
          ({" + ".join(
-             f"CAST(substr(rpad(substr(k, 1, {_SA_DEPTH - 1}), {_SA_DEPTH - 1}, chr(1)), 1, {j}) = "
-             f"substr(rpad(substr(pk, 1, {_SA_DEPTH - 1}), {_SA_DEPTH - 1}, chr(2)), 1, {j}) AS BIGINT)"
-             for j in range(1, _SA_DEPTH)
+             f"CAST(substr(rpad(substr(k, 1, {_XDOC_DEPTH - 1}), {_XDOC_DEPTH - 1}, chr(1)), 1, {j}) = "
+             f"substr(rpad(substr(pk, 1, {_XDOC_DEPTH - 1}), {_XDOC_DEPTH - 1}, chr(2)), 1, {j}) AS BIGINT)"
+             for j in range(1, _XDOC_DEPTH)
          )}) AS lcp
   FROM r WHERE prev_doc IS NOT NULL AND prev_doc <> doc_id
 )
