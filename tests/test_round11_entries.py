@@ -19,6 +19,7 @@ import pytest
 
 from tests.test_round10_entries import (
     _py_bucket,
+    _py_cos,
     _py_quant,
     _py_tokens,
     _round_half_away,
@@ -58,13 +59,6 @@ def _py_bm25(docs, terms, k1, b, topn):
             scores[i] = m / 1e6
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
     return {doc: r + 1 for r, (doc, _) in enumerate(ranked)}
-
-
-def _py_cos(a, b):
-    dot = sum(x * y for x, y in zip(a, b))
-    return dot / (
-        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
-    )
 
 
 def _py_hybrid(docs, embs):
@@ -119,11 +113,24 @@ def test_hybrid_rrf_matches_python_replication(spark, tmp_path):
         (6, "totally unrelated text content words", "en", "s0"),
         (7, "hash join scan scan scan scan scan", "en", "s1"),
     ]
-    # embeddings: ids 0..7, 4-dim; ids 3 and 6 deliberately close to
-    # whatever the anchor ends up being is irrelevant — the
-    # replication recomputes everything from the same floats
+    # embeddings: ids 0..7, 4-dim. The parquet column is float32, so
+    # round-trip every value through float32 BEFORE both the writer
+    # and the replication — _py_quant's contract is float32-as-double
+    # input, and skipping the round-trip leaves the pin one
+    # fixture-constant edit away from a 1-micro quantization flake
+    # (r11 review)
+    import numpy as np
+
     embs = {
-        i: [float(i % 3) + 0.25, 1.0 - 0.1 * i, 0.5 * (i % 2), 0.3 + 0.05 * i]
+        i: [
+            float(np.float32(x))
+            for x in (
+                float(i % 3) + 0.25,
+                1.0 - 0.1 * i,
+                0.5 * (i % 2),
+                0.3 + 0.05 * i,
+            )
+        ]
         for i in range(8)
     }
     _write_docs(spark, tmp_path, rows)
@@ -188,6 +195,33 @@ def test_hybrid_rrf_anchor_without_embedding_degrades_to_bm25(
         str(tmp_path),
     )
     assert ok, msg
+
+
+def test_hybrid_rrf_refuses_ragged_or_null_embeddings(spark, tmp_path):
+    """Ragged widths and NULL vectors fail loudly (the
+    embed_decontaminate guard): Spark's zip_with pads/propagates
+    NULLs where DuckDB's list_sum skips them — a silent ranking
+    divergence if allowed through."""
+    rows = [
+        (0, "hash join filter", "en", "s0"),
+        (1, "hash filter scan", "en", "s0"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    _write_embs(spark, tmp_path, [(0, [1.0, 0.5], 0), (1, [1.0, 0.5, 0.25], 0)])
+    with pytest.raises(ValueError, match="uniform embedding width"):
+        R11.q_hybrid_rrf(spark, str(tmp_path))
+    _write_embs(spark, tmp_path, [(0, [1.0, 0.5], 0), (1, None, 0)])
+    with pytest.raises(ValueError, match="NULL embedding"):
+        R11.q_hybrid_rrf(spark, str(tmp_path))
+
+
+def test_embed_decontaminate_refuses_null_embeddings(spark, tmp_path):
+    """The r10 width guard now also refuses NULL vectors — F.size(NULL)
+    is NULL and slips past a min/max-only check (r11 review)."""
+    _write_docs(spark, tmp_path, [(0, "words here", "en", "s0")])
+    _write_embs(spark, tmp_path, [(0, [1.0, 0.5], 0), (7, None, 0)])
+    with pytest.raises(ValueError, match="NULL embedding"):
+        R10.q_embed_decontaminate(spark, str(tmp_path))
 
 
 def test_hybrid_rrf_real_fixture_properties(spark, sf_dir):
@@ -394,6 +428,14 @@ def test_trainer_stash_one_build_per_family(spark, tmp_path, monkeypatch):
     assert len(calls) == 2
     R11.q_quality_train_bigram(spark, p).collect()
     assert len(calls) == 2
+    # the stash key derives from the featurizer actually passed, so a
+    # direct bigram call on the unigram-trained path can never be
+    # served 64-bucket weights (r11 review)
+    traj = R10._train_traj(
+        spark, p, feats=R11._bg_bucket_counts, n_buckets=R11._BG_NB
+    )
+    assert traj[-1].count() == R11._BG_NB
+    assert len(calls) == 2  # and it WAS the stashed bigram build
 
 
 def test_trainer_stash_invalidates_on_fixture_overwrite(

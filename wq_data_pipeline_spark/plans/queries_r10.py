@@ -125,7 +125,17 @@ def q_embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = raw.agg(
         F.min(F.size("embedding")).alias("lo"),
         F.max(F.size("embedding")).alias("hi"),
+        F.sum(F.col("embedding").isNull().cast("long")).alias("n_null"),
     ).first()
+    # NULL vectors are refused too, not just ragged ones: F.size(NULL)
+    # is NULL and would slip past a min/max-only check, then propagate
+    # NULL through zip_with with semantics DuckDB's list functions
+    # don't mirror (r11 review; the NULL-media ValueError precedent)
+    if (dims["n_null"] or 0) > 0:
+        raise ValueError(
+            f"embed_decontaminate: {dims['n_null']} NULL embedding(s); "
+            "clean or drop them upstream"
+        )
     if dims["lo"] is None:  # empty table: contract schema, no dim to probe
         return spark.createDataFrame(
             [],
@@ -532,24 +542,30 @@ def _train_traj(
     sf_dir: str,
     feats: Callable[[DataFrame, list[str]], DataFrame] | None = None,
     n_buckets: int = _QT_B,
-    tag: str = "uni",
 ) -> list[DataFrame]:
     """The shared trainer loop behind quality_train (trajectory),
     quality_train_apply (final weights), quality_train_eval, and the
     r11 hashed-bigram variant: _QT_ROUNDS rounds of full-batch
     logistic GD, returning the per-round n_buckets-row checkpointed
     weight frames (b, w). ``feats`` is the featurizer (default: the
-    unigram _bucket_counts); ``tag`` keys the session stash. See
-    q_quality_train for the semantics/exactness/scale contract."""
+    unigram _bucket_counts). The session stash keys on the
+    featurizer's qualified name + n_buckets — derived from what was
+    actually passed, so a caller can never be served another model
+    family's weights by mislabeling (r11 review)."""
+    feats = feats or _bucket_counts
     token = _traj_stash_token(sf_dir)
     if token is None:  # not locally stat-able: build fresh, don't cache
-        return _train_traj_build(spark, sf_dir, feats or _bucket_counts, n_buckets)
+        return _train_traj_build(spark, sf_dir, feats, n_buckets)
+    tag = (
+        f"{getattr(feats, '__module__', '')}."
+        f"{getattr(feats, '__qualname__', repr(feats))}:{n_buckets}"
+    )
     key = (spark.sparkContext.applicationId, str(sf_dir), tag, token)
     with _TRAJ_LOCK:
         cached = _TRAJ_STASH.get(key)
     if cached is not None:
         return cached
-    traj = _train_traj_build(spark, sf_dir, feats or _bucket_counts, n_buckets)
+    traj = _train_traj_build(spark, sf_dir, feats, n_buckets)
     with _TRAJ_LOCK:
         # other app = dead session; same path+tag, different token =
         # overwritten fixture: drop both kinds of stale ref

@@ -30,13 +30,14 @@ integer discipline unchanged (BIGINT logits, per-doc quantized
 sigmoid, deterministic double weight update).
 
 Scale shapes:
-- hybrid_rrf: the BM25 side is the proven zero-driver-job plan
-  (explode -> hash aggs -> TakeOrderedAndProject top-20); the anchor
-  (1 row) and its embedding (1 row) ride as broadcasts; the vector
-  side is ONE narrow broadcast-cross-join score over the embeddings
-  scan + a distributed TakeOrdered top-20 — no self-join, no global
-  sort, nothing quadratic (a 100-TB corpus pays one scan + two
-  top-20s). Rank windows only ever run over the <= 20 surviving
+- hybrid_rrf: the BM25 side is the proven plan (explode -> hash aggs
+  -> TakeOrderedAndProject top-20, checkpointed once at <= 20 rows);
+  the anchor (1 row) and its embedding (1 row) ride as broadcasts;
+  the vector side is ONE narrow broadcast-cross-join score over the
+  embeddings scan + a distributed TakeOrdered top-20 — no self-join,
+  no global sort, nothing quadratic (a 100-TB corpus pays one text
+  scan + two embeddings scans — anchor extraction and scoring — and
+  two top-20s). Rank windows only ever run over the <= 20 surviving
   rows; the fusion join is 20 x 20.
 - quality_train_bigram: identical to quality_train (two map-side-
   combinable shuffles per round + a broadcast of the weight table) —
@@ -111,11 +112,17 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears in. Output: top-20 fused (doc_id, bm25_rank, vec_rank,
     rrf_micro, fused_rank); absent-list ranks are NULL.
 
-    100-TB shape: BM25 is the existing zero-driver-job plan; the
-    anchor row and its embedding broadcast; the vector side is one
-    narrow scan-side score + TakeOrderedAndProject top-20. The rank
+    100-TB shape: one corpus text scan (BM25, checkpointed at <= 20
+    rows) and TWO embeddings scans — one to extract the anchor's
+    vector (a join, so vec_id can't push down as a literal; at a real
+    deployment a point-lookup index or a pre-materialized anchor row
+    would drop it) and one broadcast-score pass feeding a
+    TakeOrderedAndProject top-20. Everything is linear; the rank
     windows and the full-outer fusion join touch only the <= 20-row
-    survivors."""
+    survivors. Ragged or NULL embeddings are refused up front (the
+    embed_decontaminate guard): Spark's zip_with pads/propagates
+    NULLs where DuckDB's list_sum skips them — a silent ranking
+    divergence, so the entry fails loudly instead."""
     docs = load_table(spark, sf_dir, "documents")
     # TWO consumers (the rank list and the anchor derivation) would
     # otherwise replay the whole BM25 subtree — two corpus scans + two
@@ -128,9 +135,23 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = bm.filter(F.col("rank") == 1).select(
         F.col("doc_id").alias("anchor_id")
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _quantized("embedding").alias("q")
-    )
+    raw = load_table(spark, sf_dir, "embeddings")
+    dims = raw.agg(
+        F.min(F.size("embedding")).alias("lo"),
+        F.max(F.size("embedding")).alias("hi"),
+        F.sum(F.col("embedding").isNull().cast("long")).alias("n_null"),
+    ).first()
+    if (dims["n_null"] or 0) > 0:
+        raise ValueError(
+            f"hybrid_rrf: {dims['n_null']} NULL embedding(s); "
+            "clean or drop them upstream"
+        )
+    if dims["lo"] is not None and dims["lo"] != dims["hi"]:
+        raise ValueError(
+            "hybrid_rrf requires uniform embedding width; got sizes "
+            f"in [{dims['lo']}, {dims['hi']}]"
+        )
+    emb = raw.select("vec_id", _quantized("embedding").alias("q"))
     qvec = emb.join(
         F.broadcast(anchor), emb["vec_id"] == anchor["anchor_id"]
     ).select("anchor_id", F.col("q").alias("qq"))
@@ -272,11 +293,10 @@ def q_quality_train_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable shuffles of the skinny feature table plus a
     broadcast of the (now 128-row) weight state; the featurizer adds
     ~2x exploded rows, nothing structural. The trainer trajectory is
-    stashed per (session, sf_dir, featurizer), so the entry shares
-    construction cost with the unigram family instead of re-running
-    it."""
+    stashed per (session, sf_dir, featurizer-identity), so repeated
+    constructions pay one build per session."""
     traj = _train_traj(
-        spark, sf_dir, feats=_bg_bucket_counts, n_buckets=_BG_NB, tag="bi"
+        spark, sf_dir, feats=_bg_bucket_counts, n_buckets=_BG_NB
     )
     return _eval_frame(spark, sf_dir, traj[-1], feats=_bg_bucket_counts)
 

@@ -103,11 +103,17 @@ _XDOC_MIN = 20
 # the xdoc signal is "shares >= _XDOC_MIN chars with another doc" —
 # a 32-char window keys that exactly (cap 31 >= 20) while HALVING the
 # bytes every position ships through the one global-order shuffle and
-# halving the LCP indicator tree on both engines. max_xlcp now caps
-# at 31 (was 63); n_xpairs/n_xdoc20 semantics are unchanged. Measured
-# at sf0.1: warm median 10.8 -> 9.7 s (the residual wall is the
-# window sort + the per-position key build, not key bytes — the
-# int64-packed-seed doubling-rank rewrite remains the deeper trim).
+# halving the LCP indicator tree on both engines. Output changes vs
+# depth 64 (hence the r11 driver-window rotation): max_xlcp saturates
+# at 31, AND adjacency itself can regroup — positions tied on 32
+# chars but distinct in chars 33-64 now order by (doc, pos) instead
+# of the longer key, so n_xpairs/n_xdoc20 can shift on such ties (the
+# >= 20-char DETECTION capability is what's preserved: any pair
+# sharing >= 20 chars still shares its 32-char bucket's prefix order
+# neighborhood exactly as a 20-char threshold requires). Measured at
+# sf0.1: warm median 10.8 -> 9.7 s (the residual wall is the window
+# sort + the per-position key build, not key bytes — the int64-
+# packed-seed doubling-rank rewrite remains the deeper trim).
 _XDOC_DEPTH = 32
 
 
