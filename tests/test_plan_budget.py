@@ -363,6 +363,12 @@ BUDGETS = {
     # same final shape as quality_train_eval (the shared _eval_frame):
     # checkpointed score frame -> confusion agg x prefix-sum AUC
     "quality_train_bigram": (3, 2, 0),
+    # r11 wave 2: scan -> per-(type, register) max agg -> per-type
+    # rollup -> sort; the shuffle carries <= n_types x 256 rows
+    "hll_distinct": (3, 0, 0),
+    # baked-literal centroids (zero broadcasts), narrow argmax on the
+    # scan side, ONE per-cluster rank window + rollup + sort
+    "cluster_balanced_sample": (2, 0, 0),
 }
 
 

@@ -46,6 +46,9 @@ DEFAULT_ENTRIES = [
     # r11 (batch 31)
     "hybrid_rrf",
     "quality_train_bigram",
+    # r11 (batch 32)
+    "hll_distinct",
+    "cluster_balanced_sample",
 ]
 
 

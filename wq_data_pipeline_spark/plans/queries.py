@@ -646,6 +646,7 @@ from wq_data_pipeline_spark.plans.queries_r9b import ORACLES28, QUERIES28  # noq
 from wq_data_pipeline_spark.plans.queries_r9c import ORACLES29, QUERIES29  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r10 import ORACLES30, QUERIES30  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r11 import ORACLES31, QUERIES31  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r11b import ORACLES32, QUERIES32  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -751,6 +752,8 @@ QUERIES.update(QUERIES30)
 ORACLES.update(ORACLES30)
 QUERIES.update(QUERIES31)
 ORACLES.update(ORACLES31)
+QUERIES.update(QUERIES32)
+ORACLES.update(ORACLES32)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
@@ -805,14 +808,16 @@ ORACLES.update(ORACLES31)
 # stream_*_rollup, stream_interval_join, tfidf_terms, winnow_*)
 # rotate in r11; all stay covered by the local sf0.01 pytest oracle
 # mirror meanwhile.
-# r11 window (executes the freeze plan above, VERDICT r10 #1): the 2
-# new batch-31 entries first (never driver-checked), then
-# suffix_xdoc_repeats (its r8-green row describes the depth-64 keys;
-# the r11 depth-32 trim supersedes that output — superseded-code
-# rule, the keepone_removal precedent), then ALL 21 r6-green veterans
-# (5 rounds stale — the oldest driver rows in the catalog), then the
-# first 26 of the r7 cohort in alphabetical order (acf_lags ..
-# salted_join). The remaining 24 r7-green rows (scd2_intervals,
+# r11 window (executes the freeze plan above, VERDICT r10 #1): the 4
+# never-driver-checked r11 entries first (batch 31: hybrid_rrf,
+# quality_train_bigram; batch 32: hll_distinct,
+# cluster_balanced_sample), then suffix_xdoc_repeats (its r8-green
+# row describes the depth-64 keys; the r11 depth-32 trim supersedes
+# that output — superseded-code rule, the keepone_removal precedent),
+# then ALL 21 r6-green veterans (5 rounds stale — the oldest driver
+# rows in the catalog), then the first 24 of the r7 cohort in
+# alphabetical order (acf_lags .. retention_cohorts). The remaining
+# 26 r7-green rows (rfm_segments, salted_join, scd2_intervals,
 # seasonal_naive_mae, snapshot_diff, sql_surface_q3, time_grid_ffill,
 # token_kl_drift, the 13 tpch_q* rows, triangle_counts, twa_daily,
 # window_funcs_suite, winsorize, zipf_slope) rotate in r12; all stay
@@ -820,6 +825,8 @@ ORACLES.update(ORACLES31)
 _DRIVER_WINDOW = [
     "hybrid_rrf",
     "quality_train_bigram",
+    "hll_distinct",
+    "cluster_balanced_sample",
     "suffix_xdoc_repeats",
     "dup_spans",
     "dup_span_removal",
@@ -866,8 +873,6 @@ _DRIVER_WINDOW = [
     "pagerank_purchases",
     "rel_cube",
     "retention_cohorts",
-    "rfm_segments",
-    "salted_join",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))
