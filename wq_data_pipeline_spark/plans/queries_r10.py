@@ -60,8 +60,6 @@ these extend the LLM-pipeline families per the round brief.
 
 from __future__ import annotations
 
-import os
-import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -501,40 +499,13 @@ def _doc_scores(
     )
 
 
-# Session-scoped trainer stash (VERDICT r10 #3, the suffix.py persist-
-# stash pattern): quality_train / _apply / _eval (and the r11 bigram
-# variant) each need the SAME trajectory at construction — without the
-# stash every entry re-runs the 3 GD rounds (~10 s combined at sf0.1).
-# Keyed by (applicationId, sf_dir, featurizer tag); the per-round
-# frames are eager localCheckpoints (tiny: n_buckets rows each), so a
-# stashed trajectory is materialized state, not a lazy recompute.
-# Entries from OTHER applications are dropped on insert (dead-session
-# handles must not be unpersisted — the suffix.py ADVICE r8 lesson —
-# and checkpoint RDDs die with their context anyway). The key carries
-# a content token (file names + mtimes of the documents parquet), so
-# a fixture OVERWRITTEN in place (the degenerate-edge tests retrain
-# the same tmp path) gets a fresh build, not stale weights; when the
-# path can't be stat'ed locally (e.g. an object-store URI on a real
-# cluster) the stash is skipped outright — correctness over reuse.
-_TRAJ_LOCK = threading.Lock()
-_TRAJ_STASH: dict[tuple[str, str, str, str], list[DataFrame]] = {}
-
-
-def _traj_stash_token(sf_dir: str) -> str | None:
-    """Cheap content fingerprint of {sf_dir}/documents.parquet (names
-    + mtimes), or None when it isn't a stat-able local path (-> don't
-    cache)."""
-    p = os.path.join(str(sf_dir), "documents.parquet")
-    try:
-        if os.path.isdir(p):
-            parts = sorted(
-                (f, os.path.getmtime(os.path.join(p, f)))
-                for f in os.listdir(p)
-            )
-            return repr(parts)
-        return repr(os.path.getmtime(p))
-    except OSError:
-        return None
+# Session-scoped trainer stash (VERDICT r10 #3): quality_train /
+# _apply / _eval (and the r11 bigram variant) each need the SAME
+# trajectory at construction — without the stash every entry re-runs
+# the 3 GD rounds (~10 s combined at sf0.1). The machinery
+# (content-token keying, overwritten-fixture invalidation, dead-
+# session eviction) lives in operators/stash.py, shared with the
+# k-means and BPE trainer families since r11.
 
 
 def _train_traj(
@@ -552,31 +523,20 @@ def _train_traj(
     featurizer's qualified name + n_buckets — derived from what was
     actually passed, so a caller can never be served another model
     family's weights by mislabeling (r11 review)."""
+    from wq_data_pipeline_spark.operators.stash import session_stash
+
     feats = feats or _bucket_counts
-    token = _traj_stash_token(sf_dir)
-    if token is None:  # not locally stat-able: build fresh, don't cache
-        return _train_traj_build(spark, sf_dir, feats, n_buckets)
     tag = (
         f"{getattr(feats, '__module__', '')}."
         f"{getattr(feats, '__qualname__', repr(feats))}:{n_buckets}"
     )
-    key = (spark.sparkContext.applicationId, str(sf_dir), tag, token)
-    with _TRAJ_LOCK:
-        cached = _TRAJ_STASH.get(key)
-    if cached is not None:
-        return cached
-    traj = _train_traj_build(spark, sf_dir, feats, n_buckets)
-    with _TRAJ_LOCK:
-        # other app = dead session; same path+tag, different token =
-        # overwritten fixture: drop both kinds of stale ref
-        for k in [
-            k
-            for k in _TRAJ_STASH
-            if k[0] != key[0] or (k[:3] == key[:3] and k[3] != token)
-        ]:
-            del _TRAJ_STASH[k]
-        _TRAJ_STASH[key] = traj
-    return traj
+    return session_stash(
+        spark,
+        sf_dir,
+        "documents",
+        ("quality-traj", tag),
+        lambda: _train_traj_build(spark, sf_dir, feats, n_buckets),
+    )
 
 
 def _train_traj_build(

@@ -275,13 +275,23 @@ def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (_kmeans_prefix_sql) — valid at every oracle/bench scale; the
     # banded regime starts at k*dim > 1e6 (n > 64M vectors at
     # dim=64), far past any scale the DuckDB oracle runs at.
-    cent = kmeans_centroids(
-        emb,
-        k=k,
-        iters=_KM_ITERS,
-        vec_col="q",
-        assignment="auto",
-        literal_centroids_max=0,
+    # trained state is deterministic in (input content, params) and
+    # tiny (k rows) -> one build per session (operators/stash.py)
+    from wq_data_pipeline_spark.operators.stash import session_stash
+
+    cent = session_stash(
+        spark,
+        sf_dir,
+        "embeddings",
+        ("kmeans", k, _KM_ITERS, "auto-nolit"),
+        lambda: kmeans_centroids(
+            emb,
+            k=k,
+            iters=_KM_ITERS,
+            vec_col="q",
+            assignment="auto",
+            literal_centroids_max=0,
+        ),
     )
     c = cent.select(F.col("centroid_id").alias("_cid"), F.col("q").alias("_cv"))
     # final assignment via NARROW max_by, NOT a per-vector row_number
@@ -409,7 +419,25 @@ def _bpe_train_state(
 ) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
     """The BPE trainer round loop shared by ``bpe_train`` (emits the
     merge table) and ``bpe_apply`` (tokenizes with the final vocab):
-    returns (final vocab frame (tok, freq, s), merge list)."""
+    returns (final vocab frame (tok, freq, s), merge list). One
+    build per (session, corpus content): the vocab frame is a
+    localCheckpoint and the merge list lives on the driver, so the
+    state stashes whole (operators/stash.py, the r11 trainer-stash
+    generalization)."""
+    from wq_data_pipeline_spark.operators.stash import session_stash
+
+    return session_stash(
+        spark,
+        sf_dir,
+        "documents",
+        ("bpe", _BPT_ROUNDS),
+        lambda: _bpe_train_state_build(spark, sf_dir),
+    )
+
+
+def _bpe_train_state_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
     from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
 
     d = _docs_parallel(spark, sf_dir)

@@ -106,13 +106,23 @@ def q_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANN identity — the banded FINAL assignment below, linear in n —
     # is unchanged; only the trainer's per-round assignment is gated.
     # literal_centroids_max=0: k ∝ n, keep centroid state a DataFrame.
-    cent = kmeans_centroids(
-        emb,
-        k=k,
-        iters=_KM_ITERS,
-        vec_col="q",
-        assignment="auto",
-        literal_centroids_max=0,
+    # trained state is deterministic in (input content, params) and
+    # tiny (k rows) -> one build per session (operators/stash.py)
+    from wq_data_pipeline_spark.operators.stash import session_stash
+
+    cent = session_stash(
+        spark,
+        sf_dir,
+        "embeddings",
+        ("kmeans", k, _KM_ITERS, "auto-nolit"),
+        lambda: kmeans_centroids(
+            emb,
+            k=k,
+            iters=_KM_ITERS,
+            vec_col="q",
+            assignment="auto",
+            literal_centroids_max=0,
+        ),
     )
     # banded_signatures signs the half-away-from-zero-ROUNDED vector,
     # so the (double) centroid means sign as integers — every
