@@ -43,20 +43,33 @@ T = TypeVar("T")
 
 _LOCK = threading.Lock()
 _STASH: dict[tuple, Any] = {}
+# per-key construction locks (ADVICE r11): two threads asking for the
+# same not-yet-built key must not both run the trainer — the loser's
+# localCheckpoint'ed frames would be overwritten in the stash and
+# never unpersisted (duplicate work + a bounded executor-storage
+# leak). The second caller blocks on the first build instead.
+_BUILD_LOCKS: dict[tuple, threading.Lock] = {}
 
 
 def content_token(parquet_path: str) -> str | None:
     """Cheap content fingerprint of a parquet file/directory (names +
-    mtimes), or None when it isn't a stat-able local path (-> don't
-    cache)."""
+    sizes + nanosecond mtimes), or None when it isn't a stat-able
+    local path (-> don't cache). st_size + st_mtime_ns (ADVICE r11)
+    close the same-names-within-mtime-granularity rewrite window that
+    names + float mtimes left open."""
+
+    def _stat(p: str) -> tuple[int, int]:
+        st = os.stat(p)
+        return (st.st_size, st.st_mtime_ns)
+
     try:
         if os.path.isdir(parquet_path):
             parts = sorted(
-                (f, os.path.getmtime(os.path.join(parquet_path, f)))
+                (f, *_stat(os.path.join(parquet_path, f)))
                 for f in os.listdir(parquet_path)
             )
             return repr(parts)
-        return repr(os.path.getmtime(parquet_path))
+        return repr(_stat(parquet_path))
     except OSError:
         return None
 
@@ -83,13 +96,21 @@ def session_stash(
     with _LOCK:
         if key in _STASH:
             return _STASH[key]
-    value = build()
-    with _LOCK:
-        for k in [
-            k
-            for k in _STASH
-            if k[0] != app or (k[:-1] == prefix and k[-1] != token)
-        ]:
-            del _STASH[k]  # dead session, or overwritten fixture
-        _STASH[key] = value
+        build_lock = _BUILD_LOCKS.setdefault(key, threading.Lock())
+    # serialize construction per key: the winner builds, losers wait
+    # here and then read the stashed value (never re-run the trainer)
+    with build_lock:
+        with _LOCK:
+            if key in _STASH:
+                return _STASH[key]
+        value = build()
+        with _LOCK:
+            for k in [
+                k
+                for k in _STASH
+                if k[0] != app or (k[:-1] == prefix and k[-1] != token)
+            ]:
+                del _STASH[k]  # dead session, or overwritten fixture
+                _BUILD_LOCKS.pop(k, None)
+            _STASH[key] = value
     return value
