@@ -73,16 +73,60 @@ def _positions(docs: DataFrame) -> DataFrame:
     ).withColumn("x", F.col("x").cast("long"))
 
 
+def _grams(docs: DataFrame, L: int) -> DataFrame:
+    """(doc_id, s, g): the L-char gram at every 0-based offset.
+
+    BYTE-slices ASCII documents (octet_length == length, so byte
+    positions == char positions): encode once, then O(L) binary
+    substr per offset — Spark's char-indexed substr must scan from
+    byte 0 to locate the start, O(pos) per call and O(n²) per
+    document (the suffix_window_keys lesson, operators/suffix.py:
+    measured 29 s of pure offset scanning over 22M positions). The
+    gram stage is built TWICE per keepone run (group side + probe
+    side of keepone_marked), so the quadratic scan dominated the
+    entry's wall (r11 bench: 14.4 s, the catalog's slowest row).
+    Non-ASCII documents keep the exact char-indexed path."""
+    d = docs.select(
+        F.col("doc_id"),
+        F.col("text"),
+        F.length("text").alias("n"),
+        F.octet_length("text").alias("nb"),
+    )
+    # offsets 0..n-L directly (== the old explode-all + x+L<=n filter)
+    posed = F.explode(
+        F.when(
+            F.col("n") >= L, F.sequence(F.lit(0), F.col("n") - L)
+        ).otherwise(F.array().cast("array<int>"))
+    ).alias("s")
+    fast = (
+        d.filter(F.col("n") == F.col("nb"))
+        .withColumn("_bin", F.encode("text", "UTF-8"))
+        .select("doc_id", "_bin", posed)
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("s"),
+            F.decode(
+                F.col("_bin").substr(F.col("s") + 1, F.lit(L)), "UTF-8"
+            ).alias("g"),
+        )
+    )
+    slow = (
+        d.filter(F.col("n") != F.col("nb"))
+        .select("doc_id", "text", posed)
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("s"),
+            F.col("text").substr(F.col("s") + 1, F.lit(L)).alias("g"),
+        )
+    )
+    return fast.unionByName(slow)
+
+
 def keepone_marked(docs: DataFrame, L: int = _KP_L) -> DataFrame:
     """(doc_id, s, is_keeper) per duplicated-gram occurrence: every
     L-gram occurring >= 2 times in the corpus, keeper = minimum
     (doc, pos) in corpus order."""
-    pos = _positions(docs)
-    grams = pos.filter(F.col("x") + L <= F.col("n")).select(
-        "doc_id",
-        F.col("x").alias("s"),
-        F.col("text").substr(F.col("x") + 1, F.lit(L)).alias("g"),
-    )
+    grams = _grams(docs, L)
     groups = (
         grams.groupBy("g")
         .agg(
