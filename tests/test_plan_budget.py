@@ -369,6 +369,14 @@ BUDGETS = {
     # baked-literal centroids (zero broadcasts), narrow argmax on the
     # scan side, ONE per-cluster rank window + rollup + sort
     "cluster_balanced_sample": (2, 0, 0),
+    # r12 lang-id: train output is the 3-way join of checkpointed
+    # K x 128 weight frames + sort (measured E=4; B headroom for AQE
+    # broadcast conversion of the tiny sides)
+    "lang_id_train": (4, 2, 0),
+    # inference: ONE snippet-trigram Generate + per-(doc, cand) agg
+    # riding a broadcast of the trained model + argmax window + final
+    # confusion rollup
+    "lang_id_apply": (3, 1, 1),
 }
 
 
@@ -437,6 +445,11 @@ CONSTRUCTION_JOB_CAPS = {
     # bigram trainer rounds + eval prefix-sum (measured 39 cold; a
     # warm trajectory stash serves it in ~5)
     "quality_train_bigram": 48,
+    # r12 multi-class trainer: feature/class checkpoints + n_train
+    # scalar + 3 GD rounds (measured 31 cold; whichever of the two
+    # entries runs first pays the build, the other is stash-warm)
+    "lang_id_train": 36,
+    "lang_id_apply": 36,
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

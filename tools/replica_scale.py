@@ -49,6 +49,9 @@ DEFAULT_ENTRIES = [
     # r11 (batch 32)
     "hll_distinct",
     "cluster_balanced_sample",
+    # r12 (batch 33)
+    "lang_id_train",
+    "lang_id_apply",
 ]
 
 

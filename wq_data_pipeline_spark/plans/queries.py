@@ -647,6 +647,7 @@ from wq_data_pipeline_spark.plans.queries_r9c import ORACLES29, QUERIES29  # noq
 from wq_data_pipeline_spark.plans.queries_r10 import ORACLES30, QUERIES30  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r11 import ORACLES31, QUERIES31  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r11b import ORACLES32, QUERIES32  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r12 import ORACLES33, QUERIES33  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -754,6 +755,8 @@ QUERIES.update(QUERIES31)
 ORACLES.update(ORACLES31)
 QUERIES.update(QUERIES32)
 ORACLES.update(ORACLES32)
+QUERIES.update(QUERIES33)
+ORACLES.update(ORACLES33)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
@@ -822,57 +825,74 @@ ORACLES.update(ORACLES32)
 # token_kl_drift, the 13 tpch_q* rows, triangle_counts, twa_daily,
 # window_funcs_suite, winsorize, zipf_slope) rotate in r12; all stay
 # covered by the local sf0.01 pytest oracle mirror meanwhile.
+# r12 window (executes the freeze plan above, VERDICT r11 #1): the 2
+# new batch-33 entries first (lang_id_train, lang_id_apply), then
+# keepone_removal (its r9-green row describes the char-indexed gram
+# build; the r12 byte-slice build supersedes that code — output
+# identical, rotated under the superseded-code rule precedent), then
+# ALL 26 r7-green leftovers (5 rounds stale — the oldest driver rows
+# in the catalog), then the first 21 of the 48 r8-green rows in
+# alphabetical order (a2_sentinels .. rel_distinct_agg). The
+# remaining 27 r8-green rows (rel_rollup, rel_semi_join,
+# rel_union_having, rollup_merge, salted_user_stats, seasonal_hours,
+# semdedup_ann, semdedup_trained, sketch_profile, stratified_sample,
+# suffix_repeats, table_profile, top_paths, tpch_q13_custdist,
+# tpch_q16_suppcnt, tpch_q20_potential, tpch_q22_idle, tpch_q8_share,
+# unpivot_metrics, user_set_ops, value_percentiles, vocab_coverage,
+# w15_band_support, weighted_sample, wrtds_residuals,
+# wrtds_residuals_q, xcorr_daily) rotate in r13; all stay covered by
+# the local sf0.01 pytest oracle mirror meanwhile.
 _DRIVER_WINDOW = [
-    "hybrid_rrf",
-    "quality_train_bigram",
-    "hll_distinct",
-    "cluster_balanced_sample",
-    "suffix_xdoc_repeats",
-    "dup_spans",
-    "dup_span_removal",
-    "embed_kmeans_ivf",
-    "embed_lsh_ann",
-    "embed_near_dup",
-    "ivf_pq_search",
-    "length_buckets",
-    "pii_scan",
-    "pq_encode",
-    "pq_search",
-    "quality_classifier",
-    "semdedup",
-    "sequence_pack",
-    "sketch_profile_exact",
-    "source_mixture",
-    "stream_interval_join",
-    "stream_session_rollup",
-    "stream_tumbling_rollup",
-    "tfidf_terms",
-    "winnow_fingerprints",
-    "winnow_matches",
-    "acf_lags",
-    "attribution_last_touch",
-    "cms_user_counts",
-    "control_chart_days",
-    "cusum_changepoint",
-    "dq_checks",
-    "dup_span_removal_keepone",
-    "embed_dup_clusters",
-    "embed_feature_stats",
-    "embed_int8_quant",
-    "event_funnel",
-    "ewma_series",
-    "fk_orphans",
-    "fuzzy_join",
-    "gap_lerp",
-    "image_ahash",
-    "interval_merge",
-    "khop_reach",
-    "kmv_distinct",
-    "market_basket",
-    "ohlc_hourly",
-    "pagerank_purchases",
-    "rel_cube",
-    "retention_cohorts",
+    "lang_id_train",
+    "lang_id_apply",
+    "keepone_removal",
+    "rfm_segments",
+    "salted_join",
+    "scd2_intervals",
+    "seasonal_naive_mae",
+    "snapshot_diff",
+    "sql_surface_q3",
+    "time_grid_ffill",
+    "token_kl_drift",
+    "tpch_q2_mincost",
+    "tpch_q4_latesemi",
+    "tpch_q7_volume",
+    "tpch_q9_profit",
+    "tpch_q10_returns",
+    "tpch_q11_value",
+    "tpch_q12_latemode",
+    "tpch_q14_promo",
+    "tpch_q15_topsupp",
+    "tpch_q17_smallqty",
+    "tpch_q18_large",
+    "tpch_q19_brand",
+    "tpch_q21_waiting",
+    "triangle_counts",
+    "twa_daily",
+    "window_funcs_suite",
+    "winsorize",
+    "zipf_slope",
+    "a2_sentinels",
+    "bpe_pair_counts",
+    "chunk_documents",
+    "corpus_rollup",
+    "dedup_report",
+    "event_dedup_window",
+    "event_transitions",
+    "heavy_hitters",
+    "latest_snapshot",
+    "line_dedup",
+    "linreg_daily",
+    "merge_upsert",
+    "multimodal_decode",
+    "p16_pivot",
+    "p2_time_slice",
+    "pack_assignments",
+    "qc_full_suite",
+    "quality_deciles",
+    "rel_anti_join",
+    "rel_corr_subquery",
+    "rel_distinct_agg",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))
