@@ -137,3 +137,83 @@ def test_tumbling_agg_state_bounded_by_watermark(spark, tmp_path):
     # 30-min watermark lag + one-batch eviction lag (8 more)
     assert max(state_rows) <= 24, state_rows
     assert state_rows[-1] <= 24
+
+
+def test_flat_runs_state_bounded_by_key_population(spark, tmp_path):
+    """applyInPandasWithState flat-run detection (the r12 throughput
+    anchor's invariant, tools/streaming_rate.py): state is ONE row per
+    active key by construction — numRowsTotal must track the key
+    population, never the input volume. 16 keys x 12 batches x 120
+    rows: the ceiling stays 16 while input grows 12x.
+
+    applyInPandasWithState queries do not self-terminate under
+    availableNow (the drain_stateful lesson), so this test polls the
+    engine's input-row progress and stops the query itself instead of
+    using _run_per_file_batches' awaitTermination."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    n_files, rows_per_file, n_keys = 12, 120, 16
+    total = n_files * rows_per_file
+    for i in range(n_files):
+        ts = pd.date_range(
+            pd.Timestamp("2024-03-01") + pd.Timedelta(hours=2 * i),
+            periods=rows_per_file,
+            freq="1min",
+        )
+        pdf = pd.DataFrame(
+            {
+                "station": [f"s{j % n_keys}" for j in range(rows_per_file)],
+                "variable": "o2",
+                "ts": ts,
+                # constant per file, toggling across files: every key
+                # carries a ~7-point run per batch that breaks (and
+                # emits) at the next batch boundary
+                "value": float(i % 2),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(sdir)
+        )
+
+    from wq_data_pipeline_spark.streaming.stateful import streaming_flat_runs
+
+    schema = T.StructType(
+        [
+            T.StructField("station", T.StringType()),
+            T.StructField("variable", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    q = (
+        streaming_flat_runs(stream, atol=1e-9, min_points=3)
+        .writeStream.format("memory")
+        .queryName("state_scale_flat")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = _time.time() + 300
+    while _time.time() < deadline and q.isActive:
+        if sum(p["numInputRows"] for p in q.recentProgress) >= total:
+            break
+        _time.sleep(0.5)
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(30)
+    assert sum(p["numInputRows"] for p in progresses) >= total
+    assert spark.sql("select count(*) c from state_scale_flat").head().c > 0
+    assert len(progresses) >= n_files - 1
+    state_rows = [p["stateOperators"][0]["numRowsTotal"] for p in progresses]
+    assert max(state_rows) <= n_keys, state_rows
+    assert state_rows[-1] <= n_keys
