@@ -70,7 +70,7 @@ def main() -> None:
 
     b = ev.withColumn(
         "_b", F.ntile(n_batches).over(Window.orderBy("ts", "station", "variable"))
-    )
+    ).persist()  # one global sort, not one per batch file (r12 review)
     for i in range(1, n_batches + 1):
         (
             b.filter(F.col("_b") == i)
@@ -79,6 +79,7 @@ def main() -> None:
             .write.mode("append")
             .parquet(sdir)
         )
+    b.unpersist()
 
     schema = T.StructType(
         [
@@ -106,12 +107,18 @@ def main() -> None:
     # availableNow (the drain_stateful lesson, tests/conftest.py):
     # poll the engine's progress until every input row is accounted
     # for, then stop — wall is measured at that detection, so it is
-    # the processing time, not a timeout.
+    # the processing time, not a timeout. Progress is ACCUMULATED by
+    # batchId (r12 review): q.recentProgress is capped at the last
+    # ~100 updates, so summing it directly would both under-count the
+    # drain check past ~100 batches and silently truncate the
+    # max-state scan.
     deadline = time.time() + 600
     wall = None
+    seen: dict[int, dict] = {}
     while time.time() < deadline:
-        done = sum(p["numInputRows"] for p in q.recentProgress)
-        if done >= total:
+        for p in q.recentProgress:
+            seen[p["batchId"]] = p
+        if sum(p["numInputRows"] for p in seen.values()) >= total:
             wall = time.perf_counter() - t0
             break
         time.sleep(0.25)
@@ -122,7 +129,7 @@ def main() -> None:
 
     state_rows = [
         so["numRowsTotal"]
-        for p in q.recentProgress
+        for p in seen.values()
         for so in p.get("stateOperators", [])
     ]
     max_state = max(state_rows) if state_rows else 0

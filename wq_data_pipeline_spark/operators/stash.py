@@ -43,11 +43,16 @@ T = TypeVar("T")
 
 _LOCK = threading.Lock()
 _STASH: dict[tuple, Any] = {}
-# per-key construction locks (ADVICE r11): two threads asking for the
-# same not-yet-built key must not both run the trainer — the loser's
-# localCheckpoint'ed frames would be overwritten in the stash and
-# never unpersisted (duplicate work + a bounded executor-storage
-# leak). The second caller blocks on the first build instead.
+# per-PREFIX construction locks (ADVICE r11): two threads asking for
+# the same not-yet-built entry must not both run the trainer — the
+# loser's localCheckpoint'ed frames would be overwritten in the stash
+# and never unpersisted (duplicate work + a bounded executor-storage
+# leak). The second caller blocks on the first build instead. Keyed
+# on the prefix (app, dir, table, params) WITHOUT the content token
+# (r12 review): a token-keyed lock would let a stale-token build that
+# finishes last evict a concurrent fresh-token build's entry and
+# re-insert its stale one; under the prefix lock the fresh build
+# necessarily runs after the stale one and its cleanup wins.
 _BUILD_LOCKS: dict[tuple, threading.Lock] = {}
 
 
@@ -96,7 +101,7 @@ def session_stash(
     with _LOCK:
         if key in _STASH:
             return _STASH[key]
-        build_lock = _BUILD_LOCKS.setdefault(key, threading.Lock())
+        build_lock = _BUILD_LOCKS.setdefault(prefix, threading.Lock())
     # serialize construction per key: the winner builds, losers wait
     # here and then read the stashed value (never re-run the trainer)
     with build_lock:
@@ -111,6 +116,9 @@ def session_stash(
                 if k[0] != app or (k[:-1] == prefix and k[-1] != token)
             ]:
                 del _STASH[k]  # dead session, or overwritten fixture
-                _BUILD_LOCKS.pop(k, None)
+            # _BUILD_LOCKS entries are retained: one lock per distinct
+            # prefix per process (bounded by families x fixtures), and
+            # popping one while a waiter is queued on it would let two
+            # builds race again
             _STASH[key] = value
     return value
