@@ -377,6 +377,10 @@ BUDGETS = {
     # riding a broadcast of the trained model + argmax window + final
     # confusion rollup
     "lang_id_apply": (3, 1, 1),
+    # eval: metric rollups over the once-checkpointed <= K x K
+    # confusion frame — three tiny aggs + class left joins + sort
+    # (measured E=5 B=0; B headroom for AQE broadcast conversion)
+    "lang_id_eval": (5, 3, 0),
 }
 
 
@@ -450,6 +454,9 @@ CONSTRUCTION_JOB_CAPS = {
     # entries runs first pays the build, the other is stash-warm)
     "lang_id_train": 36,
     "lang_id_apply": 36,
+    # eval adds the confusion checkpoint + metric probes on top of a
+    # possibly-cold trainer build
+    "lang_id_eval": 40,
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

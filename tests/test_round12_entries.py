@@ -235,6 +235,69 @@ def test_lang_id_no_trainable_docs(spark, tmp_path):
     assert a.columns == ["lang", "pred_lang", "n_docs"]
 
 
+def test_lang_id_eval_matches_python_replication(spark, tmp_path):
+    """Held-out per-class metrics equal the from-scratch replication:
+    confusion from _py_li_score over held docs, prec/rec from exact
+    integers, F1 via the 2*tp/(n_pred+n_true) identity."""
+    rows = _mixed_fixture(10)
+    _write_docs(spark, tmp_path, rows)
+    traj = _py_li_train([(i, t, lg) for (i, t, lg, _s) in rows])
+    w = traj[-1]
+    held = [
+        (i, t, lg)
+        for (i, t, lg, _s) in rows
+        if i % R12._LI_HOLD_MOD == R12._LI_HOLD_RES
+    ]
+    preds = {i: _py_li_score(w, t) for (i, t, lg) in held}
+    cls = sorted(w)
+    want = {}
+    for c in cls:
+        n_true = sum(1 for (i, t, lg) in held if lg == c)
+        n_pred = sum(1 for v in preds.values() if v == c)
+        tp = sum(1 for (i, t, lg) in held if lg == c and preds[i] == c)
+        want[c] = (n_true, n_pred, tp)
+    got = {
+        r["lang"]: r for r in R12.q_lang_id_eval(spark, str(tmp_path)).collect()
+    }
+    assert sorted(got) == cls
+    for c in cls:
+        n_true, n_pred, tp = want[c]
+        r = got[c]
+        assert (r["n_true"], r["n_pred"], r["tp"]) == (n_true, n_pred, tp)
+        if n_pred:
+            assert r["prec"] == round(tp / n_pred, 6)
+        else:
+            assert r["prec"] is None
+        if n_true:
+            assert r["rec"] == round(tp / n_true, 6)
+        else:
+            assert r["rec"] is None
+        if n_pred + n_true:
+            assert r["f1"] == round(2 * tp / (n_pred + n_true), 6)
+        else:
+            assert r["f1"] is None
+    # on the signal-carrying fixture the model is near-perfect
+    assert all(got[c]["f1"] is not None and got[c]["f1"] >= 0.9 for c in cls)
+
+
+def test_lang_id_eval_class_absent_from_held_slice(spark, tmp_path):
+    """A trained class with no held-out docs still reports a row:
+    n_true = 0 -> rec NULL, and prec NULL when nothing predicted it."""
+    rows = [
+        (0, "forschung wissenschaft zeitschrift entwicklung", "de", "s0"),
+        (1, "corazones montanas castillos naranjas", "es", "s0"),
+        (2, "grundlagen beobachtung verarbeitung", "de", "s0"),
+        (4, "caballeros ventanas carreteras", "es", "s0"),  # held, es only
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r["lang"]: r for r in R12.q_lang_id_eval(spark, str(tmp_path)).collect()
+    }
+    assert sorted(got) == ["de", "es"]
+    assert got["de"]["n_true"] == 0 and got["de"]["rec"] is None
+    assert got["es"]["n_true"] == 1
+
+
 def test_li_snippet_is_prefix_bounded(spark):
     """The featurizer reads exactly the first _LI_SNIP chars: two
     texts sharing that prefix featurize identically."""

@@ -52,6 +52,7 @@ DEFAULT_ENTRIES = [
     # r12 (batch 33)
     "lang_id_train",
     "lang_id_apply",
+    "lang_id_eval",
 ]
 
 

@@ -831,9 +831,9 @@ ORACLES.update(ORACLES33)
 # build; the r12 byte-slice build supersedes that code — output
 # identical, rotated under the superseded-code rule precedent), then
 # ALL 26 r7-green leftovers (5 rounds stale — the oldest driver rows
-# in the catalog), then the first 21 of the 48 r8-green rows in
-# alphabetical order (a2_sentinels .. rel_distinct_agg). The
-# remaining 27 r8-green rows (rel_rollup, rel_semi_join,
+# in the catalog), then the first 20 of the 48 r8-green rows in
+# alphabetical order (a2_sentinels .. rel_corr_subquery). The
+# remaining 28 r8-green rows (rel_distinct_agg, rel_rollup, rel_semi_join,
 # rel_union_having, rollup_merge, salted_user_stats, seasonal_hours,
 # semdedup_ann, semdedup_trained, sketch_profile, stratified_sample,
 # suffix_repeats, table_profile, top_paths, tpch_q13_custdist,
@@ -845,6 +845,7 @@ ORACLES.update(ORACLES33)
 _DRIVER_WINDOW = [
     "lang_id_train",
     "lang_id_apply",
+    "lang_id_eval",
     "keepone_removal",
     "rfm_segments",
     "salted_join",
@@ -892,7 +893,6 @@ _DRIVER_WINDOW = [
     "quality_deciles",
     "rel_anti_join",
     "rel_corr_subquery",
-    "rel_distinct_agg",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

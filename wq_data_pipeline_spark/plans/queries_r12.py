@@ -246,6 +246,101 @@ def q_lang_id_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train -> apply -> EVAL, closing the lang-id loop (the
+    quality_train_eval pairing for the multi-class family): per-class
+    precision / recall / F1 of the trained model on the held-out
+    slice (doc_id % 5 == 4) against the documents.lang labels — the
+    acceptance gate before swapping a trained identifier in for the
+    marker heuristic.
+
+    One pass: held docs featurize + broadcast-score + argmax window
+    into a <= K x K confusion frame, checkpointed ONCE (three metric
+    aggregates would otherwise re-run the corpus featurization), then
+    per-class rollups left-joined onto the trained class list so
+    classes absent from the held slice still report. F1 uses the
+    2*tp/(n_pred + n_true) identity — algebraically 2PR/(P+R) — so
+    the only float is one final division, rounded 6dp in both
+    dialects."""
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    w_final = _li_traj(spark, sf_dir)[-1]
+    held = _docs_parallel(spark, sf_dir).filter(
+        ((F.col("doc_id") % _LI_HOLD_MOD) == _LI_HOLD_RES)
+        & F.col("lang").isNotNull()
+        & F.col("text").isNotNull()
+    )
+    z = (
+        _li_features(held, ["lang"])
+        .join(F.broadcast(w_final), "b")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("z_micro"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("z_micro").desc(), F.col("cand").asc()
+        )
+    )
+    conf = (
+        z.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("lang").alias("t"), F.col("cand").alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    classes = w_final.select(F.col("cand").alias("lang")).distinct()
+    n_true = conf.groupBy(F.col("t").alias("lang")).agg(
+        F.sum("n").alias("n_true")
+    )
+    n_pred = conf.groupBy(F.col("p").alias("lang")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    tp = conf.filter(F.col("t") == F.col("p")).select(
+        F.col("t").alias("lang"), F.col("n").alias("tp")
+    )
+    j = (
+        classes.join(n_true, "lang", "left")
+        .join(n_pred, "lang", "left")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.round(F.col("tp").cast("double") / F.col("n_pred"), 6)
+    )
+    rec = F.when(
+        F.col("n_true") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.round(F.col("tp").cast("double") / F.col("n_true"), 6)
+    )
+    f1 = F.when(
+        (F.col("n_pred") + F.col("n_true")) == 0,
+        F.lit(None).cast("double"),
+    ).otherwise(
+        F.round(
+            F.lit(2.0)
+            * F.col("tp").cast("double")
+            / (F.col("n_pred") + F.col("n_true")),
+            6,
+        )
+    )
+    return j.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        prec.alias("prec"),
+        rec.alias("rec"),
+        f1.alias("f1"),
+    ).orderBy("lang")
+
+
 # --- SQL mirrors ------------------------------------------------------------
 
 # ONE definition of the featurizer per source CTE, interpolated by
@@ -351,16 +446,63 @@ SELECT lang, cand AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM pr WHERE rn = 1 GROUP BY ALL ORDER BY lang, pred_lang"""
 
 
+def _sql_lang_id_eval() -> str:
+    return f"""{_sql_li_train_prefix()},
+hd AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE doc_id % {_LI_HOLD_MOD} = {_LI_HOLD_RES}
+    AND lang IS NOT NULL AND text IS NOT NULL
+),
+{_sql_li_features("hd", "lang", "hp", "hx")},
+hz AS (
+  SELECT x.doc_id, x.lang, w.cand, sum(x.cnt * w.w) AS z_micro
+  FROM hx x JOIN w{_LI_ROUNDS} w USING (b) GROUP BY ALL
+),
+hpr AS (
+  SELECT doc_id, lang, cand,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY z_micro DESC, cand ASC) AS rn
+  FROM hz
+),
+conf AS (
+  SELECT lang AS t, cand AS p, CAST(count(*) AS BIGINT) AS n
+  FROM hpr WHERE rn = 1 GROUP BY ALL
+),
+nt AS (SELECT t AS lang, CAST(sum(n) AS BIGINT) AS n_true FROM conf GROUP BY 1),
+np AS (SELECT p AS lang, CAST(sum(n) AS BIGINT) AS n_pred FROM conf GROUP BY 1),
+tpc AS (SELECT t AS lang, n AS tp FROM conf WHERE t = p),
+j AS (
+  SELECT c.cand AS lang,
+         COALESCE(n_true, 0) AS n_true,
+         COALESCE(n_pred, 0) AS n_pred,
+         COALESCE(tp, 0) AS tp
+  FROM cls c LEFT JOIN nt ON c.cand = nt.lang
+             LEFT JOIN np ON c.cand = np.lang
+             LEFT JOIN tpc ON c.cand = tpc.lang
+)
+SELECT lang, n_true, n_pred, tp,
+       CASE WHEN n_pred = 0 THEN NULL
+            ELSE round(CAST(tp AS DOUBLE) / n_pred, 6) END AS prec,
+       CASE WHEN n_true = 0 THEN NULL
+            ELSE round(CAST(tp AS DOUBLE) / n_true, 6) END AS rec,
+       CASE WHEN n_pred + n_true = 0 THEN NULL
+            ELSE round(2.0 * CAST(tp AS DOUBLE) / (n_pred + n_true), 6) END AS f1
+FROM j ORDER BY lang"""
+
+
 SQL_LANG_ID_TRAIN = _sql_lang_id_train()
 SQL_LANG_ID_APPLY = _sql_lang_id_apply()
+SQL_LANG_ID_EVAL = _sql_lang_id_eval()
 
 
 QUERIES33: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_train": q_lang_id_train,
     "lang_id_apply": q_lang_id_apply,
+    "lang_id_eval": q_lang_id_eval,
 }
 
 ORACLES33: dict[str, str] = {
     "lang_id_train": SQL_LANG_ID_TRAIN,
     "lang_id_apply": SQL_LANG_ID_APPLY,
+    "lang_id_eval": SQL_LANG_ID_EVAL,
 }
