@@ -381,6 +381,14 @@ BUDGETS = {
     # confusion frame — three tiny aggs + class left joins + sort
     # (measured E=5 B=0; B headroom for AQE broadcast conversion)
     "lang_id_eval": (5, 3, 0),
+    # r12 batch 34: held-out explode + per-(doc,y,b) agg + broadcast
+    # of the trained 64-row model + 10-bin rollup + sort (measured
+    # E=3 B=1 G=1; +1 headroom each for AQE)
+    "quality_calibration": (4, 2, 1),
+    # one corpus explode + per-(lang,word) agg + broadcast of the
+    # stashed vocab symbol counts + per-lang rollup + sort (measured
+    # E=4 B=1 G=1)
+    "tokenizer_fertility": (5, 2, 1),
 }
 
 
@@ -457,6 +465,10 @@ CONSTRUCTION_JOB_CAPS = {
     # eval adds the confusion checkpoint + metric probes on top of a
     # possibly-cold trainer build
     "lang_id_eval": 40,
+    # r12 batch 34: both ride stashed trainers (measured 28/19 cold,
+    # 1 warm) — caps match their family's cold-build entries
+    "quality_calibration": 32,
+    "tokenizer_fertility": 24,
 }
 DEFAULT_CONSTRUCTION_CAP = 6
 

@@ -53,6 +53,9 @@ DEFAULT_ENTRIES = [
     "lang_id_train",
     "lang_id_apply",
     "lang_id_eval",
+    # r12 (batch 34)
+    "quality_calibration",
+    "tokenizer_fertility",
 ]
 
 

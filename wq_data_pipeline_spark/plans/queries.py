@@ -648,6 +648,7 @@ from wq_data_pipeline_spark.plans.queries_r10 import ORACLES30, QUERIES30  # noq
 from wq_data_pipeline_spark.plans.queries_r11 import ORACLES31, QUERIES31  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r11b import ORACLES32, QUERIES32  # noqa: E402
 from wq_data_pipeline_spark.plans.queries_r12 import ORACLES33, QUERIES33  # noqa: E402
+from wq_data_pipeline_spark.plans.queries_r12b import ORACLES34, QUERIES34  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_dup_median": q_a1_dup_median,
@@ -757,6 +758,8 @@ QUERIES.update(QUERIES32)
 ORACLES.update(ORACLES32)
 QUERIES.update(QUERIES33)
 ORACLES.update(ORACLES33)
+QUERIES.update(QUERIES34)
+ORACLES.update(ORACLES34)
 
 # The driver's correctness gate checks only the FIRST 50 registry
 # entries, so the window ROTATES each round to keep every entry's
@@ -832,8 +835,12 @@ ORACLES.update(ORACLES33)
 # identical, rotated under the superseded-code rule precedent), then
 # ALL 26 r7-green leftovers (5 rounds stale — the oldest driver rows
 # in the catalog), then the first 20 of the 48 r8-green rows in
-# alphabetical order (a2_sentinels .. rel_corr_subquery). The
-# remaining 28 r8-green rows (rel_distinct_agg, rel_rollup, rel_semi_join,
+# alphabetical order (a2_sentinels .. rel_corr_subquery). Batch 34
+# (quality_calibration, tokenizer_fertility — landed after the
+# batch-33 rotation) takes the last two fill slots; rel_anti_join and
+# rel_corr_subquery rotate to the r13 head with the other leftovers.
+# The remaining r8-green rows (rel_anti_join, rel_corr_subquery,
+# rel_distinct_agg, rel_rollup, rel_semi_join,
 # rel_union_having, rollup_merge, salted_user_stats, seasonal_hours,
 # semdedup_ann, semdedup_trained, sketch_profile, stratified_sample,
 # suffix_repeats, table_profile, top_paths, tpch_q13_custdist,
@@ -891,8 +898,8 @@ _DRIVER_WINDOW = [
     "pack_assignments",
     "qc_full_suite",
     "quality_deciles",
-    "rel_anti_join",
-    "rel_corr_subquery",
+    "quality_calibration",
+    "tokenizer_fertility",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

@@ -1,0 +1,266 @@
+"""Catalog batch 34 (round 12): model- and tokenizer-QUALITY rollups —
+the two acceptance reports a curation pipeline reads after training its
+in-engine artifacts, both riding the session-stashed trainers so the
+construction cost is paid once per session.
+
+- ``quality_calibration``: the reliability diagram of the trained
+  quality classifier (queries_r10) on its held-out slice — per
+  predicted-probability decile: doc count, teacher-positive count, the
+  summed quantized probability mass, observed positive rate, mean
+  predicted probability, and the calibration gap. A classifier whose
+  AUC gate passes (``quality_train_eval``) can still be badly
+  mis-calibrated; a pipeline that thresholds on probability (keep docs
+  with p > 0.9) reads THIS table before picking the threshold. The
+  probability is quantized to integer micro units per doc BEFORE any
+  aggregation (the trainer's own sigmoid discipline, queries_r10.py),
+  so bucket membership and every sum are exact BIGINT ops; the only
+  floats are three final divisions rounded 6dp in both dialects.
+
+- ``tokenizer_fertility``: per-language fertility of the learned BPE
+  tokenizer (queries_r5) — BPE tokens per word and characters per BPE
+  token, the standard multilingual tokenizer-acceptance metric (a
+  tokenizer trained on English-heavy data over-segments other
+  languages; fertility per language is how that shows up). Rides the
+  stashed ``_bpe_train_state`` vocabulary: the corpus is tokenized by
+  ONE broadcast join of per-word symbol counts (the ``bpe_apply``
+  inference shape), then rolled up per language instead of per doc.
+  Ratios are exact integer micro units (a * 1_000_000 DIV b — integral
+  division in both dialects, no float anywhere); exactness envelope:
+  n_bpe_tokens * 1e6 must stay under 2^63, i.e. ~9.2e12 BPE tokens per
+  language — past that, drop the micro scaling to 1e3 or report the
+  raw integer pair (the components themselves are plain BIGINT sums).
+
+Reference scope: the reference pipeline (scripts/ufz_water_qc_pipeline.py)
+has no tokenizer or classifier stage — both entries are the
+LLM-pipeline extension surface, completing the train -> apply -> eval
+-> ACCEPT loop for the two trained-artifact families.
+
+100-TB shape, both entries: one corpus-sized explode feeding a
+map-side-combinable hash agg, one broadcast join of O(1)-sized trained
+state (64-row model / vocab symbol counts), then a rollup whose key
+cardinality is tiny (10 bins / #languages). No windows, no
+driver-side loops beyond the stashed construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from wq_data_pipeline_spark.plans.queries_ext import SQL_TOKS_EXPR as _SQL_TOKS
+from wq_data_pipeline_spark.plans.queries_r10 import (
+    _QT_HOLD_MOD,
+    _QT_HOLD_RES,
+    _QT_ROUNDS,
+    _SQL_TEACHER_Y,
+    _bucket_counts,
+    _doc_scores,
+    _sql_bucket_cte,
+    _sql_score_cte,
+    _sql_train_prefix,
+    _teacher_y,
+    _train_traj,
+)
+from wq_data_pipeline_spark.plans.queries_r5 import (
+    _BPT_ROUNDS,
+    _bpe_train_state,
+)
+from wq_data_pipeline_spark.operators.text import tokens
+
+_QC_BINS = 10  # probability deciles (bin = min(9, p_micro // 100_000))
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See the module docstring. Held-out docs (the slice the trainer
+    never saw — calibration on training data flatters the model) are
+    scored with the final-round weights, the sigmoid is quantized to
+    p_micro = round(p * 1e6) per doc (BIGINT — the exact value the
+    trainer's gradient used), and docs land in decile bins by integer
+    division. p_micro = 1_000_000 (p rounding to exactly 1) would
+    index bin 10, hence the least(9, ...) clamp on both sides.
+
+    Output per bin: n_docs, n_pos (teacher label), sum_p_micro, and
+    the three 6dp-rounded diagnostics — frac_pos (observed rate),
+    mean_p (predicted rate), gap (frac_pos - mean_p; sums to ~0 times
+    weights iff calibrated). Docs with no tokens score nothing and
+    drop on both sides (explode/unnest agree)."""
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    w_final = _train_traj(spark, sf_dir)[-1]
+    held = (
+        _docs_parallel(spark, sf_dir)
+        .filter((F.col("doc_id") % _QT_HOLD_MOD) == _QT_HOLD_RES)
+        .select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", "toks", _teacher_y())
+    )
+    z = _doc_scores(_bucket_counts(held, ["y"]), w_final, ["y"])
+    p_micro = (
+        F.round(
+            F.lit(1000000.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(F.col("z_micro").cast("double") / F.lit(1000000.0))
+                )
+            )
+        )
+        .cast("long")
+        .alias("p_micro")
+    )
+    binned = z.select(
+        "y",
+        p_micro,
+    ).select(
+        "y",
+        "p_micro",
+        F.least(
+            F.lit(9).cast("long"),
+            F.expr("CAST(p_micro DIV 100000 AS BIGINT)"),
+        ).alias("bin"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("p_micro").cast("long").alias("sum_p_micro"),
+    )
+    nd = F.col("n_docs").cast("double")
+    frac_pos = F.round(F.col("n_pos").cast("double") / nd, 6)
+    mean_p = F.round(
+        F.col("sum_p_micro").cast("double") / (nd * F.lit(1000000.0)), 6
+    )
+    return agg.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        "sum_p_micro",
+        frac_pos.alias("frac_pos"),
+        mean_p.alias("mean_p"),
+        F.round(frac_pos - mean_p, 6).alias("gap"),
+    ).orderBy("bin")
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See the module docstring. The stashed BPE vocabulary maps every
+    corpus word to its trained symbol count; fertility per language is
+    one per-(lang, word) pre-agg + a broadcast join of that vocab + a
+    per-language rollup — the corpus never re-tokenizes per merge
+    rule, and the rollup shuffles #languages rows.
+
+    Output per lang: n_words, n_bpe_tokens, n_chars (whitespace-token
+    characters, the denominator that ignores the whitespace the
+    tokenizer never sees), and the two integral micro-ratios. Docs
+    with no tokens contribute nothing; a NULL lang groups as its own
+    row (both engines)."""
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    v, _ = _bpe_train_state(spark, sf_dir)
+    d = _docs_parallel(spark, sf_dir)
+    lw = (
+        d.select("lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    nsym = v.select("tok", F.size("s").cast("long").alias("n_sym"))
+    agg = (
+        lw.join(F.broadcast(nsym), "tok")
+        .groupBy("lang")
+        .agg(
+            F.sum("k").cast("long").alias("n_words"),
+            F.sum(F.col("k") * F.col("n_sym")).cast("long").alias("n_bpe_tokens"),
+            F.sum(F.col("k") * F.length("tok")).cast("long").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        F.expr("CAST(n_bpe_tokens * 1000000 DIV n_words AS BIGINT)").alias(
+            "bpe_per_word_micro"
+        ),
+        F.expr("CAST(n_chars * 1000000 DIV n_bpe_tokens AS BIGINT)").alias(
+            "chars_per_bpe_micro"
+        ),
+    ).orderBy("lang")
+
+
+# --- SQL mirrors ------------------------------------------------------------
+
+
+def _sql_quality_calibration() -> str:
+    """Training replay (the shared ``_sql_train_prefix`` chain — ONE
+    definition of the trainer across the family) + held-out scoring +
+    the identical micro-quantized binning."""
+    return f"""{_sql_train_prefix()},
+hl AS (
+  SELECT doc_id, toks, {_SQL_TEACHER_Y} AS y
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks
+        FROM documents WHERE doc_id % {_QT_HOLD_MOD} = {_QT_HOLD_RES})
+),
+{_sql_bucket_cte("hl", "y", "cf", "cx")},
+{_sql_score_cte("cx", f"w{_QT_ROUNDS}", "cz", "y", "z_micro")},
+pm AS (
+  SELECT y,
+         CAST(round(1000000.0 /
+                    (1.0 + exp(-(CAST(z_micro AS DOUBLE) / 1000000.0))))
+              AS BIGINT) AS p_micro
+  FROM cz
+),
+bn AS (
+  SELECT y, p_micro, least(9, p_micro // 100000) AS bin FROM pm
+),
+ag AS (
+  SELECT bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(p_micro) AS BIGINT) AS sum_p_micro
+  FROM bn GROUP BY bin
+)
+SELECT bin, n_docs, n_pos, sum_p_micro,
+       round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS frac_pos,
+       round(CAST(sum_p_micro AS DOUBLE)
+             / (CAST(n_docs AS DOUBLE) * 1000000.0), 6) AS mean_p,
+       round(round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             - round(CAST(sum_p_micro AS DOUBLE)
+                     / (CAST(n_docs AS DOUBLE) * 1000000.0), 6), 6) AS gap
+FROM ag ORDER BY bin"""
+
+
+def _sql_tokenizer_fertility() -> str:
+    """The shared ``_bpe_chain_sql`` trainer replay (vocab v{N} after
+    the unrolled merge rounds) + the per-language rollup."""
+    from wq_data_pipeline_spark.plans.queries_r5 import _bpe_chain_sql
+
+    return f"""{_bpe_chain_sql()},
+lw AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS k
+  FROM (SELECT lang, unnest(toks) AS tok FROM w) GROUP BY 1, 2
+),
+fa AS (
+  SELECT lang,
+         CAST(sum(k) AS BIGINT) AS n_words,
+         CAST(sum(k * len(v.s)) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(k * length(lw.tok)) AS BIGINT) AS n_chars
+  FROM lw JOIN v{_BPT_ROUNDS} v ON lw.tok = v.tok
+  GROUP BY lang
+)
+SELECT lang, n_words, n_bpe_tokens, n_chars,
+       CAST(n_bpe_tokens * 1000000 // n_words AS BIGINT) AS bpe_per_word_micro,
+       CAST(n_chars * 1000000 // n_bpe_tokens AS BIGINT) AS chars_per_bpe_micro
+FROM fa ORDER BY lang"""
+
+
+SQL_QUALITY_CALIBRATION = _sql_quality_calibration()
+SQL_TOKENIZER_FERTILITY = _sql_tokenizer_fertility()
+
+
+QUERIES34: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quality_calibration": q_quality_calibration,
+    "tokenizer_fertility": q_tokenizer_fertility,
+}
+
+ORACLES34: dict[str, str] = {
+    "quality_calibration": SQL_QUALITY_CALIBRATION,
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+}
