@@ -126,8 +126,10 @@ def test_quality_calibration_laws(spark, sf_dir):
             r["frac_pos"] - r["mean_p"], abs=2e-6
         )
         # bin membership: mean_p of a bin's members must lie inside
-        # the bin's probability interval (clamped top bin is wider)
-        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 if r["bin"] < 9 else 1.0
+        # the bin's probability interval [b/10, (b+1)/10] (the top
+        # bin's clamp only folds p_micro = 1e6 in, which is its own
+        # upper edge already)
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0
         assert lo - 1e-6 <= r["mean_p"] <= hi + 1e-6
 
 

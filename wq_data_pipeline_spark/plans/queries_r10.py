@@ -698,6 +698,21 @@ def q_quality_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eval_frame(spark, sf_dir, _train_traj(spark, sf_dir)[-1])
 
 
+def _held_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE definition of the held-out labeled slice — (doc_id,
+    toks, y) for doc_id % mod == res — shared by the eval gate and
+    the r12 calibration entry so the two reports can never describe
+    different slices."""
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    return (
+        _docs_parallel(spark, sf_dir)
+        .filter((F.col("doc_id") % _QT_HOLD_MOD) == _QT_HOLD_RES)
+        .select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", "toks", _teacher_y())
+    )
+
+
 def _eval_frame(
     spark: SparkSession,
     sf_dir: str,
@@ -709,14 +724,8 @@ def _eval_frame(
     shared by quality_train_eval and the r11 bigram variant so the
     eval rule can never drift between model families."""
     from wq_data_pipeline_spark.operators.scale import distributed_prefix_sum
-    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
 
-    held = (
-        _docs_parallel(spark, sf_dir)
-        .filter((F.col("doc_id") % _QT_HOLD_MOD) == _QT_HOLD_RES)
-        .select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", "toks", _teacher_y())
-    )
+    held = _held_docs(spark, sf_dir)
     z = (
         _doc_scores((feats or _bucket_counts)(held, ["y"]), w_final, ["y"])
         .withColumnRenamed("z_micro", "z")
@@ -895,6 +904,19 @@ SELECT source,
 FROM zf GROUP BY source ORDER BY source"""
 
 
+def _sql_held_cte(name: str = "hl") -> str:
+    """SQL mirror of ``_held_docs`` — the ONE oracle definition of the
+    held-out labeled slice, shared by the eval and calibration
+    oracles."""
+    return (
+        f"{name} AS (\n"
+        f"  SELECT doc_id, toks, {_SQL_TEACHER_Y} AS y\n"
+        f"  FROM (SELECT doc_id, {SQL_TOKS_EXPR} AS toks\n"
+        f"        FROM documents WHERE doc_id % {_QT_HOLD_MOD} = {_QT_HOLD_RES})\n"
+        f")"
+    )
+
+
 def _sql_quality_train_eval(prefix: str | None = None, bucket_cte=None) -> str:
     """Eval-oracle body, parameterized the same way as _eval_frame:
     ``prefix`` is the training WITH-chain (default: the unigram
@@ -908,11 +930,7 @@ def _sql_quality_train_eval(prefix: str | None = None, bucket_cte=None) -> str:
         f" / ({nd} * {nd})"
     )
     return f"""{prefix},
-hl AS (
-  SELECT doc_id, toks, {_SQL_TEACHER_Y} AS y
-  FROM (SELECT doc_id, {SQL_TOKS_EXPR} AS toks
-        FROM documents WHERE doc_id % {_QT_HOLD_MOD} = {_QT_HOLD_RES})
-),
+{_sql_held_cte("hl")},
 {bucket_cte("hl", "y", "hf", "hx")},
 {_sql_score_cte("hx", f"w{_QT_ROUNDS}", "hz", "y", "z")},
 c AS (

@@ -48,52 +48,44 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from wq_data_pipeline_spark.plans.queries_ext import SQL_TOKS_EXPR as _SQL_TOKS
 from wq_data_pipeline_spark.plans.queries_r10 import (
-    _QT_HOLD_MOD,
-    _QT_HOLD_RES,
     _QT_ROUNDS,
-    _SQL_TEACHER_Y,
     _bucket_counts,
     _doc_scores,
+    _held_docs,
     _sql_bucket_cte,
+    _sql_held_cte,
     _sql_score_cte,
     _sql_train_prefix,
-    _teacher_y,
     _train_traj,
 )
 from wq_data_pipeline_spark.plans.queries_r5 import (
     _BPT_ROUNDS,
-    _bpe_train_state,
+    _sql_vocab_counts_cte,
+    _vocab_token_counts,
 )
-from wq_data_pipeline_spark.operators.text import tokens
-
-_QC_BINS = 10  # probability deciles (bin = min(9, p_micro // 100_000))
 
 
 def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See the module docstring. Held-out docs (the slice the trainer
-    never saw — calibration on training data flatters the model) are
-    scored with the final-round weights, the sigmoid is quantized to
-    p_micro = round(p * 1e6) per doc (BIGINT — the exact value the
-    trainer's gradient used), and docs land in decile bins by integer
-    division. p_micro = 1_000_000 (p rounding to exactly 1) would
-    index bin 10, hence the least(9, ...) clamp on both sides.
+    never saw — calibration on training data flatters the model,
+    shared slice definition: ``_held_docs``) are scored with the
+    final-round weights, the sigmoid is quantized to p_micro =
+    round(1e6 / (1 + exp(-z/1e6))) per doc (BIGINT; the same
+    micro-quantization discipline as the trainer's gradient, though a
+    different double expression — the trainer rounds (p - y) * 1e6 —
+    so the two are not claimed bit-identical at .5 boundaries), and
+    docs land in decile bins by integer division. p_micro = 1_000_000
+    (p rounding to exactly 1) would index bin 10, hence the
+    least(9, ...) clamp on both sides.
 
     Output per bin: n_docs, n_pos (teacher label), sum_p_micro, and
     the three 6dp-rounded diagnostics — frac_pos (observed rate),
     mean_p (predicted rate), gap (frac_pos - mean_p; sums to ~0 times
     weights iff calibrated). Docs with no tokens score nothing and
     drop on both sides (explode/unnest agree)."""
-    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
-
     w_final = _train_traj(spark, sf_dir)[-1]
-    held = (
-        _docs_parallel(spark, sf_dir)
-        .filter((F.col("doc_id") % _QT_HOLD_MOD) == _QT_HOLD_RES)
-        .select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", "toks", _teacher_y())
-    )
+    held = _held_docs(spark, sf_dir)
     z = _doc_scores(_bucket_counts(held, ["y"]), w_final, ["y"])
     p_micro = (
         F.round(
@@ -143,7 +135,8 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See the module docstring. The stashed BPE vocabulary maps every
     corpus word to its trained symbol count; fertility per language is
-    one per-(lang, word) pre-agg + a broadcast join of that vocab + a
+    the shared ``_vocab_token_counts`` inference shape (the one
+    ``bpe_apply`` uses, keyed on lang instead of doc_id) + a
     per-language rollup — the corpus never re-tokenizes per merge
     rule, and the rollup shuffles #languages rows.
 
@@ -152,18 +145,8 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer never sees), and the two integral micro-ratios. Docs
     with no tokens contribute nothing; a NULL lang groups as its own
     row (both engines)."""
-    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
-
-    v, _ = _bpe_train_state(spark, sf_dir)
-    d = _docs_parallel(spark, sf_dir)
-    lw = (
-        d.select("lang", F.explode(tokens("text")).alias("tok"))
-        .groupBy("lang", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("k"))
-    )
-    nsym = v.select("tok", F.size("s").cast("long").alias("n_sym"))
     agg = (
-        lw.join(F.broadcast(nsym), "tok")
+        _vocab_token_counts(spark, sf_dir, ["lang"])
         .groupBy("lang")
         .agg(
             F.sum("k").cast("long").alias("n_words"),
@@ -193,11 +176,7 @@ def _sql_quality_calibration() -> str:
     definition of the trainer across the family) + held-out scoring +
     the identical micro-quantized binning."""
     return f"""{_sql_train_prefix()},
-hl AS (
-  SELECT doc_id, toks, {_SQL_TEACHER_Y} AS y
-  FROM (SELECT doc_id, {_SQL_TOKS} AS toks
-        FROM documents WHERE doc_id % {_QT_HOLD_MOD} = {_QT_HOLD_RES})
-),
+{_sql_held_cte("hl")},
 {_sql_bucket_cte("hl", "y", "cf", "cx")},
 {_sql_score_cte("cx", f"w{_QT_ROUNDS}", "cz", "y", "z_micro")},
 pm AS (
@@ -233,10 +212,7 @@ def _sql_tokenizer_fertility() -> str:
     from wq_data_pipeline_spark.plans.queries_r5 import _bpe_chain_sql
 
     return f"""{_bpe_chain_sql()},
-lw AS (
-  SELECT lang, tok, CAST(count(*) AS BIGINT) AS k
-  FROM (SELECT lang, unnest(toks) AS tok FROM w) GROUP BY 1, 2
-),
+{_sql_vocab_counts_cte("lang", "lw")},
 fa AS (
   SELECT lang,
          CAST(sum(k) AS BIGINT) AS n_words,

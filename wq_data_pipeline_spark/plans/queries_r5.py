@@ -550,6 +550,40 @@ SELECT CAST(round AS INT) AS round, lft, rgt, merged, pair_count FROM (
 SQL_BPE_TRAIN = _bpe_train_sql()
 
 
+def _vocab_token_counts(
+    spark: SparkSession, sf_dir: str, keys: list[str]
+) -> DataFrame:
+    """The ONE tokenize-by-trained-vocab inference shape — explode
+    words, pre-agg per (*keys, tok), broadcast-join the stashed
+    vocab's per-word symbol counts — shared by ``bpe_apply``
+    (keys=['doc_id']) and the r12 ``tokenizer_fertility``
+    (keys=['lang']) so the two rollups of the same tokenizer can
+    never tokenize differently. Returns (*keys, tok, k, n_sym);
+    callers do their own rollup."""
+    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
+
+    v, _ = _bpe_train_state(spark, sf_dir)
+    d = _docs_parallel(spark, sf_dir)
+    kw = (
+        d.select(*keys, F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy(*keys, "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    nsym = v.select("tok", F.size("s").cast("long").alias("n_sym"))
+    return kw.join(F.broadcast(nsym), "tok")
+
+
+def _sql_vocab_counts_cte(key: str, cte: str) -> str:
+    """SQL mirror of ``_vocab_token_counts``'s pre-agg: per-(key, tok)
+    word counts over the shared ``w`` tokenization CTE."""
+    return (
+        f"{cte} AS (\n"
+        f"  SELECT {key}, tok, CAST(count(*) AS BIGINT) AS k\n"
+        f"  FROM (SELECT {key}, unnest(toks) AS tok FROM w) GROUP BY 1, 2\n"
+        f")"
+    )
+
+
 def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize WITH the learned BPE vocab — the apply half of the
     train->apply tokenizer loop: rerun the ``_BPT_ROUNDS`` trainer
@@ -562,18 +596,8 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast-sized), so applying the tokenizer to the corpus is a
     per-(doc, word) pre-agg + one broadcast join — the corpus never
     re-tokenizes per merge rule."""
-    from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
-
-    v, _ = _bpe_train_state(spark, sf_dir)
-    d = _docs_parallel(spark, sf_dir)
-    dw = (
-        d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("k"))
-    )
-    nsym = v.select("tok", F.size("s").cast("long").alias("n_sym"))
     return (
-        dw.join(F.broadcast(nsym), "tok")
+        _vocab_token_counts(spark, sf_dir, ["doc_id"])
         .groupBy("doc_id")
         .agg(
             F.sum("k").cast("long").alias("n_words"),
@@ -592,10 +616,7 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_apply_sql() -> str:
     return f"""{_bpe_chain_sql()},
-dw AS (
-  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
-  FROM (SELECT doc_id, unnest(toks) AS tok FROM w) GROUP BY 1, 2
-)
+{_sql_vocab_counts_cte("doc_id", "dw")}
 SELECT dw.doc_id,
        CAST(sum(k) AS BIGINT) AS n_words,
        CAST(sum(k * len(v.s)) AS BIGINT) AS n_bpe_tokens,
