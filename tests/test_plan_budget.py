@@ -389,6 +389,11 @@ BUDGETS = {
     # stashed vocab symbol counts + per-lang rollup + sort (measured
     # E=4 B=1 G=1)
     "tokenizer_fertility": (5, 2, 1),
+    # closed-form waterfill: everything downstream of the ONE
+    # checkpointed per-source agg runs on a #sources-row frame
+    # (measured E=4 B=3 — the uncheckpointed form measured E=8 from
+    # three corpus re-scans)
+    "epoch_mix_plan": (5, 4, 0),
 }
 
 

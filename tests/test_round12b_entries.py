@@ -220,6 +220,131 @@ def test_tokenizer_fertility_agrees_with_bpe_apply(spark, sf_dir):
         assert r["chars_per_bpe_micro"] >= 1_000_000
 
 
+# ------------------------------------------------- epoch_mix_plan
+
+
+def _py_epoch_plan(docs):
+    """From-scratch closed-form waterfill. docs: (doc_id, text,
+    source). Returns {source: (n_tokens, w, capacity, saturated,
+    alloc, epochs_micro)}."""
+    import re as _re
+
+    per = {}
+    for _, t, s in docs:
+        per[s] = per.get(s, 0) + (len(_py_tokens(t)) if t else 0)
+
+    def wgt(s):
+        m = _re.search(r"(\d+)", s)
+        return 1 + (int(m.group(1)) if m else 0) % 4
+
+    T = sum(per.values())
+    B = R12B._EMP_BUDGET_MULT * T
+    items = sorted(
+        (
+            (s, n, wgt(s), R12B._EMP_MAX_EPOCHS * n)
+            for s, n in per.items()
+        ),
+        key=lambda x: (x[3] * (12 // x[2]), x[0]),
+    )
+    c_before, w_from = 0, sum(w for _, _, w, _ in items)
+    sat = {}
+    for s, n, w, c in items:
+        sat[s] = c * w_from <= (B - c_before) * w
+        c_before += c
+        w_from -= w
+    c_sat = sum(c for s, n, w, c in items if sat[s])
+    w_unsat = sum(w for s, n, w, c in items if not sat[s])
+    out = {}
+    for s, n, w, c in items:
+        alloc = c if sat[s] else (B - c_sat) * w // max(w_unsat, 1)
+        out[s] = (
+            n,
+            w,
+            c,
+            sat[s],
+            alloc,
+            0 if n == 0 else alloc * 1_000_000 // n,
+        )
+    return out
+
+
+def test_epoch_mix_plan_matches_python_replication(spark, tmp_path):
+    """Planted corpus with skewed source sizes AND a zero-token
+    source: engine equals the from-scratch waterfill, integer for
+    integer."""
+    rows = []
+    texts = {
+        "src1": "one two three four five six seven eight",  # w=2
+        "src3": "a b c d e f g h i j k l m n o p q r s t",  # w=4
+        "src5": "tiny doc",  # w=2
+        "src6": "mid size doc here now",  # w=3
+    }
+    i = 0
+    for s, t, reps in (
+        ("src1", texts["src1"], 6),
+        ("src3", texts["src3"], 2),
+        ("src5", texts["src5"], 1),
+        ("src6", texts["src6"], 3),
+    ):
+        for _ in range(reps):
+            rows.append((i, t, "en", s))
+            i += 1
+    rows.append((i, "", "en", "src7"))  # zero-token source (w=4)
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r["source"]: (
+            r["n_tokens"],
+            r["w"],
+            r["capacity"],
+            r["saturated"],
+            r["alloc_tokens"],
+            r["epochs_micro"],
+        )
+        for r in R12B.q_epoch_mix_plan(spark, str(tmp_path)).collect()
+    }
+    exp = _py_epoch_plan([(i, t, s) for i, t, _, s in rows])
+    assert got == exp
+    # the planted shape must actually exercise both branches
+    assert any(v[3] for v in exp.values())
+    assert any(not v[3] for v in exp.values())
+
+
+def test_epoch_mix_plan_laws(spark, sf_dir):
+    """Waterfill invariants on the real corpus: budget conservation
+    with a sub-weight-sum remainder, the epoch cap, per-weight equal
+    shares among unsaturated sources, and saturated == at-capacity."""
+    rows = R12B.q_epoch_mix_plan(spark, sf_dir).collect()
+    B = R12B._EMP_BUDGET_MULT * sum(r["n_tokens"] for r in rows)
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    w_unsat = sum(r["w"] for r in rows if not r["saturated"])
+    assert alloc <= B
+    if w_unsat:
+        assert B - alloc < w_unsat  # floor remainder only
+    shares = {}
+    for r in rows:
+        assert r["capacity"] == R12B._EMP_MAX_EPOCHS * r["n_tokens"]
+        assert 0 <= r["alloc_tokens"] <= r["capacity"]
+        assert r["epochs_micro"] <= R12B._EMP_MAX_EPOCHS * 1_000_000
+        if r["saturated"]:
+            assert r["alloc_tokens"] == r["capacity"]
+        else:
+            shares.setdefault(r["w"], set()).add(r["alloc_tokens"])
+    for w, vals in shares.items():
+        assert len(vals) == 1, (w, vals)  # equal share per weight
+
+
+def test_epoch_mix_plan_single_source(spark, tmp_path):
+    """One source: never saturated at MULT < MAX_EPOCHS, allocation
+    is the whole budget, epochs exactly the budget multiplier."""
+    rows = [(0, "alpha beta gamma delta", "en", "src2"),
+            (1, "epsilon zeta eta", "en", "src2")]
+    _write_docs(spark, tmp_path, rows)
+    [r] = R12B.q_epoch_mix_plan(spark, str(tmp_path)).collect()
+    assert not r["saturated"]
+    assert r["alloc_tokens"] == R12B._EMP_BUDGET_MULT * r["n_tokens"]
+    assert r["epochs_micro"] == R12B._EMP_BUDGET_MULT * 1_000_000
+
+
 def test_tokenizer_fertility_single_char_corpus(spark, tmp_path):
     """Merge-exhausted corpus (all 1-char words): no pairs to learn,
     fertility is exactly 1 token per word and 1 char per token."""

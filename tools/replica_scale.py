@@ -56,6 +56,7 @@ DEFAULT_ENTRIES = [
     # r12 (batch 34)
     "quality_calibration",
     "tokenizer_fertility",
+    "epoch_mix_plan",
 ]
 
 

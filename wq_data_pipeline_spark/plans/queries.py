@@ -836,11 +836,12 @@ ORACLES.update(ORACLES34)
 # ALL 26 r7-green leftovers (5 rounds stale — the oldest driver rows
 # in the catalog), then the first 20 of the 48 r8-green rows in
 # alphabetical order (a2_sentinels .. rel_corr_subquery). Batch 34
-# (quality_calibration, tokenizer_fertility — landed after the
-# batch-33 rotation) takes the last two fill slots; rel_anti_join and
-# rel_corr_subquery rotate to the r13 head with the other leftovers.
-# The remaining r8-green rows (rel_anti_join, rel_corr_subquery,
-# rel_distinct_agg, rel_rollup, rel_semi_join,
+# (quality_calibration, tokenizer_fertility, epoch_mix_plan — landed
+# after the batch-33 rotation) takes the last three fill slots;
+# quality_deciles, rel_anti_join and rel_corr_subquery rotate to the
+# r13 head with the other leftovers.
+# The remaining r8-green rows (quality_deciles, rel_anti_join,
+# rel_corr_subquery, rel_distinct_agg, rel_rollup, rel_semi_join,
 # rel_union_having, rollup_merge, salted_user_stats, seasonal_hours,
 # semdedup_ann, semdedup_trained, sketch_profile, stratified_sample,
 # suffix_repeats, table_profile, top_paths, tpch_q13_custdist,
@@ -897,9 +898,9 @@ _DRIVER_WINDOW = [
     "p2_time_slice",
     "pack_assignments",
     "qc_full_suite",
-    "quality_deciles",
     "quality_calibration",
     "tokenizer_fertility",
+    "epoch_mix_plan",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 assert set(_DRIVER_WINDOW) <= set(QUERIES), sorted(set(_DRIVER_WINDOW) - set(QUERIES))

@@ -30,10 +30,17 @@ construction cost is paid once per session.
   language — past that, drop the micro scaling to 1e3 or report the
   raw integer pair (the components themselves are plain BIGINT sums).
 
+- ``epoch_mix_plan``: epoch-capped token-budget allocation across
+  sources with closed-form (non-iterative) waterfilling of the
+  saturated sources' overflow — the mixture-recipe computation
+  (LLaMA/DoReMi-style data recipes). Fully integer: see the entry
+  docstring.
+
 Reference scope: the reference pipeline (scripts/ufz_water_qc_pipeline.py)
-has no tokenizer or classifier stage — both entries are the
+has no tokenizer, classifier, or mixture stage — these entries are the
 LLM-pipeline extension surface, completing the train -> apply -> eval
--> ACCEPT loop for the two trained-artifact families.
+-> ACCEPT loop for the two trained-artifact families and the
+recipe-planning step a corpus assembly runs before ``sequence_pack``.
 
 100-TB shape, both entries: one corpus-sized explode feeding a
 map-side-combinable hash agg, one broadcast join of O(1)-sized trained
@@ -46,7 +53,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from wq_data_pipeline_spark.plans.queries_r10 import (
     _QT_ROUNDS,
@@ -227,16 +234,170 @@ SELECT lang, n_words, n_bpe_tokens, n_chars,
 FROM fa ORDER BY lang"""
 
 
+# --- epoch_mix_plan ---------------------------------------------------------
+
+_EMP_MAX_EPOCHS = 3  # per-source repetition cap (the data-recipe knob)
+_EMP_BUDGET_MULT = 2  # token budget = 2x the corpus (forces saturation)
+
+
+def q_epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped token-budget allocation across sources — the
+    mixture-recipe computation (LLaMA/DoReMi-style data recipes cap
+    how many epochs any one source may repeat and redistribute the
+    overflow): allocate a global budget B = {_EMP_BUDGET_MULT}x corpus
+    tokens across sources proportionally to the shared target weights
+    (``_src_weight_col``), capped at capacity c_i =
+    {_EMP_MAX_EPOCHS} x n_tokens_i, with the overflow of saturated
+    sources waterfalled onto the rest.
+
+    The waterfill is CLOSED-FORM, not iterative: sorted ascending by
+    capacity-per-weight, the saturated set is a prefix, and row i is
+    saturated iff c_i * W_from_i <= (B - C_before_i) * w_i — one
+    prefix-sum window over the per-source frame decides every row
+    (the classic waterfilling prefix property). Every quantity is
+    exact BIGINT: weights are small integers, the ratio sort key is
+    c_i * (12 DIV w_i) (12 = lcm(1..4), so the division is exact),
+    saturation is cross-multiplied, and unsaturated allocations floor
+    via integral division (the undistributed remainder is < sum of
+    unsaturated weights, reported implicitly by sum(alloc) < B). No
+    float exists anywhere in the entry.
+
+    Scale shape: ONE corpus scan -> per-source token-count agg
+    (map-side combinable; no explode — F.size on the token array),
+    localCheckpoint'ed because three downstream branches (budget
+    total, saturated/unsaturated sums, final output) would each
+    re-run the corpus scan from lineage; everything after runs on the
+    #sources-row checkpointed frame, whose window sort is bounded by
+    source cardinality, not corpus size (the source_mixture /
+    hybrid_rrf precedent). Overflow envelope: B * max_w must stay
+    under 2^63 — ~2.3e18 / 4 tokens, far past any real corpus."""
+    from wq_data_pipeline_spark.operators.text import tokens
+    from wq_data_pipeline_spark.plans.queries_r5 import _src_weight_col
+    from wq_data_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.groupBy("source")
+        .agg(
+            # coalesce: a source whose every text is NULL still gets a
+            # row (the group comes from documents) — both engines must
+            # report 0, not NULL
+            F.coalesce(F.sum(F.size(tokens("text"))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens")
+        )
+        .withColumn("w", _src_weight_col())
+        .withColumn(
+            "capacity",
+            (F.lit(_EMP_MAX_EPOCHS) * F.col("n_tokens")).cast("long"),
+        )
+        .withColumn("r_key", F.expr("capacity * (12 DIV w)"))
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        (F.sum("n_tokens") * F.lit(_EMP_BUDGET_MULT)).cast("long").alias("b")
+    )
+    f = per.crossJoin(F.broadcast(tot))
+    win = Window.orderBy("r_key", "source")
+    c_before = F.coalesce(
+        F.sum("capacity").over(
+            win.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    w_from = F.sum("w").over(
+        win.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    f = f.withColumn(
+        "saturated",
+        F.col("capacity") * w_from <= (F.col("b") - c_before) * F.col("w"),
+    )
+    sums = f.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("capacity"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("c_sat"),
+        F.coalesce(
+            F.sum(F.when(~F.col("saturated"), F.col("w"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("w_unsat"),
+    )
+    out = f.crossJoin(F.broadcast(sums)).withColumn(
+        "alloc_tokens",
+        F.when(F.col("saturated"), F.col("capacity")).otherwise(
+            F.expr("(b - c_sat) * w DIV greatest(w_unsat, 1)")
+        ),
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        "w",
+        "capacity",
+        "saturated",
+        "alloc_tokens",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE alloc_tokens * 1000000 DIV n_tokens END"
+        ).alias("epochs_micro"),
+    ).orderBy("source")
+
+
+def _sql_epoch_mix_plan() -> str:
+    from wq_data_pipeline_spark.plans.queries_r5 import _SQL_SRC_WEIGHT
+
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST(coalesce(sum(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), 0) AS BIGINT) AS n_tokens,
+         {_SQL_SRC_WEIGHT} AS w
+  FROM documents GROUP BY source
+),
+cap AS (
+  SELECT source, n_tokens, w,
+         CAST({_EMP_MAX_EPOCHS} * n_tokens AS BIGINT) AS capacity,
+         CAST(({_EMP_MAX_EPOCHS} * n_tokens) * (12 // w) AS BIGINT) AS r_key
+  FROM per
+),
+tot AS (SELECT CAST(sum(n_tokens) * {_EMP_BUDGET_MULT} AS BIGINT) AS b FROM cap),
+sat AS (
+  SELECT cap.*, tot.b,
+         capacity * sum(w) OVER (ORDER BY r_key, source
+                                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           <= (tot.b - COALESCE(sum(capacity) OVER (ORDER BY r_key, source
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) * w
+           AS saturated
+  FROM cap CROSS JOIN tot
+),
+sums AS (
+  SELECT CAST(COALESCE(sum(CASE WHEN saturated THEN capacity END), 0) AS BIGINT) AS c_sat,
+         CAST(COALESCE(sum(CASE WHEN NOT saturated THEN w END), 0) AS BIGINT) AS w_unsat
+  FROM sat
+)
+SELECT source, n_tokens, w, capacity, saturated,
+       CAST(CASE WHEN saturated THEN capacity
+                 ELSE (b - c_sat) * w // greatest(w_unsat, 1) END AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE (CASE WHEN saturated THEN capacity
+                            ELSE (b - c_sat) * w // greatest(w_unsat, 1) END) * 1000000 // n_tokens
+            END AS BIGINT) AS epochs_micro
+FROM sat CROSS JOIN sums ORDER BY source"""
+
+
 SQL_QUALITY_CALIBRATION = _sql_quality_calibration()
 SQL_TOKENIZER_FERTILITY = _sql_tokenizer_fertility()
+SQL_EPOCH_MIX_PLAN = _sql_epoch_mix_plan()
 
 
 QUERIES34: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_calibration": q_quality_calibration,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "epoch_mix_plan": q_epoch_mix_plan,
 }
 
 ORACLES34: dict[str, str] = {
     "quality_calibration": SQL_QUALITY_CALIBRATION,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "epoch_mix_plan": SQL_EPOCH_MIX_PLAN,
 }

@@ -141,17 +141,14 @@ FROM c"""
 _DR_BUCKETS = 1_000_000
 
 
-def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rebalance the corpus toward a target per-source mixture: source
-    s with target weight w_s gets keep rate min(1, w_s*N / (sum_w *
-    n_s)); each doc keeps iff its md5 bucket falls under the rate.
-    Keep predicate is exact BIGINT cross-multiplication:
-    bucket * sum_w * n_s < w_s * N * 1e6."""
-    d = load_table(spark, sf_dir, "documents")
-    # digit-less source names weight as index 0 on BOTH engines (a raw
-    # cast of '' would be NULL on Spark and a conversion ERROR in
-    # DuckDB — the engines must agree on arbitrary source names)
-    w_expr = (
+def _src_weight_col() -> "F.Column":
+    """The ONE synthetic per-source target-weight rule (w = 1 + source
+    index % 4, BIGINT 1..4) — shared by ``domain_rebalance`` and the
+    r12 ``epoch_mix_plan`` so their mixture targets can never drift.
+    Digit-less source names weight as index 0 on BOTH engines (a raw
+    cast of '' would be NULL on Spark and a conversion ERROR in
+    DuckDB — the engines must agree on arbitrary source names)."""
+    return (
         F.lit(1)
         + F.coalesce(
             F.nullif(F.regexp_extract(F.col("source"), r"(\d+)", 1), F.lit("")),
@@ -159,6 +156,24 @@ def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 4
     ).cast("long")
+
+
+# SQL mirror of _src_weight_col — interpolate wherever an oracle
+# weights sources.
+_SQL_SRC_WEIGHT = (
+    "CAST(1 + CAST(coalesce(nullif(regexp_extract(source, '(\\d+)', 1), ''),"
+    " '0') AS BIGINT) % 4 AS BIGINT)"
+)
+
+
+def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward a target per-source mixture: source
+    s with target weight w_s gets keep rate min(1, w_s*N / (sum_w *
+    n_s)); each doc keeps iff its md5 bucket falls under the rate.
+    Keep predicate is exact BIGINT cross-multiplication:
+    bucket * sum_w * n_s < w_s * N * 1e6."""
+    d = load_table(spark, sf_dir, "documents")
+    w_expr = _src_weight_col()
     per_src = (
         d.groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_src"))
@@ -201,7 +216,7 @@ def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOMAIN_REBALANCE = f"""
 WITH s AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_src,
-         CAST(1 + CAST(coalesce(nullif(regexp_extract(source, '(\\d+)', 1), ''), '0') AS BIGINT) % 4 AS BIGINT) AS w
+         {_SQL_SRC_WEIGHT} AS w
   FROM documents GROUP BY source
 ),
 t AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_total,
