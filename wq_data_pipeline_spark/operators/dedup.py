@@ -173,6 +173,14 @@ def minhash_lsh_candidates(
     d = _band_rows(df, text, id_col, num_hashes, rows_per_band, shingle_n)
     if max_df is not None:
         d = _hot_bucket_guard(d, max_df)
+    # the guarded band rows feed BOTH sides of the self-join, and the
+    # sides stop being exchange-identical once AQE broadcasts one of
+    # them — the whole shingle-explode + per-shingle-md5 signature
+    # build then executes twice (initial-plan audit r12: two full
+    # subtrees, no ReusedExchange). Materialize the skinny (id, band,
+    # key) rows once — this is exactly the signature table a
+    # production dedup persists — and join the checkpoint to itself.
+    d = d.localCheckpoint(eager=False)
     a = d.select(F.col(id_col).alias("id_a"), "band", "key")
     b = d.select(F.col(id_col).alias("id_b"), "band", "key")
     return (
@@ -265,29 +273,87 @@ def incremental_lsh_candidates(
     )
 
 
-def simhash_bits(text: str | Column, bits: int = 16, salt: str = "") -> Column:
-    """SimHash over the distinct word set: bit j of the hash is the
-    sign of sum over words of (+1 if bit j of md5(word) else -1).
-    Returns the integer simhash. Bit j of a word's md5 = parity test
-    on hex digit j (deterministic, engine-portable). ``salt`` appends
-    a literal to each word before hashing — md5 yields 32 hex digits,
-    so one expression caps at 32 bits; wider fingerprints concatenate
-    independently-salted words (see :func:`simhash_hamming_pairs`)."""
+def word_bit_profiles(text: str | Column, salt: str = "") -> Column:
+    """Per-word md5 parity profile, packed: element w of the returned
+    array<long> has bit j set iff hex digit j+1 of md5(w) is odd —
+    ONE md5 + one translate + one conv per word, instead of the
+    per-bit md5 the r2 simhash form paid (bits× redundant digest
+    work; the digest yields all 32 digits at once). translate maps
+    each hex digit to its parity character; conv reads the 32-char
+    '0'/'1' string as base-2, so digit 1 lands at the MSB and bit j
+    of the profile is tested at position (31 - j). Hot paths should
+    MATERIALIZE this array (or the :func:`simhash_vote_counts` fold
+    over it) in a select before fanning out per-bit expressions, so
+    the digest pass is guaranteed to run once per word per salt."""
     words = distinct_words(text)
     if salt:
         words = F.transform(words, lambda w: F.concat(w, F.lit(salt)))
-    odd_hex = ("1", "3", "5", "7", "9", "b", "d", "f")
+    return F.transform(
+        words,
+        lambda w: F.conv(
+            F.translate(F.md5(w), "0123456789abcdef", "0101010101010101"), 2, 10
+        ).cast("long"),
+    )
+
+
+def simhash_vote_counts(profiles: Column, bits: int) -> Column:
+    """Fold a :func:`word_bit_profiles` array into per-bit set-counts
+    (array<int> of length ``bits``): counts[j] = number of words whose
+    md5 hex digit j+1 is odd. ONE traversal of the profile array."""
+    # bit j of the profile sits at position 31 - j (conv reads digit 1
+    # as the MSB); a literal mask array keeps the test pure integer ops
+    masks = F.array(*[F.lit(1 << (31 - j)) for j in range(bits)])
+    return F.aggregate(
+        profiles,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(x.bitwiseAND(m) != 0, F.lit(1)).otherwise(
+                    F.lit(0)
+                ),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def simhash_from_counts(counts: str | Column, nwords: str | Column, bits: int) -> Column:
+    """Assemble the simhash integer from MATERIALIZED vote counts and
+    word count: bit j set iff 2*counts[j] - nwords > 0 (majority of
+    words vote 1). Cheap per-bit element_at only — callers pass real
+    columns so the digest fold behind ``counts`` is never duplicated."""
+    c = F.col(counts) if isinstance(counts, str) else counts
+    n = F.col(nwords) if isinstance(nwords, str) else nwords
     acc = F.lit(0)
     for j in range(bits):
-        # parity of hex digit j of md5(word) — an IN-list test on the
-        # digit is portable to any SQL dialect (no conv/strtol needed)
-        digit = F.transform(
-            words,
-            lambda w: F.when(F.substring(F.md5(w), j + 1, 1).isin(*odd_hex), 1).otherwise(0),
-        )
-        vote = F.aggregate(digit, F.lit(0), lambda a, x: a + x) * 2 - F.size(words)
-        acc = acc + F.when(vote > 0, F.lit(1 << j)).otherwise(0)
+        acc = acc + F.when(
+            F.element_at(c, j + 1) * 2 - n > 0, F.lit(1 << j)
+        ).otherwise(0)
     return acc
+
+
+def simhash_bits(text: str | Column, bits: int = 16, salt: str = "") -> Column:
+    """SimHash over the distinct word set: bit j of the hash is the
+    sign of sum over words of (+1 if bit j of md5(word) else -1).
+    Returns the integer simhash. Bit j of a word's md5 = parity of
+    hex digit j (deterministic, engine-portable; odd digit == bit
+    set — exactly the old IN-odd-hex-digit test). ``salt`` appends a
+    literal to each word before hashing — md5 yields 32 hex digits,
+    so one expression caps at 32 bits; wider fingerprints concatenate
+    independently-salted words (see :func:`simhash_hamming_pairs`).
+
+    Single-column convenience form: the per-bit vote assembly refers
+    to the vote-count fold once per bit, so whether the digest pass
+    is deduplicated depends on codegen subexpression elimination. Hot
+    paths (q_simhash, simhash_hamming_pairs) instead materialize
+    :func:`word_bit_profiles` -> :func:`simhash_vote_counts` between
+    selects and assemble with :func:`simhash_from_counts`, which
+    guarantees ONE md5 per word per salt."""
+    counts = simhash_vote_counts(word_bit_profiles(text, salt), bits)
+    nwords = F.size(distinct_words(text))
+    return simhash_from_counts(counts, nwords, bits)
 
 
 SIMHASH_SALTS = ("", "#2")  # per-word salts for the fingerprint words
@@ -337,13 +403,37 @@ def simhash_hamming_pairs(
         "blocks must not straddle fingerprint words"
     )
     assert n_words <= len(SIMHASH_SALTS)
-    sh_cols = [
-        simhash_bits(text, bits=word_bits, salt=SIMHASH_SALTS[i])
-        .cast("long")
-        .alias(f"_sh{i}")
-        for i in range(n_words)
-    ]
-    sig = df.select(F.col(id_col), *sh_cols)
+    # two-select profile materialization (see word_bit_profiles): the
+    # inner select folds ONE md5 pass per word per salt into vote
+    # counts; the outer select assembles bits from the materialized
+    # counts — the old per-bit simhash_bits columns re-digested every
+    # word word_bits× per salt
+    pre = df.select(
+        F.col(id_col),
+        F.size(distinct_words(text)).alias("_nw"),
+        *[
+            simhash_vote_counts(
+                word_bit_profiles(text, SIMHASH_SALTS[i]), word_bits
+            ).alias(f"_c{i}")
+            for i in range(n_words)
+        ],
+    )
+    sig = pre.select(
+        F.col(id_col),
+        *[
+            simhash_from_counts(f"_c{i}", "_nw", word_bits)
+            .cast("long")
+            .alias(f"_sh{i}")
+            for i in range(n_words)
+        ],
+    )
+    # the signature table feeds BOTH sides of the block self-join; the
+    # join sides are not exchange-identical after AQE's broadcast
+    # conversion, so without a cut the whole signature build executes
+    # twice (initial-plan audit: two full Scan->Project subtrees).
+    # Materialize once — skinny (id + n_words longs) — and derive both
+    # sides' cheap integer block keys from the checkpoint.
+    sig = sig.localCheckpoint(eager=True)
     blocks_per_word = word_bits // block
     kv = F.array(
         *[
@@ -506,16 +596,53 @@ def connected_components(
     )
 
 
+def _pair_restricted_words(
+    df: DataFrame, pairs: DataFrame, text: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate-restricted word sets (r12): ``pairs`` is pinned once
+    (it is read three times: the id semi-filter and both verify
+    joins — without the cut an expensive candidate plan, e.g. the
+    LSH band join, would re-execute per read; lazy checkpoint so the
+    materialization rides the first action instead of a construction
+    job), then the corpus is LEFT-SEMI filtered to pair-participating
+    ids BEFORE word sets are built. The semi-join pushes below the
+    projection, so only candidate docs pay the tokenize — at corpus
+    scale, verifying ~thousands of candidates stops costing two
+    full-corpus tokenize passes. Inner verify joins already
+    restricted output to pair ids, so results are identical."""
+    pairs = pairs.localCheckpoint(eager=False)
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    w = df.join(ids, id_col, "leftsemi").select(
+        F.col(id_col), distinct_words(text).alias("ws")
+    )
+    return pairs, w
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
+    restrict: bool = True,
 ) -> DataFrame:
     """Verify candidate pairs with exact word-set Jaccard. ``pairs``
     has (id_a, id_b); the doc table is joined twice (broadcast when
-    small)."""
-    w = df.select(F.col(id_col), distinct_words(text).alias("ws"))
+    small).
+
+    ``restrict`` routes through :func:`_pair_restricted_words` —
+    tokenize only pair-participating docs; right when |pairs| is far
+    below the corpus (LSH candidates). Callers whose pair set spans
+    most of the corpus by construction (the anchors-vs-next-25
+    entries) pass False and keep the original one-read shape, where
+    the semi leg would only add stages."""
+    if restrict:
+        pairs, w = _pair_restricted_words(df, pairs, text, id_col)
+    else:
+        w = df.select(F.col(id_col), distinct_words(text).alias("ws"))
     a = w.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a"))
     b = w.select(F.col(id_col).alias("id_b"), F.col("ws").alias("ws_b"))
     j = pairs.join(a, "id_a").join(b, "id_b")
@@ -533,6 +660,7 @@ def containment_pairs(
     pairs: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
+    restrict: bool = True,
 ) -> DataFrame:
     """Verify candidate pairs with ASYMMETRIC word-set containment
     |A∩B| / |A| (A = id_a side) alongside Jaccard. Containment is the
@@ -541,8 +669,15 @@ def containment_pairs(
     ~|A|/|B| — the standard reason dedup pipelines (e.g. Lee et al.
     2022 §4) report both. Exact integer-cardinality divisions,
     bit-identical cross-engine. Rows with an empty id_a word set are
-    dropped (containment undefined)."""
-    w = df.select(F.col(id_col), distinct_words(text).alias("ws"))
+    dropped (containment undefined).
+
+    Same optional candidate-restricted tokenization as
+    :func:`jaccard_pairs` (identical output; tokenize cost bounded by
+    the candidate set when ``restrict``)."""
+    if restrict:
+        pairs, w = _pair_restricted_words(df, pairs, text, id_col)
+    else:
+        w = df.select(F.col(id_col), distinct_words(text).alias("ws"))
     a = w.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a"))
     b = w.select(F.col(id_col).alias("id_b"), F.col("ws").alias("ws_b"))
     j = pairs.join(a, "id_a").join(b, "id_b").filter(F.size("ws_a") > 0)

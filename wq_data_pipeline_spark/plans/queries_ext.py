@@ -342,9 +342,20 @@ SELECT node AS doc_id, cluster_id, node = cluster_id AS is_canonical FROM reach"
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over distinct words (md5 hex-digit parity votes)."""
+    """16-bit SimHash over distinct words (md5 hex-digit parity votes).
+    Two-select form: the per-word digest profiles fold into vote
+    counts ONCE in the inner select, and the outer select only
+    assembles bits — one md5 per word instead of one per word per bit
+    (the packed-profile rewrite, operators/dedup.py)."""
     d = _docs_parallel(spark, sf_dir)
-    return d.select("doc_id", DD.simhash_bits("text", bits=16).alias("simhash"))
+    pre = d.select(
+        "doc_id",
+        DD.simhash_vote_counts(DD.word_bit_profiles("text"), 16).alias("_cnt"),
+        F.size(DD.distinct_words("text")).alias("_nw"),
+    )
+    return pre.select(
+        "doc_id", DD.simhash_from_counts("_cnt", "_nw", 16).alias("simhash")
+    )
 
 
 def _simhash_sql_bits(bits: int = 16, salt: str = "") -> str:
@@ -383,7 +394,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = ids.select(F.col("doc_id").alias("id_b"))
     pairs = a.join(b, on="id_b")  # keeps only existing ids
-    j = DD.jaccard_pairs(d, pairs, "text", "doc_id")
+    j = DD.jaccard_pairs(d, pairs, "text", "doc_id", restrict=False)
     return j.filter(F.col("jaccard") >= 0.8)
 
 
@@ -621,8 +632,17 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = F.aggregate(
         F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x
     )
-    d = emb.withColumn("n", nrm).select(
-        "vec_id", "q", "n", F.explode(band_sigs).alias("bs")
+    # pin the per-vector row (q, norm, 64 plane dots -> 8 sigs) ONCE
+    # before the band explode: the explode feeds both sides of the
+    # self-join, which stop being exchange-identical under AQE's
+    # broadcast conversion — without the cut the whole signature
+    # build executes twice (initial-plan audit r12). One row per
+    # vector materializes; the explode itself is cheap.
+    sig1 = emb.withColumn("n", nrm).withColumn(
+        "bs_all", band_sigs
+    ).localCheckpoint(eager=False)
+    d = sig1.select(
+        "vec_id", "q", "n", F.explode("bs_all").alias("bs")
     ).select(
         "vec_id", "q", "n", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
@@ -744,8 +764,15 @@ def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_ANN_BANDS)
         ]
     )
-    d = emb.withColumn("n", nrm).select(
-        "vec_id", "q", "n", F.explode(band_sigs).alias("bs")
+    # pin the per-vector signatures once: the corpus side and the
+    # broadcast query side both derive from d, so without the cut the
+    # plane-dot build executes twice (same self-join shape as
+    # embed_near_dup; initial-plan audit r12)
+    sig1 = emb.withColumn("n", nrm).withColumn(
+        "bs_all", band_sigs
+    ).localCheckpoint(eager=False)
+    d = sig1.select(
+        "vec_id", "q", "n", F.explode("bs_all").alias("bs")
     ).select(
         "vec_id", "q", "n", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )

@@ -630,8 +630,15 @@ def q_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     traj = _train_traj(spark, sf_dir)
     out = traj[0].select("b", F.col("w").alias("w_micro_r1"))
     for r in range(2, _QT_ROUNDS + 1):
+        # weight frames are n_buckets rows BY CONSTRUCTION (a config
+        # constant), but arrive RDD-backed from the stash with no
+        # stats, so the planner falls back to sort-merge — pin the
+        # broadcast (guide §3.1; same reasoning at any corpus scale)
         out = out.join(
-            traj[r - 1].select("b", F.col("w").alias(f"w_micro_r{r}")), "b"
+            F.broadcast(
+                traj[r - 1].select("b", F.col("w").alias(f"w_micro_r{r}"))
+            ),
+            "b",
         )
     return out.orderBy("b")
 

@@ -201,11 +201,16 @@ def q_lang_id_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cand").alias("lang"), "b", F.col("w").alias("w_micro_r1")
     )
     for r in range(2, _LI_ROUNDS + 1):
+        # (n_langs × n_buckets)-row weight frames, RDD-backed (no
+        # stats) — pin the broadcast instead of the planner's
+        # sort-merge fallback (guide §3.1; size is a config constant)
         out = out.join(
-            traj[r - 1].select(
-                F.col("cand").alias("lang"),
-                "b",
-                F.col("w").alias(f"w_micro_r{r}"),
+            F.broadcast(
+                traj[r - 1].select(
+                    F.col("cand").alias("lang"),
+                    "b",
+                    F.col("w").alias(f"w_micro_r{r}"),
+                )
             ),
             ["lang", "b"],
         )

@@ -179,19 +179,33 @@ def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "src")
         .localCheckpoint()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # the degree table joins into every round AND the final select —
+    # pin it once (it is node-sized); count it while materializing so
+    # the round joins can be broadcast-pinned below the same gate the
+    # connected-components operator uses (checkpointed RDD frames
+    # carry no stats, so AQE would otherwise run every round as a
+    # sort-merge join that re-sorts the EDGE skeleton — 14 SMJs in
+    # the r12 initial-plan audit). Above the gate (the true 100-TB
+    # node count) the shuffling joins run unchanged.
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint()
+    n_nodes = deg.count()
+    hint = F.broadcast if n_nodes <= 4_000_000 else (lambda d: d)
     ranks = deg.select(F.col("src").alias("node"), F.lit(1_000_000).alias("r"))
     for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
-            .select("dst", F.expr("(85 * r) div (100 * deg)").alias("u"))
+        # pre-join ranks with degrees (both node-sized) so each round
+        # pays ONE edge-side join on the broadcast (node, u) table
+        # instead of two
+        rd = ranks.join(hint(deg), ranks.node == deg.src).select(
+            "node", F.expr("(85 * r) div (100 * deg)").alias("u")
         )
+        contrib = edges.join(hint(rd), edges.src == rd.node).select("dst", "u")
         ranks = contrib.groupBy("dst").agg(
             (F.lit(150_000) + F.sum("u")).cast("long").alias("r")
         ).select(F.col("dst").alias("node"), "r")
     return (
-        ranks.join(deg, ranks.node == deg.src)
+        ranks.join(hint(deg), ranks.node == deg.src)
         .select(
             "node",
             F.substring("node", 1, 1).alias("node_type"),

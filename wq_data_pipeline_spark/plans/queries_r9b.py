@@ -456,7 +456,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = ids.select(F.col("doc_id").alias("id_b"))
     pairs = a.join(b, on="id_b")
-    c = DD.containment_pairs(d, pairs, "text", "doc_id")
+    c = DD.containment_pairs(d, pairs, "text", "doc_id", restrict=False)
     return c.filter(F.col("containment") >= _CONT_T)
 
 
