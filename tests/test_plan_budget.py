@@ -33,7 +33,10 @@ BUDGETS = {
     "bpe_pair_counts": (3, 0, 2),
     "pq_search": (3, 3, 4),
     "ivf_pq_search": (9, 6, 4),
-    "minhash_lsh_pairs": (7, 3, 4),
+    # r12: gated broadcast of checkpointed candidate pairs + ids in the
+    # restricted verify (+2 broadcasts); band-row checkpoint truncates
+    # the duplicated signature subtree
+    "minhash_lsh_pairs": (7, 5, 4),
     "bm25_search": (5, 1, 1),
     "tfidf_terms": (4, 1, 1),
     "exact_dedup": (2, 0, 0),
@@ -43,7 +46,7 @@ BUDGETS = {
     # fingerprint join + 2 band-row builds + corpus guard window +
     # band join + best-candidate window + 2 assembly joins; the
     # corpus side is the half a real deployment persists bucketed
-    "incremental_dedup": (8, 4, 4),
+    "incremental_dedup": (8, 6, 4),  # r12 restricted verify: +2 gated broadcasts
     # pins the single-pass shape: per-key count agg + one window
     # exchange + final sort — the naive 3-branch form measured E=9
     "key_skew_profile": (3, 0, 0),
@@ -151,7 +154,7 @@ BUDGETS = {
     # + the broadcast vocab join
     "bpe_apply": (1, 1, 1),
     # minhash band chain + jaccard verify + source lookups + rollup
-    "cross_dedup": (11, 5, 4),
+    "cross_dedup": (11, 7, 4),  # r12 restricted verify: +2 gated broadcasts
     # per-row bit algebra + one broadcast bounds row + one hash agg
     "zorder_layout": (2, 1, 0),
     # one scan -> 3-way layout explode -> per-(layout,bucket) agg ->
@@ -319,7 +322,7 @@ BUDGETS = {
     "ngram_novelty": (3, 1, 2),
     # the minhash_lsh_pairs chain + jaccard verify joins + source
     # rollup; AQE broadcasts the doc-side projections at small SF
-    "dup_source_matrix": (11, 5, 4),
+    "dup_source_matrix": (11, 7, 4),  # r12 restricted verify: +2 gated broadcasts
     # ONE window sort per series carries all FIR lags + rn + lead
     "des_forecast_mae": (2, 0, 0),
     # (series, digit) hash agg + per-series total window + final sort
@@ -342,10 +345,12 @@ BUDGETS = {
     # dup_source_matrix convention: a narrow explode re-run beats
     # materializing corpus chunks) + the one banded self-join +
     # jaccard verify joins + doc rollup/hash joins
-    "para_dedup": (12, 5, 8),
+    "para_dedup": (12, 7, 8),  # r12 restricted verify: +2 gated broadcasts
     # GD rounds ran at construction (k-means discipline); final plan
     # = three 64-row checkpointed weight frames joined + sort
-    "quality_train": (4, 0, 0),
+    # r12: constant-size weight frames broadcast in the trajectory
+    # merge (2 SMJ exchange pairs -> 2 broadcasts)
+    "quality_train": (2, 2, 0),
     # inference over the trained model: one explode + per-(doc,
     # source, bucket) agg + the broadcast 64-row model join + rollup
     "quality_train_apply": (3, 1, 1),
@@ -404,6 +409,16 @@ BUDGETS = {
 # eager corpus action (the heavy_hitters count() class of bug) or an
 # iteration-count regression (CC rounds doubling).
 CONSTRUCTION_JOB_CAPS = {
+    # r12 restricted-verify entries: eager candidate-pairs checkpoint +
+    # the broadcast-gate count add 2 bounded construction jobs each
+    "minhash_lsh_pairs": 10,
+    "cross_dedup": 10,
+    "dup_source_matrix": 10,
+    "incremental_dedup": 10,
+    "para_dedup": 11,
+    # r12: degree-table pin + broadcast-gate count on top of the edge
+    # skeleton checkpoint
+    "pagerank_purchases": 12,
     "dedup_clusters": 40,  # LSH chain + CC label-propagation rounds
     "embed_kmeans_ivf": 20,  # Lloyd rounds (centroid-shift early stop)
     "sequence_pack": 8,  # distributed prefix sum: per-partition bases

@@ -113,15 +113,22 @@ def predict_lang(text: str | Column) -> Column:
 
 def shingles_from_tokens(toks: Column, n: int) -> Column:
     """Word n-gram shingles of a token array as an array<string>.
-    Built with sequence+transform — no UDF, no explode."""
+    Built with sequence+transform — no UDF, no explode.
+
+    slice-based (r12): the per-position lambda references ``toks``
+    ONCE (concat_ws over slice) instead of once per gram word — when
+    the caller passes an unmaterialized expression like
+    ``tokens("text")``, every reference INSIDE the transform lambda
+    re-evaluates the whole tokenize per position, so the n-element_at
+    form cost n tokenize passes per gram. Hot callers should STILL
+    materialize the token array into a real column first (one
+    tokenize per document; measured 4-6x on the minhash signature
+    stage, results bit-identical)."""
     k = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(-1)))
     return F.when(
         k >= n,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
-        ),
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
     ).otherwise(F.array().cast("array<string>"))
 
 

@@ -413,12 +413,20 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ReusedExchange — the bigram explode and md5 run once, not three
     times; the naive three-scan form measured 17.7 s vs ~2 s at
     sf0.1)."""
-    from wq_data_pipeline_spark.operators.text import gram_hash, word_shingles
+    from wq_data_pipeline_spark.operators.text import (
+        gram_hash,
+        shingles_from_tokens,
+        tokens,
+    )
     from wq_data_pipeline_spark.plans.queries_ext import _docs_parallel
 
     d = _docs_parallel(spark, sf_dir)  # md5-heavy explode: spread the 1-file scan
+    # token array materialized first (one tokenize per doc, r12)
     feats = d.select(
-        "doc_id", "source", F.explode(word_shingles("text", 2)).alias("g")
+        "doc_id", "source", tokens("text").alias("_toks")
+    ).select(
+        "doc_id", "source",
+        F.explode(shingles_from_tokens(F.col("_toks"), 2)).alias("g"),
     ).select(
         "doc_id", "source", F.pmod(gram_hash(F.col("g")), F.lit(_DSIR_B)).alias("b")
     )

@@ -785,10 +785,12 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs_parallel(spark, sf_dir)
     g = (
-        d.select(
+        # token array materialized first (one tokenize per doc, r12)
+        d.select("doc_id", "source", TX.tokens("text").alias("_toks"))
+        .select(
             "doc_id",
             "source",
-            F.explode(shingles_from_tokens(TX.tokens("text"), _CO_N)).alias("g"),
+            F.explode(shingles_from_tokens(F.col("_toks"), _CO_N)).alias("g"),
         )
         .select("doc_id", "source", gram_hash(F.col("g")).alias("h"))
         .distinct()
@@ -862,7 +864,11 @@ def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = q_domain_rebalance(spark, sf_dir).select("doc_id", "source", "keep")
     d = load_table(spark, sf_dir, "documents")
     base = _tbf_priority(d)
-    kept = base.join(keep, "doc_id")
+    # pin the skinny (doc_id, source, tokens, ttr, keep) frame: it
+    # feeds the survivor chain (prefix sum + total agg) AND the final
+    # per-source rollup — without the cut the tokenize + rebalance
+    # subtree re-executes per consumer (r12 plan audit: 16 scans)
+    kept = base.join(keep, "doc_id").localCheckpoint(eager=False)
     surv = kept.filter(F.col("keep")).withColumn("_ok", _tbf_order_key())
     cum = distributed_prefix_sum(
         surv, value_col="n_tokens", order_col="_ok", out="_cum_before"

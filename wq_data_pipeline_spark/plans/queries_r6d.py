@@ -332,9 +332,11 @@ def q_dup_span_removal_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs_parallel(spark, sf_dir)
     toks = d.select("doc_id", F.posexplode(tokens("text")).alias("tpos", "tok"))
-    g = d.select(
+    # token array materialized first: an inline tokens("text") inside
+    # the shingle transform re-tokenizes per gram position (r12)
+    g = d.select("doc_id", tokens("text").alias("_toks")).select(
         "doc_id",
-        F.posexplode(shingles_from_tokens(tokens("text"), _SPAN_N)).alias(
+        F.posexplode(shingles_from_tokens(F.col("_toks"), _SPAN_N)).alias(
             "pos", "g"
         ),
     ).select("doc_id", "pos", gram_hash(F.col("g")).alias("h"))

@@ -125,26 +125,32 @@ def _grams(docs: DataFrame, L: int) -> DataFrame:
 def keepone_marked(docs: DataFrame, L: int = _KP_L) -> DataFrame:
     """(doc_id, s, is_keeper) per duplicated-gram occurrence: every
     L-gram occurring >= 2 times in the corpus, keeper = minimum
-    (doc, pos) in corpus order."""
+    (doc, pos) in corpus order.
+
+    Window form (r12): group count and keeper key are plain
+    count/min — computable as window aggregates over the SAME
+    partitioning the old groupBy+join shuffled on — so the gram
+    stream (the entry's dominant cost: byte-substr explode + one
+    shuffle of L-char strings per corpus position) is built and
+    shuffled ONCE instead of feeding both the group side and the
+    probe side of a join. Per-window state is the occurrence count of
+    one gram — exactly the join's output size for that gram, so no
+    new hot-key exposure."""
+    from pyspark.sql import Window
+
     grams = _grams(docs, L)
-    groups = (
-        grams.groupBy("g")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min(F.col("doc_id") * _KP_POSBITS + F.col("s")).alias("kkey"),
-        )
-        .filter(F.col("cnt") >= 2)
+    wg = Window.partitionBy("g")
+    key = F.col("doc_id") * _KP_POSBITS + F.col("s")
+    marked = (
+        grams.withColumn("_cnt", F.count(F.lit(1)).over(wg))
+        .withColumn("_kkey", F.min(key).over(wg))
+        .filter(F.col("_cnt") >= 2)
+        .select("doc_id", "s", (key == F.col("_kkey")).alias("is_keeper"))
     )
     # pinned: marked feeds the sweep events (twice: +1/-1) AND the
-    # per-doc occurrence agg; without it the gram explode + group
-    # join re-execute per consumer (the dual-subtree rule)
-    return grams.join(groups, "g").select(
-        "doc_id",
-        "s",
-        (F.col("doc_id") * _KP_POSBITS + F.col("s") == F.col("kkey")).alias(
-            "is_keeper"
-        ),
-    ).localCheckpoint(eager=True)
+    # per-doc occurrence agg; without it the gram explode + window
+    # re-execute per consumer (the dual-subtree rule)
+    return marked.localCheckpoint(eager=True)
 
 
 def keepone_marks_and_removed(

@@ -122,10 +122,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc agg. Linear; the gram join shuffles (gram, doc) ids
     only, never text."""
     d = _docs_parallel(spark, sf_dir)
-    grams = d.select(
+    # token array materialized first (one tokenize per doc, r12)
+    grams = d.select("doc_id", tokens("text").alias("_toks")).select(
         "doc_id",
         F.explode(
-            F.array_distinct(shingles_from_tokens(tokens("text"), _NOV_N))
+            F.array_distinct(shingles_from_tokens(F.col("_toks"), _NOV_N))
         ).alias("g"),
     )
     first = grams.groupBy("g").agg(F.min("doc_id").alias("_first_doc"))

@@ -224,6 +224,16 @@ def q_qc_full_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.withColumn("f_missing", D.flag_missing("value"))
     d = d.withColumn("f_jump", D.flag_jumps("value", 100.0, key, "ts"))
     d = d.withColumn("f_var", D.flag_variance("value", 24, key, "ts", 1e-12))
+    # pin the flagged frame: the flat-run interval leg and the
+    # isolated-groups leg below otherwise duplicate the whole upstream
+    # subtree (median dedup + the pandas robust-z stage — the r12 plan
+    # audit shows the source scanned 8x). At runtime AQE's shuffle-
+    # stage reuse recovers MOST of that (A/B measured a wash at sf0.1:
+    # ~4.6 s both forms warm), so this pin buys robustness, a smaller
+    # plan, and one guaranteed execution of the Python stage rather
+    # than wall clock — kept because reuse across the broadcast-leg
+    # job boundary is a runtime fortuity, not a plan property.
+    d = d.localCheckpoint(eager=False)
     runs = D.detect_flat_runs(d, "value", key, "ts", 1.0, 0.75).select(
         F.col("event_type").alias("_r_et"),
         F.col("start").alias("_rs"),
