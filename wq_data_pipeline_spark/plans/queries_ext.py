@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from wq_data_pipeline_spark.operators import dedup as DD
 from wq_data_pipeline_spark.operators import text as TX
 from wq_data_pipeline_spark.operators.multimodal import decode_media
+from wq_data_pipeline_spark.operators.pinning import pin
 from wq_data_pipeline_spark.sources.testdata import load_table
 
 # Shared oracle CTE: whitespace tokens of lowercased text.
@@ -638,9 +639,9 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast conversion — without the cut the whole signature
     # build executes twice (initial-plan audit r12). One row per
     # vector materializes; the explode itself is cheap.
-    sig1 = emb.withColumn("n", nrm).withColumn(
-        "bs_all", band_sigs
-    ).localCheckpoint(eager=False)
+    sig1 = pin(
+        emb.withColumn("n", nrm).withColumn("bs_all", band_sigs), eager=False
+    )
     d = sig1.select(
         "vec_id", "q", "n", F.explode("bs_all").alias("bs")
     ).select(
@@ -768,9 +769,9 @@ def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast query side both derive from d, so without the cut the
     # plane-dot build executes twice (same self-join shape as
     # embed_near_dup; initial-plan audit r12)
-    sig1 = emb.withColumn("n", nrm).withColumn(
-        "bs_all", band_sigs
-    ).localCheckpoint(eager=False)
+    sig1 = pin(
+        emb.withColumn("n", nrm).withColumn("bs_all", band_sigs), eager=False
+    )
     d = sig1.select(
         "vec_id", "q", "n", F.explode("bs_all").alias("bs")
     ).select(

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wq_data_pipeline_spark.operators import text as TX
+from wq_data_pipeline_spark.operators.pinning import pin
 from wq_data_pipeline_spark.operators.scale import distributed_prefix_sum
 from wq_data_pipeline_spark.plans.queries_ext import SQL_WORDS
 from wq_data_pipeline_spark.sources.testdata import load_table
@@ -868,7 +869,7 @@ def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds the survivor chain (prefix sum + total agg) AND the final
     # per-source rollup — without the cut the tokenize + rebalance
     # subtree re-executes per consumer (r12 plan audit: 16 scans)
-    kept = base.join(keep, "doc_id").localCheckpoint(eager=False)
+    kept = pin(base.join(keep, "doc_id"), eager=False)
     surv = kept.filter(F.col("keep")).withColumn("_ok", _tbf_order_key())
     cum = distributed_prefix_sum(
         surv, value_col="n_tokens", order_col="_ok", out="_cum_before"

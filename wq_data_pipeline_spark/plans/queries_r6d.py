@@ -191,7 +191,11 @@ def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("deg")
     ).localCheckpoint()
     n_nodes = deg.count()
-    hint = F.broadcast if n_nodes <= 4_000_000 else (lambda d: d)
+    # byte-aware gate (r12-VERDICT #2): a broadcast (node, u) row is a
+    # ~10-char node string + one long ≈ 40 B framed, so 1.5M nodes ≈
+    # 60 MB raw — at the session's 64 MB autoBroadcast intent; the old
+    # 4M-row gate allowed ~160 MB per executor at the boundary
+    hint = F.broadcast if n_nodes <= 1_500_000 else (lambda d: d)
     ranks = deg.select(F.col("src").alias("node"), F.lit(1_000_000).alias("r"))
     for _ in range(_PR_ITERS):
         # pre-join ranks with degrees (both node-sized) so each round
