@@ -288,11 +288,13 @@ BUDGETS = {
     # functions; the single exchange is the presentation sort
     "embed_feature_stats": (1, 0, 0),
     "embed_int8_quant": (1, 0, 0),
-    # r6m suffix arrays: the doubling rounds are a LINEAR chain of
-    # per-doc windows (lead-shift + dense_rank), one doc_id exchange
-    # shared by all rounds; + positions Generate, adjacency window,
-    # text join, agg
-    "suffix_repeats": (4, 1, 1),
+    # r6m suffix arrays, r13 direct form: ONE per-doc suffix-order
+    # window (was 16 window execs through the doubling rounds), LCP
+    # from the depth-char keys so the text join and its broadcast are
+    # gone (B 1 -> 0); the positions explode appears once per
+    # suffix_window_keys union leg (ascii byte-sliced / non-ascii
+    # char-indexed), hence G = 2
+    "suffix_repeats": (4, 0, 2),
     # global order: one window shuffle on the quantile-assigned range
     # id, LCP from the keys (no text re-join), boundary union, agg.
     # The persisted pass's build plan (2 Generates: ascii/non-ascii

@@ -68,6 +68,31 @@ def test_adjacent_lcp_matches_reference(spark, docs_df):
     assert len(got) == n_pairs
 
 
+def test_doc_adjacent_lcp_parity_with_doubling(spark):
+    """The direct window form (r13) must reproduce the doubling form
+    row-for-row — adversarial strings PLUS non-ASCII docs so both the
+    byte-sliced fast path and the char-indexed slow path of
+    suffix_window_keys are exercised."""
+    from wq_data_pipeline_spark.operators.suffix import doc_adjacent_lcp
+
+    docs = DOCS + [
+        (7, "héllo wörld héllo wörld héllo"),  # slow path: multibyte
+        (8, "日本語のテキスト日本語のテキスト"),  # slow path: CJK, periodic
+        (9, "a"),  # single char: zero adjacency rows
+        (10, "cafécafé" * 12),  # slow path, periodic past depth? no: 96 chars
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    want = {
+        (r["doc_id"], r["prev_pos"], r["pos"]): (r["lcp"], r["n"])
+        for r in adjacent_lcp(df, "doc_id", "text", DEPTH).collect()
+    }
+    got = {
+        (r["doc_id"], r["prev_pos"], r["pos"]): (r["lcp"], r["n"])
+        for r in doc_adjacent_lcp(df, "doc_id", "text", DEPTH).collect()
+    }
+    assert got == want
+
+
 def test_depth_validation(docs_df):
     with pytest.raises(ValueError):
         suffix_ranks(docs_df, "doc_id", "text", depth=48)

@@ -230,9 +230,10 @@ def suffix_window_keys(
     fast = (
         d.filter(F.col("n") == F.col("nb"))
         .withColumn("_bin", F.encode("_text", "UTF-8"))
-        .select("doc_id", "_bin", posed)
+        .select("doc_id", "n", "_bin", posed)
         .select(
             "doc_id",
+            "n",
             F.col("pos").cast("long").alias("pos"),
             F.decode(
                 F.col("_bin").substr(F.col("pos") + 1, F.lit(depth)), "UTF-8"
@@ -255,15 +256,72 @@ def suffix_window_keys(
     )
     slow = (
         d.filter(F.col("n") != F.col("nb"))
-        .select("doc_id", "_text", posed)
+        .select("doc_id", "n", "_text", posed)
         .select(
             "doc_id",
+            "n",
             F.col("pos").cast("long").alias("pos"),
             F.col("_text").substr(F.col("pos") + 1, F.lit(depth)).alias("_key"),
         )
         .withColumn("_k0", _packed_seed_key(F.col("_key")))
     )
     return fast.unionByName(slow)
+
+
+def doc_adjacent_lcp(
+    docs: DataFrame, id_col: str, text_col: str, depth: int = 64
+) -> DataFrame:
+    """Per-document adjacent-suffix LCPs by ONE direct window sort —
+    the same (doc_id, n, pos, prev_pos, lcp) frame ``adjacent_lcp``
+    derives through prefix doubling, computed from the definition
+    instead: within each document order positions by
+    (first-``depth``-chars window, pos) — literally the depth-bounded
+    suffix order — and pair each row with its predecessor.
+
+    Why this replaces the doubling for the CATALOG entry (r13, guide
+    §1.2/§2.4): the doubling form is 1 + 2·log2(depth/seed) window
+    passes over every position (seed rank, then a lead + a dense_rank
+    per round — 7 window execs at depth 64 / seed 8, every one a
+    per-doc re-sort), plus a final adjacency window and a JOIN of the
+    full document text back onto every adjacent pair for the LCP.
+    This form is one explode + ONE window pass, with the LCP computed
+    from the depth-char keys themselves (the global_adjacent_lcp
+    trick: LCP of two suffixes capped at depth-1 IS the LCP of their
+    depth-char windows capped at depth-1 — sentinel padding keeps
+    truncated tails from over-counting), so the text never re-joins
+    and never shuffles. Keys are built byte-sliced via
+    :func:`suffix_window_keys` (O(depth) per position, not O(pos)),
+    and the sort resolves almost every comparison on the packed int64
+    seed ``_k0`` before touching the string key.
+
+    The doubling form (``suffix_ranks``/``adjacent_lcp``) remains the
+    right shape when depth must exceed what a shipped key can carry —
+    it ships (doc, pos, rank) longs per round regardless of depth —
+    and stays exercised by tests/test_suffix.py, including a parity
+    test against this function.
+
+    Order/value parity with ``adjacent_lcp`` (why results are
+    bit-identical): dense ranks from doubling order suffixes by their
+    first ``depth`` chars; (rank, pos) ties therefore order exactly
+    like (_key, pos); and equal-truncated keys (suffixes of the same
+    doc have distinct lengths) mismatch at the first sentinel pad, so
+    the key-LCP equals the text-LCP capped at depth-1."""
+    p = suffix_window_keys(docs, id_col, text_col, depth)
+    w = Window.partitionBy("doc_id").orderBy("_k0", "_key", "pos")
+    return (
+        p.withColumn("prev_pos", F.lag("pos").over(w))
+        .withColumn("_pk", F.lag("_key").over(w))
+        .filter(F.col("prev_pos").isNotNull())
+        .select(
+            "doc_id",
+            "n",
+            "pos",
+            "prev_pos",
+            _lcp_capped2(
+                F.col("_key"), F.lit(0), F.col("_pk"), F.lit(0), depth - 1
+            ).alias("lcp"),
+        )
+    )
 
 
 # previous global_adjacent_lcp invocations' cached sorted passes,

@@ -28,7 +28,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from wq_data_pipeline_spark.operators.suffix import adjacent_lcp
+from wq_data_pipeline_spark.operators.suffix import doc_adjacent_lcp
 from wq_data_pipeline_spark.sources.testdata import load_table
 
 _SA_DEPTH = 64
@@ -42,13 +42,17 @@ def q_suffix_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     array statistic behind 'number of distinct substrings'), and
     n_rep_pairs = adjacent suffix pairs sharing >= {rep_min} chars.
 
-    Scale: every stage — the doubling rounds, the adjacency window,
-    the LCP evaluation, the final agg — partitions by doc_id; corpus
-    size only widens the partition count. The corpus-GLOBAL variant
-    (cross-doc repeats) swaps the per-doc windows for range-
-    partitioned rank rounds, as documented in operators/suffix.py."""
+    Scale: every stage — the one suffix-order window, the LCP
+    evaluation, the final agg — partitions by doc_id; corpus size
+    only widens the partition count. r13: the doubling form (7 window
+    execs + a text re-join) is replaced by the DIRECT depth-bounded
+    suffix sort (operators/suffix.py:doc_adjacent_lcp — one window
+    pass, LCP from the keys, text never re-joins); the doubling
+    operator remains in the library for depths past what a shipped
+    key can carry, with a row-for-row parity test between the two
+    forms in tests/test_suffix.py."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    adj = adjacent_lcp(docs, "doc_id", "text", depth=_SA_DEPTH)
+    adj = doc_adjacent_lcp(docs, "doc_id", "text", depth=_SA_DEPTH)
     return (
         adj.groupBy("doc_id")
         .agg(
