@@ -279,3 +279,51 @@ def test_seasonal_naive_skips_gap_hours(spark):
     assert r["n_hours"] == 166
     # seasonal-naive on value==hour: error is exactly 24 everywhere
     assert r["mae_c"] == 24.0 and r["bias_c"] == 24.0
+
+
+def test_sql_built_signatures_match_column_form(spark):
+    """r13: banded_signatures / rp_lsh_signature assemble their plane
+    folds as ONE parsed SQL expression (the Column-by-Column form was
+    3-5 s of py4j plan building per call). The parsed tree must be
+    operation-identical — every band/sig bit equal on adversarial
+    values: negatives, exact .5 rounding boundaries, zeros (sign test
+    is strict >0), and magnitudes where double sums are exact."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from wq_data_pipeline_spark.operators.similarity import (
+        banded_signatures,
+        hyperplane_components,
+        rp_lsh_signature,
+    )
+
+    rows = [
+        Row(vec_id=1, embedding=[0.5, -0.5, 1.5, -1.5, 2.49, -2.49, 0.0, 3.0]),
+        Row(vec_id=2, embedding=[0.0] * 8),
+        Row(vec_id=3, embedding=[-1000.25, 1000.75, -0.5, 0.5, 1.0, -1.0, 7.5, -7.5]),
+        Row(vec_id=4, embedding=[float(i) for i in range(8)]),
+    ]
+    emb = spark.createDataFrame(rows)
+    new = banded_signatures(emb, "vec_id", "embedding", 8, 4, 8)
+    # legacy Column assembly (what banded_signatures used to emit)
+    vqc = F.transform(F.col("embedding"), lambda x: F.round(x).cast("long"))
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                rp_lsh_signature(vqc, 4, plane_offset=b * 4, dim=None).alias("sig"),
+            )
+            for b in range(8)
+        ]
+    )
+    old = emb.select(F.col("vec_id"), F.explode(sigs).alias("bs")).select(
+        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+    # the str+dim fast path of rp_lsh_signature matches its Column path
+    q = emb.select("vec_id", vqc.alias("q"))
+    fast = q.select("vec_id", rp_lsh_signature("q", 6, 3, dim=8).alias("s"))
+    slow = q.select("vec_id", rp_lsh_signature(F.col("q"), 6, 3, dim=8).alias("s"))
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    # sanity: the plane components themselves are deterministic md5 signs
+    assert set(hyperplane_components(0, 8)) <= {1.0, -1.0}

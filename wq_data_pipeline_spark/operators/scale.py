@@ -178,6 +178,23 @@ def bucketed_window_apply(
     return result.filter(F.col("_home")).drop("_home", "_bucket")
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition to defaultParallelism ONLY when the frame's
+    current partitioning is coarser — the single-file small-table
+    case the embedding entries' unconditional
+    ``repartition(defaultParallelism)`` was written for (an n×k
+    scoring fan-out on a one-split scan runs on one core). At corpus
+    scale the scan already carries >= defaultParallelism splits and
+    the unconditional form was a FULL CORPUS SHUFFLE for nothing
+    (r13, guide §2.4 — remove shuffles outright); this gate keeps the
+    local/bench plan byte-identical and drops the shuffle exactly
+    where it was pure waste."""
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        return df.repartition(dp)
+    return df
+
+
 def distributed_prefix_sum(
     df: DataFrame,
     order_col: str,

@@ -88,6 +88,33 @@ def hyperplane_components(plane: int, dim: int) -> list[float]:
     ]
 
 
+def _rp_sig_sql(vec_sql: str, n_planes: int, plane_offset: int, dim: int) -> str:
+    """SQL text of the ``n_planes``-bit signature over the vector
+    expression ``vec_sql`` — the same Catalyst operations
+    :func:`rp_lsh_signature` used to assemble Column-by-Column
+    (zip_with × literal ±1 plane, left-fold aggregate seeded with a
+    double 0.0, CASE per bit), emitted as ONE string for ONE
+    ``F.expr`` parse. Why (r13, guide §1.2 per-task → per-BUILD
+    work): assembling 8 bands × planes folds through the Python
+    Column API is thousands of py4j round-trips — measured 3-5 s of
+    driver-side plan construction per banded_signatures call, the
+    single largest cost of the semdedup_ann/embed entries at bench
+    scale; the parsed form builds in <0.1 s and produces the same
+    expression tree, so every signature bit is unchanged. 0.0D/1.0D
+    suffixes keep the literals DOUBLE (a bare 0.0 parses as
+    DECIMAL)."""
+    terms = []
+    for p in range(n_planes):
+        comps = hyperplane_components(plane_offset + p, dim)
+        arr = "array(" + ",".join("1.0D" if c > 0 else "-1.0D" for c in comps) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, h) -> "
+            f"CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(0 + " + " + ".join(terms) + ")"
+
+
 def rp_lsh_signature(
     vec_col: str | Column,
     n_planes: int = 4,
@@ -100,8 +127,13 @@ def rp_lsh_signature(
 
     When ``dim`` (the embedding width) is known, the planes are baked
     in as literal arrays — the md5 work moves to the driver, executors
-    do pure multiply-adds. Without ``dim`` the components are derived
-    per element in the JVM (same digests, any width)."""
+    do pure multiply-adds — and for a plain column name the whole
+    signature is built via :func:`_rp_sig_sql` (one expr parse, not
+    thousands of py4j calls; bit-identical tree). Without ``dim`` the
+    components are derived per element in the JVM (same digests, any
+    width)."""
+    if isinstance(vec_col, str) and dim is not None:
+        return F.expr(_rp_sig_sql(f"`{vec_col}`", n_planes, plane_offset, dim))
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     sig = F.lit(0)
     for p in range(n_planes):
@@ -146,22 +178,36 @@ def banded_signatures(
     indices [b*planes, (b+1)*planes). Sign dots are taken over the
     HALF-AWAY-FROM-ZERO-rounded vector (integers), so every bit is
     bit-exact across engines (the q_semdedup_ann portability rule).
-    Pure per-row column algebra — no shuffle."""
+    Pure per-row column algebra — no shuffle. The whole
+    bands × planes signature array is emitted as ONE ``F.expr`` parse
+    (see :func:`_rp_sig_sql` — the Column-by-Column assembly measured
+    3-5 s of py4j plan building per call at 8 bands; the parsed tree
+    is operation-identical, so every bit matches)."""
     first = df.columns[0]
-    vq = F.transform(F.col(vec_col), lambda x: F.round(x).cast("long"))
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                rp_lsh_signature(
-                    vq, planes, plane_offset=b * planes, dim=dim
-                ).alias("sig"),
-            )
-            for b in range(bands)
-        ]
+    if dim is None:  # width unknown: per-element JVM digests (legacy)
+        vqc = F.transform(F.col(vec_col), lambda x: F.round(x).cast("long"))
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    rp_lsh_signature(
+                        vqc, planes, plane_offset=b * planes, dim=None
+                    ).alias("sig"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(first).alias(id_out), F.explode(sigs).alias("bs")
+        ).select(id_out, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    vq = f"transform(`{vec_col}`, x -> CAST(round(x) AS BIGINT))"
+    structs = ",".join(
+        f"named_struct('band', {b}, 'sig', "
+        f"{_rp_sig_sql(vq, planes, b * planes, dim)})"
+        for b in range(bands)
     )
     return df.select(
-        F.col(first).alias(id_out), F.explode(sigs).alias("bs")
+        F.col(first).alias(id_out), F.explode(F.expr(f"array({structs})")).alias("bs")
     ).select(id_out, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
@@ -308,11 +354,11 @@ def kmeans_centroids(
     import math
 
     spark = corpus.sparkSession
-    base = (
+    from wq_data_pipeline_spark.operators.scale import spread_small_scan
+
+    base = spread_small_scan(
         corpus.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
-    )
+    ).localCheckpoint()
 
     def cent_df(vectors: list[list[float]]) -> DataFrame:
         """(centroid_id, vec) frame from driver-held centroid lists;
@@ -863,6 +909,7 @@ def semdedup_within(
     id_col: str = "vec_id",
     vec_col: str = "q",
     tau: float = 0.97,
+    dim: int | None = None,
 ) -> DataFrame:
     """Within-cluster earlier-id duplicate marking over a PRE-ASSIGNED
     (id, vec, ``cluster_id``) frame — the second half of
@@ -872,17 +919,49 @@ def semdedup_within(
     :func:`kmeans_centroids` output, which is the at-scale composition
     the stride entry's docstring prescribes: cluster count fixed by
     k ~ n/target-size, so per-cluster pair work stays bounded as the
-    corpus grows."""
+    corpus grows.
+
+    r13 (guide §1.2 — per-pair work): each vector's norm is computed
+    ONCE per row before the self-join instead of once per PAIR inside
+    ``quantized_cosine`` (pair work is sum |c|² over clusters — the
+    norms were the larger half of it), and when ``dim`` is known the
+    pair dot is an unrolled integer multiply-add chain (one expr
+    parse) instead of a zip_with array allocation + fold per pair.
+    Bit-exact either way: the integer dot and norms are exact in any
+    association order, and sqrt/divide touch the same doubles as
+    ``quantized_cosine`` did."""
+    zero = F.lit(0).cast("long")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x * x), zero, lambda s, x: s + x
+        ).cast("double")
+    )
     a = assigned.select(
-        F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_qa"), "cluster_id"
+        F.col(id_col).alias("_id_a"),
+        F.col(vec_col).alias("_qa"),
+        nrm.alias("_na"),
+        "cluster_id",
     )
     b = assigned.select(
-        F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_qb"), "cluster_id"
+        F.col(id_col).alias("_id_b"),
+        F.col(vec_col).alias("_qb"),
+        nrm.alias("_nb"),
+        "cluster_id",
     )
+    if dim is not None:
+        dot = F.expr(
+            "(" + " + ".join(f"`_qa`[{i}] * `_qb`[{i}]" for i in range(dim)) + ")"
+        )
+    else:
+        dot = F.aggregate(
+            F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
+            zero,
+            lambda s, x: s + x,
+        )
     sims = (
         a.join(b, "cluster_id")
         .filter(F.col("_id_b") < F.col("_id_a"))
-        .withColumn("_sim", quantized_cosine("_qa", "_qb"))
+        .withColumn("_sim", dot.cast("double") / (F.col("_na") * F.col("_nb")))
         .filter(F.col("_sim") >= F.lit(tau))
     )
     dup = sims.groupBy(F.col("_id_a").alias(id_col)).agg(

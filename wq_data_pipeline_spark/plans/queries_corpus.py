@@ -274,7 +274,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # single-file scan -> one input split: spread rows before the
     # centroid-count-wide scoring fan-out (r1 single-file-scan rule)
-    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    from wq_data_pipeline_spark.operators.scale import spread_small_scan
+
+    emb = spread_small_scan(emb)
     cent = emb.filter(F.col("vec_id") % _SD_STRIDE == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("q").alias("cq")
     )

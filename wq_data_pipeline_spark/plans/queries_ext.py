@@ -19,6 +19,7 @@ from wq_data_pipeline_spark.operators import dedup as DD
 from wq_data_pipeline_spark.operators import text as TX
 from wq_data_pipeline_spark.operators.multimodal import decode_media
 from wq_data_pipeline_spark.operators.pinning import pin
+from wq_data_pipeline_spark.operators.scale import spread_small_scan
 from wq_data_pipeline_spark.sources.testdata import load_table
 
 # Shared oracle CTE: whitespace tokens of lowercased text.
@@ -434,7 +435,7 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring loop across the cluster before the broadcast fan-out
     # (defaultParallelism, NOT a literal core count — a fixed 32 would
     # cap parallelism on a real cluster)
-    j = emb.repartition(spark.sparkContext.defaultParallelism).crossJoin(F.broadcast(qs)).filter(
+    j = spread_small_scan(emb).crossJoin(F.broadcast(qs)).filter(
         F.col("vec_id") != F.col("query_id")
     )
     dotq = F.aggregate(
@@ -490,7 +491,7 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2 = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
         return dot.cast("double") / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
 
-    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    emb = spread_small_scan(emb)
     # corpus assignment via NARROW partial-aggregable max_by, not a
     # row_number window over the corpus x centroid expansion (the
     # window form shuffled+sorted all n x k scored rows — the shape
@@ -608,8 +609,9 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = head[0]
     emb = raw.select("vec_id", _quantized("embedding").alias("q"))
     # single-file small table would compute all 32 plane dots in one
-    # task; spread rows across the cluster first
-    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    # task; spread rows across the cluster first (no-op when the scan
+    # already has >= defaultParallelism splits — corpus scale)
+    emb = spread_small_scan(emb)
     band_sigs = F.array(
         *[
             F.struct(
@@ -750,7 +752,7 @@ def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _quantized("embedding").alias("q")
     )
-    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    emb = spread_small_scan(emb)
     nrm = F.aggregate(
         F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x
     )

@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 
 from wq_data_pipeline_spark.operators import text as TX
 from wq_data_pipeline_spark.operators.pinning import pin
-from wq_data_pipeline_spark.operators.scale import distributed_prefix_sum
+from wq_data_pipeline_spark.operators.scale import (
+    distributed_prefix_sum,
+    spread_small_scan,
+)
 from wq_data_pipeline_spark.plans.queries_ext import SQL_WORDS
 from wq_data_pipeline_spark.sources.testdata import load_table
 
@@ -269,10 +272,10 @@ def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file scan -> one input split; spread BEFORE the k-way
     # scoring fan-out or the n x k dot products run on one core (the
     # r1 single-file-scan rule; embed_cosine_topk precedent)
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", _quantized("embedding").alias("q"))
-        .repartition(spark.sparkContext.defaultParallelism)
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _quantized("embedding").alias("q")
+        )
     )
     k = max(1, math.ceil(emb.count() / _SDT_TARGET))
     # SIZE-GATED trainer (VERDICT r7 #1): "auto" resolves to the

@@ -91,12 +91,19 @@ def q_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = head[0]
     # pin the scan + quantization once: count(), both banded() sides,
     # the scoring join, and the final assignment all read `emb` —
-    # without the checkpoint each is an independent re-scan
-    emb = (
+    # without the checkpoint each is an independent re-scan. r13: the
+    # spread-repartition fires only when the scan is COARSER than the
+    # cluster (the single-file small-table case it was written for) —
+    # at corpus scale the scan has >= defaultParallelism splits and
+    # the unconditional form was a full corpus shuffle for nothing;
+    # and the pin is lazy, so the gate count() below is the ONE
+    # construction job that materializes it (the ADVICE r12 #1
+    # eager+count double-job pattern, fixed here too).
+    from wq_data_pipeline_spark.operators.scale import spread_small_scan
+
+    emb = spread_small_scan(
         raw.select("vec_id", _quantized("embedding").alias("q"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
-    )
+    ).localCheckpoint(eager=False)
     k = max(1, math.ceil(emb.count() / _SDA_TARGET))
     planes = auto_planes_per_band(k)
     # SIZE-GATED trainer (VERDICT r7 #1): exact distributed/broadcast
@@ -127,6 +134,11 @@ def q_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banded_signatures signs the half-away-from-zero-ROUNDED vector,
     # so the (double) centroid means sign as integers — every
     # signature bit is portable across engines
+    # no distinct() on the candidate pairs (r13): a (vec, cid) pair
+    # that matches in several bands reaches the scoring join several
+    # times, but max_by is invariant to duplicates — same argmax, and
+    # the duplicate factor is bounded by the band count while the
+    # distinct cost a full candidate-set shuffle (guide §2.4).
     cand = (
         banded_signatures(emb, "vec_id", "q", _SDA_BANDS, planes, dim)
         .join(
@@ -134,7 +146,6 @@ def q_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             on=["band", "sig"],
         )
         .select("vec_id", "_cid")
-        .distinct()
     )
     c = cent.select(F.col("centroid_id").alias("_cid"), F.col("q").alias("_cv"))
     best = (
@@ -159,7 +170,9 @@ def q_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # the within stage reads it twice
     )
-    return semdedup_within(assigned, id_col="vec_id", vec_col="q", tau=_SDA_TAU)
+    return semdedup_within(
+        assigned, id_col="vec_id", vec_col="q", tau=_SDA_TAU, dim=dim
+    )
 
 
 def _semdedup_ann_sql() -> str:

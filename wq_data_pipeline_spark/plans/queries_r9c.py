@@ -484,8 +484,10 @@ def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
+    from wq_data_pipeline_spark.operators.scale import spread_small_scan
+
     j = (
-        emb.repartition(spark.sparkContext.defaultParallelism)
+        spread_small_scan(emb)
         .crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("query_id"))
     )
