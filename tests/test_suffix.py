@@ -130,3 +130,52 @@ def test_global_adjacency_matches_reference(spark, docs_df):
             n += 1
         want[(da, pa, db, pb)] = n
     assert got == want
+
+
+def test_lcp_key_tree_matches_descent(spark):
+    """r13: the binary-search LCP tree (one expr parse) must equal the
+    greedy-descent form value-for-value on adversarial key pairs —
+    equality at every boundary length, truncated tails (distinct
+    sentinel pads), multibyte, and full-cap equality."""
+    from pyspark.sql import functions as F
+
+    from wq_data_pipeline_spark.operators.suffix import (
+        _lcp_capped2,
+        _lcp_key_tree_sql,
+    )
+
+    cases = [
+        ("banana", "bananb"),
+        ("aaaa", "aaaa"),  # equal keys
+        ("abc", "abcdef"),  # truncated tail: pads must mismatch
+        ("", "anything"),
+        ("", ""),
+        ("x" * 40, "x" * 40),  # equality past cap
+        ("x" * 40, "x" * 30 + "y" * 10),
+        ("héllo wörld", "héllo würld"),  # multibyte
+        ("日本語テキスト", "日本語テクスト"),
+    ]
+    df = spark.createDataFrame(cases, ["ka", "kb"])
+    for cap in (7, 31, 63, 5):  # the tree needs no all-ones cap...
+        tree = df.select(
+            F.expr(_lcp_key_tree_sql("`ka`", "`kb`", cap)).alias("t")
+        ).collect()
+        if cap & (cap + 1):  # ...but the descent does; compare where legal
+            continue
+        desc = df.select(
+            _lcp_capped2(F.col("ka"), F.lit(0), F.col("kb"), F.lit(0), cap).alias("d")
+        ).collect()
+        assert [r.t for r in tree] == [r.d for r in desc], cap
+    # cap=5 (non-all-ones) sanity against a python reference
+    def ref(a, b, cap):
+        pa = (a[:cap] + "\x01" * cap)[:cap]
+        pb = (b[:cap] + "\x02" * cap)[:cap]
+        m = 0
+        for x, y in zip(pa, pb):
+            if x != y:
+                break
+            m += 1
+        return m
+
+    got5 = [r.t for r in df.select(F.expr(_lcp_key_tree_sql("`ka`", "`kb`", 5)).alias("t")).collect()]
+    assert got5 == [ref(a, b, 5) for a, b in cases]

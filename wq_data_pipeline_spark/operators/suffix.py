@@ -186,6 +186,62 @@ def _lcp_capped2(ta: Column, a: Column, tb: Column, b: Column, cap: int) -> Colu
     return lcp
 
 
+def _lcp_key_tree_sql(ka_sql: str, kb_sql: str, cap: int) -> str:
+    """SQL text of the capped LCP of two key expressions — a BINARY
+    SEARCH over prefix lengths (largest m in [0, cap] with equal
+    m-prefixes of the sentinel-padded cap-windows; the equal-prefix
+    predicate is monotone in m, so the search is exact for ANY cap),
+    emitted as one string for one ``F.expr`` parse.
+
+    Replaces :func:`_lcp_capped2` on the hot paths (r13, guide §1.2)
+    for two measured reasons: the descent's accumulated ``lcp``
+    appears twice per step, so its COLUMN tree doubles per step —
+    2^steps copies of the padded-substring subtrees, ~1 s of py4j
+    plan building per use and redundant evaluation wherever codegen
+    fails to CSE them — while this tree is O(cap) nodes with a
+    log2(cap) evaluation path and needs no all-ones cap. Same values:
+    both compute the LCP of rpad(substr(ka,1,cap), chr(1)) vs
+    rpad(substr(kb,1,cap), chr(2)) — distinct sentinels keep
+    truncated-equal tails from over-counting, as before. (One edge
+    intentionally differs: a NULL key gives NULL from the descent but
+    0 from this tree's ELSE spine — both callers filter the
+    first-row-of-partition NULL-lag pairs out before the value is
+    consumed.) Unicode escapes, not hex: Spark SQL parses '\\x01' as
+    the three characters x01 (measured), '\\u0001' as the control
+    byte."""
+    pa = f"rpad(substr({ka_sql}, 1, {cap}), {cap}, '\\u0001')"
+    pb = f"rpad(substr({kb_sql}, 1, {cap}), {cap}, '\\u0002')"
+
+    def rec(lo: int, hi: int) -> str:
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi + 1) // 2
+        return (
+            f"(CASE WHEN substr({pa}, 1, {mid}) = substr({pb}, 1, {mid}) "
+            f"THEN {rec(mid, hi)} ELSE {rec(lo, mid - 1)} END)"
+        )
+
+    return f"CAST({rec(0, cap)} AS BIGINT)"
+
+
+def _range_id_tree_sql(k0_sql: str, bounds: list[int]) -> str:
+    """SQL text of the binary-search range id (count of ``bounds``
+    strictly below the packed seed key — equal keys always land in
+    the same logical partition, so ranges stay contiguous): one
+    ``F.expr`` parse instead of a 2·|bounds|-node py4j when-tree."""
+
+    def rec(lo: int, hi: int) -> str:
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return (
+            f"(CASE WHEN {k0_sql} > {bounds[mid]}L THEN {rec(mid + 1, hi)} "
+            f"ELSE {rec(lo, mid)} END)"
+        )
+
+    return rec(0, len(bounds))
+
+
 def _packed_seed_key(key: Column) -> Column:
     """The first 7 UTF-8 BYTES of ``key`` (NUL right-padded) packed
     into ONE non-negative int64 — an order-CONSISTENT coarsening of
@@ -317,9 +373,7 @@ def doc_adjacent_lcp(
             "n",
             "pos",
             "prev_pos",
-            _lcp_capped2(
-                F.col("_key"), F.lit(0), F.col("_pk"), F.lit(0), depth - 1
-            ).alias("lcp"),
+            F.expr(_lcp_key_tree_sql("`_key`", "`_pk`", depth - 1)).alias("lcp"),
         )
     )
 
@@ -400,21 +454,23 @@ def global_adjacent_lcp(
     # the FULL key build twice — its sampling runs on the child's
     # complete output rows (measured at 10x replicas: the double
     # evaluation was half the operator's wall time).
+    # r13: the quantile pass runs over a 5% DOC SAMPLE (seeded, so
+    # one bounds job per run) — bounds only decide the range
+    # PARTITIONING, never the output: adjacency within a range is the
+    # window's, adjacency across ranges is the boundary stitch, so
+    # ANY contiguous bounds give identical pairs (guide §1.2 — don't
+    # compute precision you throw away). Tiny corpora can sample to
+    # nothing; fall back to the full pass there (it's cheap exactly
+    # then).
     qs = [i / n for i in range(1, n)]
+    sampled = suffix_window_keys(docs.sample(0.05, seed=7), id_col, text_col, depth)
     bounds = sorted(
-        {int(b) for b in p.select("_k0").approxQuantile("_k0", qs, 0.001)}
+        {int(b) for b in sampled.select("_k0").approxQuantile("_k0", qs, 0.001)}
     )
-
-    def _pid_tree(lo: int, hi: int) -> Column:
-        """Binary-search when-tree: index of the first bound >= _k0
-        (== count of bounds < _k0) — equal keys always land in the
-        same logical partition, so ranges stay contiguous."""
-        if lo == hi:
-            return F.lit(lo)
-        mid = (lo + hi) // 2
-        return F.when(
-            F.col("_k0") > F.lit(bounds[mid]), _pid_tree(mid + 1, hi)
-        ).otherwise(_pid_tree(lo, mid))
+    if not bounds:
+        bounds = sorted(
+            {int(b) for b in p.select("_k0").approxQuantile("_k0", qs, 0.001)}
+        )
 
     order = ["_k0", "_key", "doc_id", "pos"]
     w = Window.partitionBy("_pid").orderBy(*order)
@@ -425,18 +481,13 @@ def global_adjacent_lcp(
     # would force a second full buffering pass
     is_end = (F.col("_first") == 1) | F.col("_last")
     d = (
-        p.withColumn("_pid", _pid_tree(0, len(bounds)))
+        p.withColumn("_pid", F.expr(_range_id_tree_sql("`_k0`", bounds)))
         .withColumn("prev_doc", F.lag("doc_id").over(w))
         .withColumn("prev_pos", F.lag("pos").over(w))
         .withColumn("_pk", F.lag("_key").over(w))
         .withColumn("_first", F.row_number().over(w))
         .withColumn("_last", F.lead("doc_id").over(w).isNull())
-        .withColumn(
-            "lcp",
-            _lcp_capped2(
-                F.col("_key"), F.lit(0), F.col("_pk"), F.lit(0), cap
-            ),
-        )
+        .withColumn("lcp", F.expr(_lcp_key_tree_sql("`_key`", "`_pk`", cap)))
         # keys survive the checkpoint only on partition-end rows (for
         # the boundary stitch) — everywhere else they drop to NULL so
         # the materialized pass stays narrow
