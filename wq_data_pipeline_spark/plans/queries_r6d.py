@@ -344,12 +344,16 @@ def q_dup_span_removal_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", "g"
         ),
     ).select("doc_id", "pos", gram_hash(F.col("g")).alias("h"))
-    dup = (
-        g.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+    # ONE gram build via the (h, doc) two-level agg + h-window — the
+    # same r13 rewrite as q_dup_spans (nd ≡ countDistinct(doc) at the
+    # (h, doc) grain); the old groupBy+join-back executed the
+    # tokenize+shingle explode twice
+    g2 = g.groupBy("h", "doc_id").agg(F.collect_list("pos").alias("_ps"))
+    hits = (
+        g2.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .filter(F.col("nd") >= 2)
+        .select("doc_id", F.explode("_ps").alias("pos"))
     )
-    hits = g.join(dup, "h").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) > _SPAN_N, 1).otherwise(0)
     isl = hits.withColumn("island", F.sum(brk).over(w))

@@ -108,12 +108,20 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(shingles_from_tokens(tokens("text"), _SPAN_N)).alias("pos", "g"),
     ).select("doc_id", "pos", gram_hash(F.col("g")).alias("h"))
-    dup = (
-        g.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+    # ONE gram build (r13, guide §2.4 / VERDICT r12 #4): the old
+    # groupBy(h)+join-back read `g` twice, so the tokenize+md5 explode
+    # executed twice (plan: 2 Generates). Two-level instead: (h, doc)
+    # partial agg (map-side combinable — positions of one gram in one
+    # doc collect locally), then nd = count of DOC rows per gram via a
+    # window over h (countDistinct(doc) ≡ count(*) at the (h, doc)
+    # grain), and the positions re-explode. Same rows, same nd.
+    g2 = g.groupBy("h", "doc_id").agg(F.collect_list("pos").alias("_ps"))
+    wh = Window.partitionBy("h")
+    hits = (
+        g2.withColumn("nd", F.count(F.lit(1)).over(wh))
         .filter(F.col("nd") >= 2)
+        .select("doc_id", F.explode("_ps").alias("pos"), "nd")
     )
-    hits = g.join(dup, "h").select("doc_id", "pos", "nd")
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) > _SPAN_N, 1).otherwise(0)
     isl = hits.withColumn("island", F.sum(brk).over(w))
@@ -207,15 +215,17 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(shingles_from_tokens(tokens("text"), _SPAN_N)).alias("pos", "g"),
     ).select("doc_id", "pos", gram_hash(F.col("g")).alias("h"))
-    dup = (
-        g.groupBy("h")
-        .agg(
-            F.countDistinct("doc_id").alias("nd"),
-            F.min("doc_id").alias("keeper_doc"),
-        )
+    # ONE gram build via the (h, doc) two-level agg + h-window — the
+    # same rewrite as q_dup_spans above (nd ≡ countDistinct(doc) at
+    # the (h, doc) grain; keeper ≡ min(doc) over the gram's rows)
+    g2 = g.groupBy("h", "doc_id").agg(F.collect_list("pos").alias("_ps"))
+    wh = Window.partitionBy("h")
+    hits = (
+        g2.withColumn("nd", F.count(F.lit(1)).over(wh))
+        .withColumn("keeper_doc", F.min("doc_id").over(wh))
         .filter(F.col("nd") >= 2)
+        .select("doc_id", F.explode("_ps").alias("pos"), "keeper_doc")
     )
-    hits = g.join(dup, "h").select("doc_id", "pos", "keeper_doc")
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) > _SPAN_N, 1).otherwise(0)
     isl = hits.withColumn("island", F.sum(brk).over(w))
