@@ -19,6 +19,9 @@ import time
 
 import pytest
 
+# slow tier (pytest.ini): run with -m slow
+pytestmark = pytest.mark.slow
+
 # Absolute floor of the cap on fast hardware. On slow/shared machines
 # the cap scales with a measured per-run floor instead (a cold JVM or
 # noisy neighbor must not flake a healthy query): budget =

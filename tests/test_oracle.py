@@ -5,6 +5,9 @@ from __future__ import annotations
 
 import pytest
 
+# slow tier (pytest.ini): run with -m slow
+pytestmark = pytest.mark.slow
+
 from tests.oracle_utils import compare
 
 

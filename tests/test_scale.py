@@ -6,6 +6,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+
+# slow tier (pytest.ini): run with -m slow
+pytestmark = pytest.mark.slow
 from pyspark.sql import Window, functions as F
 
 

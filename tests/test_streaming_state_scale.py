@@ -11,6 +11,9 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
+# slow tier (pytest.ini): run with -m slow
+pytestmark = pytest.mark.slow
+
 
 def _run_per_file_batches(spark, df_builder, sdir, n_files, out_name):
     """Write n_files sequential parquet files, then run the stream

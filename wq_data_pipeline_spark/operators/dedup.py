@@ -590,15 +590,25 @@ def connected_components(
         for _ in range(steps_per_round):
             f = _step(f)
         f = f.select("node", "label", (F.col("label") != F.col("_l0")).alias("_chg"))
-        new_lab = f.localCheckpoint()  # eager: materialize + cut lineage
+        # LAZY checkpoint + ONE full-scan action per round (r13): the
+        # action below computes every partition, which is what
+        # materializes the checkpoint — the r12 form paid an eager
+        # checkpoint job AND a separate fixpoint job per checked
+        # round. A full count (never limit(1)) is load-bearing: a
+        # short-circuiting action would materialize only some
+        # partitions and leave the rest to recompute the whole round
+        # plan from lineage on the next round's first read.
+        new_lab = f.localCheckpoint(eager=False)
         lab = new_lab.drop("_chg")
-        # skip the fixpoint action while convergence is certain to be
+        # skip the fixpoint READ while convergence is certain to be
         # incomplete: rounds 0..skip_check_rounds-1 cover only distance
         # (r+1)*steps_per_round, so the first check fires at
         # r == skip_check_rounds
         if r >= skip_check_rounds:
-            if new_lab.filter("_chg").limit(1).count() == 0:
+            if new_lab.filter("_chg").count() == 0:
                 break
+        else:
+            new_lab.count()  # materialize-only round
     # untouched nodes are their own clusters
     return nodes.select(F.col(id_col)).join(
         hint(lab.withColumnRenamed("node", id_col)), id_col, "left"

@@ -630,8 +630,19 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = d.mapInPandas(_render, media_schema)
     hashed = perceptual_hash(media)
-    counts = hashed.groupBy("ahash").agg(F.count(F.lit(1)).alias("n_same_hash"))
-    return hashed.join(counts, "ahash").select(
+    # bucket size as a WINDOW count (r13, guide §2.4): the old
+    # groupBy(ahash)+join-back read `hashed` twice, so the whole
+    # Python render+decode+hash chain (the entry's dominant cost, two
+    # mapInPandas stages) executed TWICE per run — and the per-run
+    # Python double-execution is exactly what kept tripping the
+    # bench's worker-churn adjudication on this entry (VERDICT r12
+    # #9). Same rows: count over the ahash partition == the joined
+    # per-ahash count.
+    from pyspark.sql import Window
+
+    return hashed.withColumn(
+        "n_same_hash", F.count(F.lit(1)).over(Window.partitionBy("ahash"))
+    ).select(
         "media_id",
         "width",
         "height",
